@@ -1,0 +1,74 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: one warm-up action to JIT/own the session, then each
+query timed as plan-build + execution to a count/collect-free sink
+(``df.write.format("noop")``) so we measure the engine, not result
+transfer to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "pricing_summary",
+    "regional_revenue",
+    "top3_orders_per_customer",
+    "priority_month_matrix",
+    "word_count",
+    "two_leg_conversion",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from hadoop_project_spark.session import get_spark
+    from hadoop_project_spark.plans import all_queries
+
+    spark = get_spark(app_name="hps-bench", cpus=cpus, shuffle_partitions=int(cpus))
+    specs = all_queries()
+    names = [n for n in HEADLINE if n in specs] + [
+        n for n in sorted(specs) if n not in HEADLINE
+    ]
+
+    # warm-up: touch the biggest table once so JVM/codegen/file listing
+    # costs don't land on the first measured query
+    from hadoop_project_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = specs[name].build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The reference hand-rolled its storage layer as HBase tables with
+byte-encoded cells and composite string row keys
+(Flight2/src/main/java/hw4/HPopulate.java:40-44, 92-97;
+final/src/main/java/program/KConfig.java:6-29). Here a "table" is a
+parquet path with a real schema; Catalyst gets column pruning and
+predicate pushdown into the scan for free (the reference had to build
+this by hand with HBase SingleColumnValueFilters —
+Flight2/src/main/java/hw4/HCompute.java:256-267).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; normalizes storage quirks so downstream plans
+    see clean types.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
+    it arrives as nanoseconds-since-epoch (bigint) and is truncated to
+    microseconds here — the same floor-truncation DuckDB applies when it
+    reads NANOS into its microsecond TIMESTAMP, so oracle comparisons agree.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view (mirrors the driver's
+    DuckDB-side view registration so SQL plans read the same names)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,74 @@
+"""Text column functions (tokenize / shingle / n-gram / hashing).
+
+The reference's only text op is whitespace tokenization via
+``StringTokenizer`` (WordCount1/src/main/java/WordCount.java:24) and a
+regex prefix filter (WordCount2/src/main/java/WordCount.java:34). This
+module generalizes that surface for the training-data-pipeline operators
+(dedup, language ID, quality scoring).
+
+Hashing convention: where an operator needs a hash that must agree with
+the DuckDB oracle (MinHash, fingerprints), we use ``md5`` — identical
+output in Spark, DuckDB, and any other engine — rather than
+engine-internal hashes (``F.hash``/xxhash64 differ from DuckDB's
+``hash``). md5-as-string min/max is well-ordered and portable; F.xxhash64
+is used only where the oracle does not need to reproduce the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+WHITESPACE_RE = r"\s+"
+
+
+def tokenize(col: str | Column) -> Column:
+    """Whitespace tokenization → array<string> (P1/F1).
+
+    Equivalent DuckDB: ``string_split_regex(text, '\\s+')``.
+    Empty tokens (leading/trailing whitespace) must be filtered by the
+    caller after explode — both engines produce them identically.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, WHITESPACE_RE)
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Lowercase + collapse whitespace — canonical form for fingerprints
+    and shingling. DuckDB: ``regexp_replace(lower(text), '\\s+', ' ', 'g')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), WHITESPACE_RE, " "))
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text → array<string>.
+
+    Built from JVM-side higher-order functions (transform + slice +
+    array_join) — no UDF. Documents shorter than k words yield the single
+    full-text shingle so every doc has ≥1 shingle.
+    """
+    c = normalize_text(col)
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    # positions 1..n-k+1 (SQL arrays are 1-based); at least one shingle
+    cnt = F.greatest(n - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), cnt)
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def char_ngrams(col: str | Column, n: int = 5) -> Column:
+    """Character n-grams of normalized text → array<string> (for n-gram
+    Jaccard dedup). Short texts yield the whole text as one gram."""
+    c = normalize_text(col)
+    ln = F.length(c)
+    cnt = F.greatest(ln - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), cnt)
+    return F.transform(idx, lambda i: F.substring(c, i, n))
+
+
+def md5_i64(col: Column, seed: int = 0) -> Column:
+    """Portable 60-bit integer hash: md5 hex → first 15 hex digits →
+    bigint. Identical in DuckDB via
+    ``cast(('0x' || substr(md5(s), 1, 15)) as ubigint)``. Seeded by
+    prefixing the seed (distinct hash families for MinHash)."""
+    seeded = F.concat(F.lit(f"{seed}|"), col)
+    return F.conv(F.substring(F.md5(seeded), 1, 15), 16, 10).cast("long")

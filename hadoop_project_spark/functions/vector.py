@@ -1,0 +1,46 @@
+"""Vector math over array<float> columns — pure JVM higher-order
+functions (F.zip_with / F.aggregate), no UDFs, so similarity search and
+K-Means stay inside whole-stage codegen.
+
+The reference's only geometry is 2-D squared Euclidean distance
+(final/src/main/java/calc/KMeans.java:98; Silhouette.java:88); these
+generalize it to the n-dim embedding columns of the training-data
+pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Dot product of two array<numeric> columns (double).
+
+    Computed in double precision: elements are widened before multiply so
+    Spark (float32 storage) and DuckDB (reads parquet FLOAT then promotes)
+    agree bit-for-bit.
+    """
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def l2_norm(a: str | Column) -> Column:
+    sq = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_similarity(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def squared_l2_distance(a: str | Column, b: str | Column) -> Column:
+    """Σ (a_i - b_i)^2 — the reference's K-Means metric (KMeans.java:98)
+    generalized to n dims."""
+    diffs = F.zip_with(
+        _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** F.lit(2)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)

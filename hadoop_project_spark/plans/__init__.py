@@ -1,0 +1,17 @@
+"""Query-plan registry — the engine's public query surface.
+
+Every operator class from SURVEY.md §2 (plus the training-data-pipeline
+extensions) is exposed as a named query over the driver's test tables,
+each paired with an ANSI-SQL oracle that DuckDB runs on the same parquet
+for the correctness gate.
+"""
+
+from hadoop_project_spark.plans.registry import QuerySpec, all_queries, register  # noqa: F401
+
+# Import for side effect: each module registers its queries.
+from hadoop_project_spark.plans import relational  # noqa: F401,E402
+from hadoop_project_spark.plans import reference_workloads  # noqa: F401,E402
+from hadoop_project_spark.plans import text_pipeline  # noqa: F401,E402
+from hadoop_project_spark.plans import dedup_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import similarity_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import ml_queries  # noqa: F401,E402
