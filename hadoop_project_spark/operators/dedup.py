@@ -1,0 +1,255 @@
+"""Deduplication operators for large-scale corpus pipelines.
+
+Four families, each designed around Spark's shuffle model so cost is
+O(n) + O(candidate pairs) — never an n² cross join:
+
+* exact        — hash-groupBy on a canonical fingerprint.
+* MinHash+LSH  — shingle → K min-hashes → band keys → shuffle-join on
+                 band key → verify exact Jaccard on candidates only.
+* SimHash      — 60-bit weighted token hash → chunk-banding (pigeonhole:
+                 hamming ≤ 3 ⇒ one of 4 15-bit chunks equal) → verify.
+* n-gram Jaccard — char-n-gram blocking restricted to *rare* grams
+                 (document-frequency cap) to bound candidate fan-out.
+
+Hashing is md5-based (functions/text.md5_i64) so the DuckDB oracle
+reproduces every signature exactly — engine-internal hashes (xxhash64)
+would be faster but unverifiable; at production scale swap HASH_EXPR for
+xxhash64 via the `portable_hash` flag.
+
+At 100 TB: every stage is explode → hash-partition shuffle on a
+synthetic key (band key / chunk value / rare gram) whose cardinality
+grows with data, so AQE can split skewed buckets; the verify joins touch
+only candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from hadoop_project_spark.functions.text import (
+    char_ngrams,
+    md5_i64,
+    normalize_text,
+    word_shingles,
+)
+
+# MinHash parameters (16 hashes = 4 bands × 4 rows → catches J ≳ 0.5)
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+# SimHash parameters: 60-bit signatures (15 hex digits of md5), 4 chunks
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+SIMHASH_MAX_HAMMING = 3
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via md5-of-normalized-text groupBy: one shuffle on the
+    fingerprint, keeper = min id (deterministic). Returns
+    (fp, keeper_id, n_copies)."""
+    fp = F.md5(normalize_text(text_col)).alias("fp")
+    return (
+        docs.select(fp, F.col(id_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct (id, shingle) pairs — the set representation used by both
+    MinHash signatures and exact Jaccard verification."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(word_shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame) -> DataFrame:
+    """K min-hashes per doc. One hash-aggregate over the exploded shingle
+    set; partial aggregation makes the map-side combine automatic."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_keys(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, key): md5 of each band's concatenated row hashes.
+    Equal key ⇔ all ROWS_PER_BAND min-hashes equal."""
+    bands = []
+    for b in range(NUM_BANDS):
+        cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("key")))
+    return signatures.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from band-key collisions: a shuffle-join
+    on (band, key) — the only join in the pipeline, and it never touches
+    non-colliding docs."""
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate pairs via set-intersection counting:
+    |A∩B| from a join of the two shingle sets, |A∪B| = |A|+|B|-|A∩B|.
+    Cost is proportional to candidates × shared shingles, not n²."""
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a").join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+             ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, k_shingle: int = 3) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard)."""
+    sh = doc_shingles(docs, k=k_shingle)
+    cands = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(sh)))
+    return jaccard_verify(cands, sh)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def _token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    toks = F.split(normalize_text(text_col), " ")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit SimHash per doc: per-bit weighted vote over term-frequency-
+    weighted token hashes, folded into one BIGINT.
+
+    Single aggregation pass: 60 conditional sums (JVM codegen handles
+    wide aggregates well); no per-row Python.
+    """
+    tc = _token_counts(docs, id_col, text_col)
+    h = md5_i64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    votes = tc.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.shiftleft(
+            F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
+        )
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_chunks(signatures: DataFrame) -> DataFrame:
+    """(doc_id, chunk, val): 15-bit chunks. Pigeonhole: two signatures
+    within hamming ≤ 3 share at least one of the 4 chunks."""
+    chunks = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * CHUNK_BITS)
+            .bitwiseAND(F.lit((1 << CHUNK_BITS) - 1))
+            .alias("val"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ]
+    return signatures.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("ck")
+    ).select("doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.val").alias("val"))
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by SimHash: chunk-collision candidates, verified by
+    exact hamming distance on the full signature."""
+    sigs = simhash_signatures(docs)
+    ck = simhash_chunks(sigs)
+    a, b = ck.alias("a"), ck.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.val") == F.col("b.val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"), F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cands.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard with rare-gram blocking
+# ---------------------------------------------------------------------------
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    min_jaccard: float = 0.3,
+    max_gram_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Char-n-gram Jaccard near-dups.
+
+    Candidate generation joins only on grams whose document frequency is
+    ≤ max_gram_df — the standard blocking trick that keeps the candidate
+    join linear-ish in corpus size instead of exploding on stop-grams
+    ("the f" would otherwise pair half the corpus). Verification then
+    computes exact Jaccard over the *full* gram sets of candidates.
+    """
+    grams = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(char_ngrams(text_col, n)).alias("sh"))
+        .distinct()
+    )
+    rare = (
+        grams.groupBy("sh").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_gram_df)
+        .select("sh")
+    )
+    rare_grams = grams.join(rare, "sh")
+    a = rare_grams.select(F.col("doc_id").alias("doc_a"), "sh")
+    b = rare_grams.select(F.col("doc_id").alias("doc_b"), "sh")
+    cands = (
+        a.join(b, ["sh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, grams).filter(F.col("jaccard") >= min_jaccard)

@@ -1,0 +1,113 @@
+"""Text-analysis operators for large-scale corpus pipelines: token
+counting, quality scoring, language ID, document fingerprinting.
+
+Design for 100 TB: every function here is a pure Column expression
+(split/filter/transform/aggregate higher-order functions) — no Python
+UDFs, so the whole pipeline stays inside one WholeStageCodegen span and
+scales linearly with input splits; there is no shuffle at all for
+per-document scoring.
+
+Determinism: scores use only rational arithmetic (+,-,*,/, least,
+greatest) over exact integer counts — no transcendental functions — so
+the DuckDB oracle reproduces every double bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+from hadoop_project_spark.functions.text import normalize_text, tokenize, word_shingles
+
+# Small deterministic stopword profiles. The language-ID operator is a
+# stopword-hit heuristic (the classic cheap n-gram/stopword LID
+# baseline); profiles are module constants so the SQL oracle is generated
+# from the same lists.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"),
+    "es": ("el", "los", "y", "es", "se", "del", "las", "por", "con", "para"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+LANG_PRIORITY = ("en", "de", "fr", "es", "zh")  # tie-break order
+
+PUNCT_RE = r"[a-z0-9\s]"  # applied to lowercased text; what's left is "punct"
+
+
+def tokens_nonempty(col: str | Column) -> Column:
+    """Non-empty whitespace tokens (array<string>)."""
+    return F.filter(tokenize(col), lambda t: t != F.lit(""))
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count — the cheap proxy for BPE token budget."""
+    return F.size(tokens_nonempty(col)).cast("long")
+
+
+def bpe_proxy_token_count(col: str | Column) -> Column:
+    """BPE-ish token estimate: split on word/non-word boundaries so
+    punctuation and digit runs count as separate tokens (a deterministic
+    stand-in for a real tokenizer's fragment count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(c, r"\s+|(?<=\W)(?=\w)|(?<=\w)(?=\W)")
+    return F.size(F.filter(pieces, lambda t: t != F.lit(""))).cast("long")
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Fraction of characters that are neither alnum nor whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    n_punct = F.length(F.regexp_replace(low, PUNCT_RE, ""))
+    return n_punct.cast("double") / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def stopword_hits(col: str | Column, lang: str) -> Column:
+    """Count of tokens (with duplicates) in the language's stopword set."""
+    toks = F.transform(tokens_nonempty(col), F.lower)
+    stoplist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(stoplist, t))).cast("long")
+
+
+def quality_score(col: str | Column) -> Column:
+    """Deterministic [0,1] quality heuristic:
+    length credit × punctuation penalty × stopword-density credit.
+    Rational arithmetic only (oracle-exact)."""
+    n_tok = token_count(col).cast("double")
+    stop_den = stopword_hits(col, "en").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    length_credit = F.least(F.lit(1.0), n_tok / F.lit(100.0))
+    punct_penalty = F.lit(1.0) - punct_ratio(col)
+    stop_credit = F.lit(0.5) + F.lit(0.5) * F.least(F.lit(1.0), stop_den * F.lit(5.0))
+    return (length_credit * punct_penalty * stop_credit).alias("quality_score")
+
+
+def lang_id(col: str | Column) -> Column:
+    """Stopword-profile language ID with fixed priority tie-break.
+
+    The winner is the first language in LANG_PRIORITY whose hit count is
+    >= every other language's count; all-zero → 'und'.
+    """
+    hits = {lg: stopword_hits(col, lg) for lg in LANG_PRIORITY}
+    total = None
+    for c in hits.values():
+        total = c if total is None else total + c
+    expr = F.lit("und")
+    # build reversed when-chain so earlier languages take precedence
+    for lg in reversed(LANG_PRIORITY):
+        cond = F.lit(True)
+        for other in LANG_PRIORITY:
+            if other != lg:
+                cond = cond & (hits[lg] >= hits[other])
+        expr = F.when((total > 0) & cond, F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Full-document fingerprint: md5 of whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def min_shingle_fingerprint(col: str | Column, k: int = 3) -> Column:
+    """Locality-sensitive fingerprint: minimum md5 over k-word shingles
+    (a 1-permutation MinHash) — survives small edits that move text."""
+    return F.array_min(F.transform(word_shingles(col, k), F.md5))

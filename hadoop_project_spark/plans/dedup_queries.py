@@ -1,2 +1,206 @@
-"""Deduplication queries (exact / MinHash-LSH / SimHash / n-gram
-Jaccard / embedding near-dup). See operators/dedup.py."""
+"""Deduplication queries over `documents`, each with a DuckDB oracle
+generated from the same constants as operators/dedup.py — the oracle
+re-derives MinHash signatures, SimHash bit votes, and Jaccard counts
+from scratch in SQL, so a hash-match proves the whole pipeline, not just
+the final filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators import dedup as dd
+from hadoop_project_spark.plans.registry import register
+
+SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+SQL_SHINGLES_CTE = f"""
+  norm AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             UNNEST([array_to_string(toks[i:i+2], ' ')
+                     for i in range(1, greatest(len(toks) - 2, 1) + 1)]) AS sh
+      FROM norm
+    )
+  )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5({SQL_NORM}) AS fp,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5({SQL_NORM})
+    """,
+    tags=("dedup", "exact", "extension"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: one shuffle on the md5 fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup_groups(docs)
+
+
+def _sql_minhash_pairs() -> str:
+    sig_cols = ",\n           ".join(
+        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(dd.NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(dd.NUM_BANDS):
+        cols = " || ".join(
+            f"h{b * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig"
+        )
+    bands_sql = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {SQL_SHINGLES_CTE},
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS (
+      {bands_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_sql_minhash_pairs(),
+    tags=("dedup", "minhash", "lsh", "extension"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_pairs(docs)
+
+
+def _sql_simhash_sigs_cte() -> str:
+    h = "CAST(('0x' || substr(md5('0|' || tok), 1, 15)) AS BIGINT)"
+    bit_sums = ",\n             ".join(
+        f"SUM(CASE WHEN ({h} >> {b}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{b}"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    fold = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {b})"
+        for b in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id, UNNEST(string_split({SQL_NORM}, ' ')) AS tok FROM documents
+      ) WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    votes AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM tc GROUP BY doc_id
+    ),
+    sigs AS (SELECT doc_id, {fold} AS simhash FROM votes)
+    """
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"WITH {_sql_simhash_sigs_cte()} SELECT doc_id, simhash FROM sigs",
+    tags=("dedup", "simhash", "extension"),
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash signature per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_signatures(docs)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_sql_simhash_sigs_cte()},
+    ck AS (
+      SELECT doc_id, simhash, c AS chunk,
+             (simhash >> (c * {dd.CHUNK_BITS})) & {(1 << dd.CHUNK_BITS) - 1} AS val
+      FROM sigs, (SELECT UNNEST(RANGE(0, {dd.SIMHASH_CHUNKS})) AS c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM ck a JOIN ck b
+        ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= {dd.SIMHASH_MAX_HAMMING}
+    """,
+    tags=("dedup", "simhash", "extension"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (chunk-banded candidates, hamming ≤ 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.simhash_dup_pairs(docs)
+
+
+def _sql_ngram_pairs(n: int = 5, min_j: float = 0.3, max_df: int = 20) -> str:
+    return f"""
+    WITH base AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               UNNEST([substr(t, i, {n})
+                       for i in range(1, greatest(length(t) - {n - 1}, 1) + 1)]) AS sh
+        FROM base
+      )
+    ),
+    rare AS (SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) <= {max_df}),
+    rg AS (SELECT g.doc_id, g.sh FROM grams g JOIN rare r ON g.sh = r.sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM rg a JOIN rg b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN grams sa ON sa.doc_id = c.doc_a
+      JOIN grams sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(n_inter AS DOUBLE)
+             / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON ca.doc_id = i.doc_a
+    JOIN counts cb ON cb.doc_id = i.doc_b
+    WHERE CAST(n_inter AS DOUBLE)
+             / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) >= {min_j}
+    """
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_sql_ngram_pairs(),
+    tags=("dedup", "ngram", "extension"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram Jaccard near-dups with rare-gram blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs)

@@ -1,2 +1,196 @@
-"""Text-analysis pipeline queries (training-data extensions). Filled in
-incrementally — see operators/textstats.py for the column builders."""
+"""Text-analysis pipeline queries over the `documents` table.
+
+The oracle SQL is generated from the same constants
+(operators/textstats.py) so both engines evaluate the identical
+expression tree; scores use only rational arithmetic on exact integer
+counts, making the doubles bit-identical.
+
+DuckDB's regex engine is RE2 (no lookarounds), so the shared patterns
+use alternation + regexp_extract_all instead of lookaround splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators import textstats as ts
+from hadoop_project_spark.plans.registry import register
+
+# -- shared SQL fragments ---------------------------------------------------
+
+SQL_TOKENS = r"[x for x in string_split_regex(text, '\s+') if x <> '']"
+SQL_NTOK = f"len({SQL_TOKENS})"
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+SQL_NBPE = f"len(regexp_extract_all(text, '{BPE_PATTERN}'))"
+SQL_PUNCT_RATIO = (
+    r"CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g')) AS DOUBLE)"
+    r" / CAST(greatest(length(text), 1) AS DOUBLE)"
+)
+SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in ts.STOPWORDS[lang])
+    return (
+        f"len([x for x in list_transform({SQL_TOKENS}, t -> lower(t)) "
+        f"if list_contains([{words}], x)])"
+    )
+
+
+def _sql_lang_case() -> str:
+    cases = []
+    for lg in ts.LANG_PRIORITY:
+        conds = " AND ".join(
+            f"s_{lg} >= s_{o}" for o in ts.LANG_PRIORITY if o != lg
+        )
+        cases.append(f"WHEN total > 0 AND {conds} THEN '{lg}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"
+
+
+SQL_QUALITY = (
+    "least(1.0, CAST(n_tok AS DOUBLE) / 100.0)"
+    " * (1.0 - punct_ratio)"
+    " * (0.5 + 0.5 * least(1.0,"
+    " (CAST(s_en AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0)) * 5.0))"
+)
+
+
+# ---------------------------------------------------------------------------
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({SQL_NTOK} AS BIGINT) AS n_tokens,
+           CAST({SQL_NBPE} AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_text,
+           {SQL_PUNCT_RATIO} AS punct_ratio
+    FROM documents
+    """,
+    tags=("text", "token-count", "extension"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens + BPE-ish fragment
+    count (letters / digit runs / single punctuation as separate tokens)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0)
+        ).cast("long").alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
+        ts.punct_ratio("text").alias("punct_ratio"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    SELECT doc_id, n_tok AS n_tokens, punct_ratio, {SQL_QUALITY} AS quality_score
+    FROM (
+      SELECT doc_id,
+             CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+             {SQL_PUNCT_RATIO} AS punct_ratio,
+             CAST({_sql_stop_hits('en')} AS BIGINT) AS s_en
+      FROM documents
+    )
+    """,
+    tags=("text", "quality", "extension"),
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic per document: length credit ×
+    punctuation penalty × stopword-density credit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.token_count("text").alias("n_tokens"),
+        ts.punct_ratio("text").alias("punct_ratio"),
+        ts.quality_score("text").alias("quality_score"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, {_sql_lang_case()} AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+             {" , ".join(f"CAST({_sql_stop_hits(lg)} AS BIGINT) AS s_{lg}" for lg in ts.LANG_PRIORITY)},
+             {" + ".join(f"CAST({_sql_stop_hits(lg)} AS BIGINT)" for lg in ts.LANG_PRIORITY)} AS total
+      FROM documents
+    )
+    """,
+    tags=("text", "lang-id", "extension"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID vs the table's declared lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", ts.lang_id("text").alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5({SQL_NORM}) AS fp_exact,
+           list_min(
+             [md5(array_to_string(toks[i:i+2], ' '))
+              for i in range(1, greatest(len(toks) - 2, 1) + 1)]
+           ) AS fp_min_shingle
+    FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks, text FROM documents)
+    """,
+    tags=("text", "fingerprint", "extension"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (md5-of-normalized) and locality-sensitive (min shingle
+    md5) fingerprints per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ts.fingerprint("text").alias("fp_exact"),
+        ts.min_shingle_fingerprint("text", k=3).alias("fp_min_shingle"),
+    )
+
+
+@register(
+    "corpus_quality_by_lang",
+    oracle=f"""
+    SELECT lang_pred,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(round(quality_score, 6) AS DECIMAL(18,6))) AS DOUBLE) AS quality_mass
+    FROM (
+      SELECT {_sql_lang_case()} AS lang_pred,
+             {SQL_NTOK} AS n_tokens,
+             {SQL_QUALITY} AS quality_score
+      FROM (
+        SELECT doc_id, text,
+               CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+               {SQL_PUNCT_RATIO} AS punct_ratio,
+               {" , ".join(f"CAST({_sql_stop_hits(lg)} AS BIGINT) AS s_{lg}" for lg in ts.LANG_PRIORITY)},
+               {" + ".join(f"CAST({_sql_stop_hits(lg)} AS BIGINT)" for lg in ts.LANG_PRIORITY)} AS total
+        FROM documents
+      )
+    )
+    GROUP BY lang_pred
+    """,
+    tags=("text", "agg", "extension"),
+)
+def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rollup per predicted language. The per-doc quality doubles
+    are rounded to 6dp and summed as DECIMAL so the aggregate is
+    order-independent (same strategy as the money aggregates)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        ts.lang_id("text").alias("lang_pred"),
+        ts.token_count("text").alias("n_tokens"),
+        ts.quality_score("text").alias("quality_score"),
+    )
+    return scored.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.round("quality_score", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("quality_mass"),
+    )
