@@ -1,2 +1,134 @@
-"""Similarity-search queries (brute-force cosine top-k, LSH-bucketed
-ANN). See operators/similarity.py."""
+"""Similarity-search queries over `embeddings` (array<float> column).
+
+Cosines are rounded to 9 dp on BOTH engines before ranking/thresholding
+so ordering and filter decisions are identical even if the two engines'
+floating-point folds ever differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.functions.vector import cosine_similarity
+from hadoop_project_spark.operators import similarity as sim
+from hadoop_project_spark.plans.registry import register
+
+DIM = 64
+K = 10
+N_QUERIES = 8
+NEARDUP_MIN_COSINE = 0.3
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"for i in range(1, {DIM + 1})])"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})), 9)"
+    )
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine("q.qv", "c.embedding")} AS cosine
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s
+    )
+    WHERE rn <= {K}
+    """,
+    tags=("similarity", "ann", "extension"),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the first 8 vectors: broadcast queries,
+    single corpus scan, per-query window top-k (SURVEY §2 extension —
+    the scale-safe exact baseline for ANN)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("q_vec", "c_vec"), 9).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= K
+    )
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=None,  # approximate scale path; recall vs brute force is
+    # asserted in tests/test_similarity.py instead of a SQL oracle
+    tags=("similarity", "ann", "lsh", "extension"),
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k (multi-probe): the 100-TB path —
+    bucket the corpus by 8 sign bits, probe query bucket + hamming-1
+    neighbors, exact cosine only on candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.lsh_topk(emb, queries, k=K, n_planes=8, dim=DIM, seed=42)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_sql_cosine("a.embedding", "b.embedding")} AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {NEARDUP_MIN_COSINE}
+    """,
+    tags=("similarity", "dedup", "extension"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked on label (the blocking key
+    is an LSH bucket at scale; label keeps the oracle deterministic)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "label"
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "label"
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine_similarity("va", "vb"), 9).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
+    )
