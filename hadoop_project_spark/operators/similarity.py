@@ -90,54 +90,59 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+    """Approximate top-k via multi-table random-hyperplane LSH.
 
-    Corpus is bucketed once (a single narrow projection — the bucket id
-    is a scan-side expression, no shuffle until the join); each query
-    probes its own bucket plus, with ``multiprobe``, all hamming-1
-    buckets, trading 9× candidate volume for recall. The candidate join
-    shuffles on bucket id — at scale this is the partitioning key and
-    skewed buckets are split by AQE.
+    Single-table sign-bit LSH fails whenever a neighborhood straddles a
+    hyperplane (the whole cluster splits across buckets), so — as in
+    every production LSH — we build ``n_tables`` independent tables and
+    union their candidates: a pair is missed only if it splits in EVERY
+    table. ``multiprobe`` additionally probes all hamming-1 buckets per
+    table, rescuing pairs that differ by exactly one borderline plane.
+
+    Scale shape: corpus is bucketed by a scan-side expression (no
+    shuffle until the join); (table, bucket) is the join key, so the
+    per-query work is ~n_tables × (1 + n_planes) buckets instead of the
+    full corpus; skewed buckets are AQE-split.
     """
-    planes = make_hyperplanes(n_planes, dim, seed)
+    c_buckets = []
+    q_probes = []
+    for t in range(n_tables):
+        planes = make_hyperplanes(n_planes, dim, seed + 1000 * t)
+        bkt = lsh_bucket(vec_col, planes)
+        c_buckets.append(F.struct(F.lit(t).alias("tbl"), bkt.alias("bucket")))
+        probes = [bkt]
+        if multiprobe:
+            probes += [bkt.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        q_probes += [
+            F.struct(F.lit(t).alias("tbl"), p.alias("bucket")) for p in probes
+        ]
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket(vec_col, planes).alias("bucket"),
-    )
+        F.explode(F.array(*c_buckets)).alias("tb"),
+    ).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(vec_col, planes).alias("q_bucket"),
-    )
-    if multiprobe:
-        probes = F.array(
-            F.col("q_bucket"),
-            *[
-                F.col("q_bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(n_planes)
-            ],
-        )
-        q = q.select(
-            "query_id", "q_vec", F.explode(probes).alias("bucket")
-        )
-    else:
-        q = q.withColumnRenamed("q_bucket", "bucket")
+        F.explode(F.array(*q_probes)).alias("tb"),
+    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .distinct()
         .select(
             "query_id",
             "neighbor_id",
             cosine_similarity("q_vec", "c_vec").alias("cosine"),
         )
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -1,0 +1,90 @@
+"""K-Means property tests (SURVEY.md §5: K-Means e2e asserts
+convergence properties + exact match vs a pure-Python/NumPy Lloyd
+reference, since the reference repo's own goldens are unreproducible)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans_fit,
+    silhouette_score,
+)
+
+K, DIM, MAX_ITER, TOL = 4, 64, 6, 1e-3
+
+
+def numpy_lloyd(X: np.ndarray, k: int, max_iter: int, tol: float):
+    centroids = X[:k].astype(np.float64).copy()
+    for it in range(1, max_iter + 1):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = np.stack(
+            [
+                X[assign == i].mean(axis=0) if (assign == i).any() else centroids[i]
+                for i in range(k)
+            ]
+        )
+        shift = np.abs(new - centroids).max()
+        centroids = new
+        if shift <= tol:
+            return centroids, assign, it, True
+    return centroids, assign, it, False
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+
+
+def test_kmeans_matches_numpy_lloyd(spark, sf_dir, emb):
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    np_centroids, np_assign, np_iters, np_conv = numpy_lloyd(X, K, MAX_ITER, TOL)
+
+    res = kmeans_fit(emb, k=K, dim=DIM, max_iter=MAX_ITER, tol=TOL)
+    assert res.n_iters == np_iters
+    assert res.converged == np_conv
+    got = np.array(res.centroids)
+    assert np.allclose(got, np_centroids, rtol=1e-8, atol=1e-10)
+
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(emb, res.centroids).collect()
+    }
+    # compare assignments under the FINAL centroids (numpy_lloyd's
+    # returned assign is one update stale by construction)
+    ids = [r["vec_id"] for r in rows]
+    d = ((X[:, None, :] - np_centroids[None, :, :]) ** 2).sum(axis=2)
+    final_assign = d.argmin(axis=1)
+    mismatch = sum(assigned[vid] != a for vid, a in zip(ids, final_assign))
+    assert mismatch == 0
+
+
+def test_kmeans_inertia_monotone(spark, sf_dir, emb):
+    """Lloyd guarantees non-increasing inertia between iterations."""
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    inertias = []
+    centroids = X[:K].astype(np.float64).copy()
+    for _ in range(4):
+        d = ((X[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        inertias.append(d.min(axis=1).sum())
+        assign = d.argmin(axis=1)
+        centroids = np.stack(
+            [
+                X[assign == i].mean(axis=0) if (assign == i).any() else centroids[i]
+                for i in range(K)
+            ]
+        )
+    assert all(a >= b - 1e-9 for a, b in zip(inertias, inertias[1:]))
+
+
+def test_silhouette_in_range(spark, sf_dir, emb):
+    res = kmeans_fit(emb, k=K, dim=DIM, max_iter=3, tol=TOL)
+    s = silhouette_score(emb, res.centroids)
+    # simplified silhouette (d2-d1)/d2 with d2>=d1>=0 lies in [0, 1]
+    assert 0.0 <= s <= 1.0
