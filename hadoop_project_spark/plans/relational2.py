@@ -1,0 +1,259 @@
+"""Second relational batch: multi-level aggregation (rollup/cube),
+batch sessionization, ranked windows, and join-back patterns — rounding
+out the §2 generalizations the oracle can verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.functions.numeric import dec2
+from hadoop_project_spark.plans.registry import register
+
+
+@register(
+    "lineitem_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup", "extension"),
+)
+def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP: (flag, status), (flag), (all) —
+    the multi-level aggregation family absent from the reference
+    (SURVEY.md §2.4 'not present')."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "orders_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube", "extension"),
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations over (status, priority)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+@register(
+    "events_sessionization_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization", "extension"),
+)
+def events_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via lag + running sum — the
+    batch twin of streaming/windows.sessionize_stream; shuffle is one
+    hash partition by user_id reused by both windows and the final agg."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id", "value",
+        F.when(
+            (F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum(dec2("value")).cast("double").alias("session_value"),
+    )
+
+
+@register(
+    "events_top_users",
+    oracle="""
+    SELECT user_id, total_value, n_events, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT user_id, total_value, n_events,
+             DENSE_RANK() OVER (ORDER BY total_value DESC, user_id) AS rnk
+      FROM (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+               COUNT(*) AS n_events
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+      )
+    )
+    WHERE rnk <= 20
+    """,
+    tags=("window", "topk", "agg"),
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 purchasers by exact decimal spend with dense ranking."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    totals = ev.groupBy("user_id").agg(
+        F.sum(dec2("value")).cast("double").alias("total_value"),
+        F.count("*").alias("n_events"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
+    return totals.select(
+        "user_id", "total_value", "n_events", F.dense_rank().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 20)
+
+
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_custkey, COUNT(*) AS n_above
+    FROM orders o
+    JOIN (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_custkey
+    ) a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    GROUP BY o.o_custkey
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-back-to-aggregate (correlated-subquery shape): orders above
+    their customer's own average price. One shuffle on o_custkey shared
+    by the aggregate and the join."""
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")).cast("double") / F.count("*")).alias("avg_price")
+    )
+    return (
+        o.join(avgs, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+@register(
+    "part_popularity",
+    oracle="""
+    SELECT p.p_brand, p.p_type,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, p.p_type
+    """,
+    tags=("join", "J3", "agg"),
+)
+def part_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension with explicit broadcast of the small side: at
+    100 TB lineitem never shuffles for this join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("total_qty"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "supplier_nation_balance",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+           COUNT(*) AS n_suppliers,
+           CAST(MAX(s_acctbal) AS DOUBLE) AS max_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "agg"),
+)
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier balances per nation (broadcast dim join)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec2("s_acctbal")).cast("double").alias("total_bal"),
+            F.count("*").alias("n_suppliers"),
+            F.max("s_acctbal").cast("double").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_users_daily",
+    oracle=None,  # HLL sketch result is engine-specific by design; the
+    # exact-count twin below is the verified counterpart
+    tags=("agg", "approx", "extension"),
+)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) per day — the sketch path
+    for 100 TB cardinality work; its exact twin
+    `exact_distinct_users_daily` is oracle-verified, and
+    tests/test_plan_shapes.py asserts the approx result is within 5%."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@register(
+    "exact_distinct_users_daily",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
+    tags=("agg", "distinct"),
+)
+def exact_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact daily distinct users (the verification twin of the HLL
+    sketch query)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
