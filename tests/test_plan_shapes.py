@@ -79,9 +79,11 @@ def test_text_scoring_stays_jvm_side(spark, sf_dir):
 
 
 def test_flagship_agg_is_codegen(spark, sf_dir):
-    """The flagship aggregation runs inside WholeStageCodegen spans."""
+    """The flagship aggregation runs inside WholeStageCodegen spans
+    (checked on the AQE final plan, which exists only post-execution)."""
     df = SPECS["pricing_summary"].build(spark, sf_dir)
-    assert "WholeStageCodegen" in _plan(df)
+    df.collect()
+    assert "WholeStageCodegen" in _formatted(df)
 
 
 def test_no_cartesian_in_lsh(spark, sf_dir):
