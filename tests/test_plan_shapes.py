@@ -79,11 +79,16 @@ def test_text_scoring_stays_jvm_side(spark, sf_dir):
 
 
 def test_flagship_agg_is_codegen(spark, sf_dir):
-    """The flagship aggregation runs inside WholeStageCodegen spans
-    (checked on the AQE final plan, which exists only post-execution)."""
+    """The flagship aggregation runs inside WholeStageCodegen spans.
+    Spark 4's formatted explain marks codegen membership with a ``* ``
+    prefix on the node name (see Spark's ExplainUtils.processPlan), so
+    assert the HashAggregates carry it on the AQE final plan (which
+    exists only post-execution)."""
     df = SPECS["pricing_summary"].build(spark, sf_dir)
     df.collect()
-    assert "WholeStageCodegen" in _formatted(df)
+    plan = _formatted(df)
+    assert "* HashAggregate" in plan
+    assert "* ColumnarToRow" in plan or "* Project" in plan or "* Filter" in plan
 
 
 def test_no_cartesian_in_lsh(spark, sf_dir):
