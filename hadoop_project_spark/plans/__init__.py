@@ -11,6 +11,7 @@ from hadoop_project_spark.plans.registry import QuerySpec, all_queries, register
 # Import for side effect: each module registers its queries.
 from hadoop_project_spark.plans import relational  # noqa: F401,E402
 from hadoop_project_spark.plans import relational2  # noqa: F401,E402
+from hadoop_project_spark.plans import relational3  # noqa: F401,E402
 from hadoop_project_spark.plans import reference_workloads  # noqa: F401,E402
 from hadoop_project_spark.plans import text_pipeline  # noqa: F401,E402
 from hadoop_project_spark.plans import dedup_queries  # noqa: F401,E402
