@@ -39,30 +39,48 @@ def normalize_text(col: str | Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), WHITESPACE_RE, " "))
 
 
-def word_shingles(col: str | Column, k: int = 3) -> Column:
-    """k-word shingles of the normalized text → array<string>.
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a MATERIALIZED token-array column.
 
-    Built from JVM-side higher-order functions (transform + slice +
-    array_join) — no UDF. Documents shorter than k words yield the single
-    full-text shingle so every doc has ≥1 shingle.
+    ``toks`` must be a plain column reference — project the
+    split(normalize(...)) into a named column first. Expressions
+    referenced inside a ``transform`` lambda are re-evaluated once per
+    output element, so passing the raw split-of-regex expression here
+    costs O(doc_len) regex evaluations per document (measured 6× slower
+    at sf0.1). Documents shorter than k words yield the single full-text
+    shingle so every doc has ≥1 shingle.
     """
-    c = normalize_text(col)
-    toks = F.split(c, " ")
-    n = F.size(toks)
-    # positions 1..n-k+1 (SQL arrays are 1-based); at least one shingle
-    cnt = F.greatest(n - F.lit(k - 1), F.lit(1))
+    cnt = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    # positions 1..n-k+1 (SQL arrays are 1-based)
     idx = F.sequence(F.lit(1), cnt)
     return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
 
 
-def char_ngrams(col: str | Column, n: int = 5) -> Column:
-    """Character n-grams of normalized text → array<string> (for n-gram
-    Jaccard dedup). Short texts yield the whole text as one gram."""
-    c = normalize_text(col)
-    ln = F.length(c)
-    cnt = F.greatest(ln - F.lit(n - 1), F.lit(1))
+def ngrams_from_normalized(c: Column, n: int = 5) -> Column:
+    """Character n-grams from a MATERIALIZED normalized-text column.
+    Same per-element re-evaluation caveat as shingles_from_tokens.
+    Short texts yield the whole text as one gram."""
+    cnt = F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), cnt)
     return F.transform(idx, lambda i: F.substring(c, i, n))
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text → array<string>.
+
+    Convenience single-expression form. In hot paths (per-corpus explode)
+    project ``F.split(normalize_text(col), ' ')`` to a named column and
+    use shingles_from_tokens instead — the lambda re-evaluates this whole
+    expression per shingle otherwise.
+    """
+    return shingles_from_tokens(F.split(normalize_text(col), " "), k)
+
+
+def char_ngrams(col: str | Column, n: int = 5) -> Column:
+    """Character n-grams of normalized text → array<string> (for n-gram
+    Jaccard dedup). Convenience form — in hot paths project
+    normalize_text to a column and use ngrams_from_normalized."""
+    return ngrams_from_normalized(normalize_text(col), n)
 
 
 def md5_i64(col: Column, seed: int = 0) -> Column:

@@ -27,10 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from hadoop_project_spark.functions.text import (
-    char_ngrams,
     md5_i64,
+    ngrams_from_normalized,
     normalize_text,
-    word_shingles,
+    shingles_from_tokens,
 )
 
 # MinHash parameters (16 hashes = 4 bands × 4 rows → catches J ≳ 0.5)
@@ -59,10 +59,26 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """Distinct (id, shingle) pairs — the set representation used by both
-    MinHash signatures and exact Jaccard verification."""
+    MinHash signatures and exact Jaccard verification.
+
+    Tokenization is materialized in its own projection before the
+    shingle transform: expressions referenced inside a transform lambda
+    re-evaluate per element, so inlining split(normalize(...)) would run
+    the regex once per shingle (6× measured slowdown at sf0.1).
+
+    (A per-doc array_distinct set formulation with array_min signatures
+    and array_intersect verification was benchmarked and is markedly
+    SLOWER end-to-end: the relational shape lets Spark reuse the
+    distinct-shuffle exchange across the signature/df/verify consumers,
+    which array-typed columns defeat.)"""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), " ").alias("toks"),
+    )
     return (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(word_shingles(text_col, k)).alias("sh"))
+        toks.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("toks"), k)).alias("sh")
+        )
         .distinct()
     )
 
@@ -233,9 +249,13 @@ def ngram_jaccard_pairs(
     ("the f" would otherwise pair half the corpus). Verification then
     computes exact Jaccard over the *full* gram sets of candidates.
     """
+    normed = docs.select(
+        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("nt")
+    )
     grams = (
-        docs.select(F.col(id_col).alias("doc_id"),
-                    F.explode(char_ngrams(text_col, n)).alias("sh"))
+        normed.select(
+            "doc_id", F.explode(ngrams_from_normalized(F.col("nt"), n)).alias("sh")
+        )
         .distinct()
     )
     rare = (

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-from hadoop_project_spark.functions.text import normalize_text, tokenize, word_shingles
+from hadoop_project_spark.functions.text import (
+    normalize_text,
+    shingles_from_tokens,
+    tokenize,
+    word_shingles,
+)
 
 # Small deterministic stopword profiles. The language-ID operator is a
 # stopword-hit heuristic (the classic cheap n-gram/stopword LID
@@ -109,5 +114,15 @@ def fingerprint(col: str | Column) -> Column:
 
 def min_shingle_fingerprint(col: str | Column, k: int = 3) -> Column:
     """Locality-sensitive fingerprint: minimum md5 over k-word shingles
-    (a 1-permutation MinHash) — survives small edits that move text."""
+    (a 1-permutation MinHash) — survives small edits that move text.
+
+    Convenience single-expression form; hot paths should project the
+    token array and use min_shingle_fingerprint_from_tokens."""
     return F.array_min(F.transform(word_shingles(col, k), F.md5))
+
+
+def min_shingle_fingerprint_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Same as min_shingle_fingerprint but over a MATERIALIZED token-array
+    column, avoiding per-shingle re-tokenization (see
+    functions.text.shingles_from_tokens)."""
+    return F.array_min(F.transform(shingles_from_tokens(toks, k), F.md5))

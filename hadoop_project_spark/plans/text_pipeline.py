@@ -146,10 +146,19 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (md5-of-normalized) and locality-sensitive (min shingle
     md5) fingerprints per document."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    from hadoop_project_spark.functions.text import normalize_text
+
+    with_toks = docs.select(
+        "doc_id",
+        "text",
+        F.split(normalize_text("text"), " ").alias("toks"),
+    )
+    return with_toks.select(
         "doc_id",
         ts.fingerprint("text").alias("fp_exact"),
-        ts.min_shingle_fingerprint("text", k=3).alias("fp_min_shingle"),
+        ts.min_shingle_fingerprint_from_tokens(F.col("toks"), k=3).alias(
+            "fp_min_shingle"
+        ),
     )
 
 
