@@ -39,35 +39,30 @@ class KMeansResult:
 
 
 def _centroid_array(centroids: list[list[float]]):
-    """Literal array<struct<idx,vec>> column of the current centroids —
-    the Spark analog of the reference's per-task centroid cache
-    (broadcast by value inside the serialized plan; tiny)."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("idx"),
-                F.array(*[F.lit(float(x)) for x in c]).alias("vec"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
+    """Single nested-array literal (array<array<double>>) of the current
+    centroids — the Spark analog of the reference's per-task centroid
+    cache (broadcast by value inside the serialized plan; tiny).
+
+    ONE Literal node, not k×dim CreateArray(Literal…) nodes: with 8×64
+    individual literals, per-iteration plan analysis + codegen cost
+    ~0.7-1.0 s — 3× the actual aggregation work at test scale, and
+    unusable at k=100, dim=768. A single ArrayData literal keeps the
+    expression tree O(1) in k×dim."""
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def assign_clusters(
     points: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
     """Add `cluster` (argmin squared-L2 centroid index) and `dist`
-    columns. Pure projection — no shuffle."""
-    carr = _centroid_array(centroids)
-    scored = F.transform(
-        carr,
-        lambda c: F.struct(
-            squared_l2_distance(vec_col, c["vec"]).alias("dist"),
-            c["idx"].alias("idx"),
-        ),
-    )
+    columns. Pure projection — no shuffle. Ties break to the lowest
+    cluster index (array_position finds the first occurrence of the
+    minimum, which is bitwise-identical to the min it just computed)."""
+    vecs = _centroid_array(centroids)
+    scored = F.transform(vecs, lambda v: squared_l2_distance(vec_col, v))
     best = F.array_min(scored)
-    return points.withColumn("cluster", best["idx"]).withColumn("dist", best["dist"])
+    cluster = (F.array_position(scored, best) - 1).cast("int")
+    return points.withColumn("cluster", cluster).withColumn("dist", best)
 
 
 def update_centroids(
@@ -149,9 +144,9 @@ def silhouette_score(
     SURVEY.md §7.3): per point, (d2 - d1) / d2 on SQUARED distances to
     the nearest / second-nearest centroid (Silhouette.java:83-97), not
     the textbook formula — then the global average."""
-    carr = _centroid_array(centroids)
+    vecs = _centroid_array(centroids)
     dists = F.array_sort(
-        F.transform(carr, lambda c: squared_l2_distance(vec_col, c["vec"]))
+        F.transform(vecs, lambda v: squared_l2_distance(vec_col, v))
     )
     score = F.when(
         dists[1] > 0, (dists[1] - dists[0]) / dists[1]
