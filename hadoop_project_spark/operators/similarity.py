@@ -25,7 +25,7 @@ import random
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from hadoop_project_spark.functions.vector import cosine_similarity, dot
+from hadoop_project_spark.functions.vector import dot, l2_norm
 
 
 def brute_force_topk(
@@ -40,11 +40,19 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cosine, rank) with deterministic
     neighbor_id tie-break.
     """
+    # Norms are materialized once per row on each side BEFORE the join:
+    # cosine inside the join would recompute both norms per candidate
+    # pair (O(pairs × dim) extra work); dot/(n_q·n_c) is arithmetically
+    # identical (same sqrt-of-sum expression, evaluated earlier).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -52,7 +60,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity("q_vec", "c_vec").alias("cosine"),
+            (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -79,7 +87,9 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]):
     """Bucket id = integer of sign bits of <vec, plane_i>."""
     key = None
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
+        # one array<double> Literal node per plane, not dim individual
+        # F.lit nodes (same plan-size fix as kmeans._centroid_array)
+        plane = F.lit([float(x) for x in p])
         bit = F.when(dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         key = bit if key is None else key + bit
     return key.cast("long")
@@ -111,37 +121,65 @@ def lsh_topk(
     per-query work is ~n_tables × (1 + n_planes) buckets instead of the
     full corpus; skewed buckets are AQE-split.
     """
-    c_buckets = []
+    # Per-table bucket keys are materialized into named columns FIRST:
+    # each key is 8 hyperplane dot products, and the multiprobe variants
+    # reference the key 1 + n_planes times per table — built inline they
+    # would re-evaluate the dot products per probe (36× per query row at
+    # the defaults). XOR over the materialized column is free.
+    all_planes = [
+        make_hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
+    bkt_cols = [
+        lsh_bucket(vec_col, all_planes[t]).alias(f"bkt{t}") for t in range(n_tables)
+    ]
+    c_keyed = corpus.select(F.col(id_col).alias("neighbor_id"), *bkt_cols)
+    q_keyed = queries.select(F.col(id_col).alias("query_id"), *bkt_cols)
+    c_buckets = [
+        F.struct(F.lit(t).alias("tbl"), F.col(f"bkt{t}").alias("bucket"))
+        for t in range(n_tables)
+    ]
     q_probes = []
     for t in range(n_tables):
-        planes = make_hyperplanes(n_planes, dim, seed + 1000 * t)
-        bkt = lsh_bucket(vec_col, planes)
-        c_buckets.append(F.struct(F.lit(t).alias("tbl"), bkt.alias("bucket")))
-        probes = [bkt]
+        probes = [F.col(f"bkt{t}")]
         if multiprobe:
-            probes += [bkt.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+            probes += [
+                F.col(f"bkt{t}").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+            ]
         q_probes += [
             F.struct(F.lit(t).alias("tbl"), p.alias("bucket")) for p in probes
         ]
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        F.explode(F.array(*c_buckets)).alias("tb"),
-    ).select("neighbor_id", "c_vec", "tb.tbl", "tb.bucket")
-    q = queries.select(
+    # Bucket join and dedup carry ONLY ids — vectors are fetched once per
+    # unique candidate pair afterwards, so the distinct's shuffle rows
+    # are 2 longs instead of 2 × dim floats + norms.
+    c_ids = c_keyed.select(
+        "neighbor_id", F.explode(F.array(*c_buckets)).alias("tb")
+    ).select("neighbor_id", "tb.tbl", "tb.bucket")
+    q_ids = q_keyed.select(
+        "query_id", F.explode(F.array(*q_probes)).alias("tb")
+    ).select("query_id", "tb.tbl", "tb.bucket")
+    cand = (
+        c_ids.join(F.broadcast(q_ids), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q_full = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(F.array(*q_probes)).alias("tb"),
-    ).select("query_id", "q_vec", "tb.tbl", "tb.bucket")
+        l2_norm(vec_col).alias("q_norm"),
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
     scored = (
-        c.join(F.broadcast(q), ["tbl", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
-        .distinct()
+        cand.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity("q_vec", "c_vec").alias("cosine"),
+            (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -167,16 +205,21 @@ def embedding_neardup_pairs(
     a = corpus.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
+        l2_norm(vec_col).alias("na"),
         F.col(block_col).alias("blk"),
     )
     b = corpus.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
+        l2_norm(vec_col).alias("nb"),
         F.col(block_col).alias("blk"),
     )
     return (
         a.join(b, "blk")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine_similarity("va", "vb").alias("cosine"))
+        .select(
+            "vec_a", "vec_b",
+            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
         .filter(F.col("cosine") >= min_cosine)
     )
