@@ -1,0 +1,77 @@
+"""Write-path operators: partitioned, sorted, and bucketed parquet
+sinks (SURVEY.md §2.1 S5-S7, §4 row-key-layout rows).
+
+The reference's write-path decisions — BufferedMutator sizing
+(Flight2/src/main/java/hw4/HPopulate.java:45,77), HFile bulk load
+(HPopulateV1.java:144-158), and row-key ordering for scan locality
+(HPopulate.java:92-97 vs HPopulateV2.java:93-100) — map onto three
+Spark write-layout choices:
+
+* partition columns   → directory-level pruning (the analog of leading
+  row-key components: queries on the partition key never touch other
+  partitions' files);
+* sort-within-partitions → row-group-level min/max pruning inside each
+  file (the analog of trailing row-key order);
+* bucketing           → pre-shuffled layout so joins/aggregations on
+  the bucket key skip their Exchange entirely (the analog the reference
+  never had — it re-shuffled on every job).
+
+At 100 TB the bucket/partition column choice IS the physical design:
+a fact table bucketed by its join key turns every subsequent join on
+that key into a zero-shuffle zip of co-located buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet write with optional in-file sort order.
+
+    ``sort_cols`` uses sortWithinPartitions (not a global orderBy) so no
+    extra shuffle is introduced — each task writes its rows in sorted
+    order, giving parquet row-group min/max stats that downstream range
+    predicates prune on.
+    """
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*partition_cols, *sort_cols)
+    writer = out.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (bucketing requires saveAsTable — the
+    bucket spec lives in the catalog, not the files).
+
+    Two tables bucketed identically on their join key join with NO
+    Exchange on either side (asserted in tests/test_sinks.py); the same
+    holds for groupBy on the bucket key.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    """DDL drop-if-exists (S10 — the reference's recreate-table pattern,
+    Flight2/src/main/java/hw4/HPopulate.java:125-151)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -81,3 +81,68 @@ def test_sessionization_stream(spark, sf_dir, tmp_path):
         for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
             assert s2 >= e1
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: after one availableNow pass the per-user
+    state must equal the batch groupBy totals."""
+    from hadoop_project_spark.streaming.windows import user_running_totals_stream
+
+    src = _events_as_parquet_dir(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, src)
+    totals = user_running_totals_stream(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName("running_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode may emit a row per user per micro-batch; the LAST row
+    # per user is the final state
+    rows = spark.sql(
+        "select * from running_totals_test"
+    ).collect()
+    final = {}
+    for r in rows:  # memory sink preserves batch order
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    exp = {r["user_id"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert final.keys() == exp.keys()
+    for u, (n, v) in exp.items():
+        assert final[u][0] == n
+        assert abs(final[u][1] - (v or 0.0)) < 1e-6, (u, final[u], v)
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_static_enrichment(spark, sf_dir, tmp_path):
+    """Stream-static broadcast join: every event row gains the dim
+    column; row count unchanged (left join)."""
+    from hadoop_project_spark.streaming.windows import enrich_stream_with_dim
+
+    src = _events_as_parquet_dir(spark, sf_dir, tmp_path)
+    stream = read_events_stream(spark, src)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("user_total_events"))
+    )
+    enriched = enrich_stream_with_dim(stream, dim, "user_id")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from enriched_test")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert got.count() == n_events
+    assert got.filter(F.col("user_total_events").isNull()).count() == 0
+    shutil.rmtree(src, ignore_errors=True)
