@@ -112,29 +112,35 @@ def kmeans_fit(
     collapsed into a sub-second action.
     """
     points = points.select(id_col, vec_col).cache()
-    init_rows = points.orderBy(id_col).limit(k).collect()
-    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+    try:
+        init_rows = points.orderBy(id_col).limit(k).collect()
+        centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
-    inertia_hist: list[float] = []
-    converged = False
-    it = 0
-    for it in range(1, max_iter + 1):
-        assigned = assign_clusters(points, centroids, vec_col)
-        new_centroids, counts = update_centroids(assigned, k, dim, vec_col)
-        # empty cluster: keep previous centroid (reference keeps the row
-        # absent; keeping the old centroid is the standard fix)
-        for i in range(k):
-            if counts[i] == 0:
-                new_centroids[i] = centroids[i]
-        shift = max(
-            max(abs(a - b) for a, b in zip(ca, cb))
-            for ca, cb in zip(centroids, new_centroids)
-        )
-        centroids = new_centroids
-        if shift <= tol:
-            converged = True
-            break
-    return KMeansResult(centroids, it, converged, inertia_hist)
+        inertia_hist: list[float] = []
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            assigned = assign_clusters(points, centroids, vec_col)
+            new_centroids, counts = update_centroids(assigned, k, dim, vec_col)
+            # empty cluster: keep previous centroid (reference keeps the
+            # row absent; keeping the old centroid is the standard fix)
+            for i in range(k):
+                if counts[i] == 0:
+                    new_centroids[i] = centroids[i]
+            shift = max(
+                max(abs(a - b) for a, b in zip(ca, cb))
+                for ca, cb in zip(centroids, new_centroids)
+            )
+            centroids = new_centroids
+            if shift <= tol:
+                converged = True
+                break
+        return KMeansResult(centroids, it, converged, inertia_hist)
+    finally:
+        # every iteration's action has run; holding the cache past the
+        # fit only leaks executor memory across repeated fits (the
+        # model-selection sweep calls this once per k)
+        points.unpersist()
 
 
 def silhouette_score(

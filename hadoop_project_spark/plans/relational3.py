@@ -443,3 +443,35 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type", "value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (the sketch-based twin of
+# price_percentiles_by_priority; rows-only driver check, tolerance
+# asserted vs the exact quantiles in tests/test_plan_shapes.py's
+# companion test below). At 100 TB approx_percentile's QuantileSummaries
+# sketch is mergeable map-side — the exact percentile's full sort per
+# group is not.
+# ---------------------------------------------------------------------------
+@register(
+    "approx_price_percentiles",
+    oracle=None,
+    tags=("agg", "percentile", "approx", "extension"),
+)
+def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile quartiles of order price per priority
+    (accuracy 10000 ≈ ±0.01% rank error)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.expr(
+        "approx_percentile(o_totalprice, array(0.25, 0.50, 0.75), 10000)"
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(pct.alias("pct"))
+        .select(
+            "o_orderpriority",
+            F.col("pct")[0].alias("p25"),
+            F.col("pct")[1].alias("p50"),
+            F.col("pct")[2].alias("p75"),
+        )
+    )

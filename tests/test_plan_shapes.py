@@ -119,3 +119,32 @@ def test_events_nanos_normalized(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.select(F.min("ts")).first()[0].year >= 2000
+
+
+def test_approx_percentiles_within_tolerance(spark, sf_dir):
+    """Sketch quantiles are rank-bounded, not value-bounded (the sketch
+    returns a real element; exact interpolates): each approx quantile
+    must lie within the exact [q-5%, q+5%] rank window."""
+    from hadoop_project_spark.catalog import load_table
+
+    approx = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"])
+        for r in SPECS["approx_price_percentiles"].build(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = {
+        r["o_orderpriority"]: r["b"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))"
+            ).alias("b")
+        )
+        .collect()
+    }
+    assert approx.keys() == bounds.keys()
+    for prio, (a25, a50, a75) in approx.items():
+        b = bounds[prio]
+        assert b[0] <= a25 <= b[1], (prio, "p25", a25, b[0], b[1])
+        assert b[2] <= a50 <= b[3], (prio, "p50", a50, b[2], b[3])
+        assert b[4] <= a75 <= b[5], (prio, "p75", a75, b[4], b[5])
