@@ -475,3 +475,59 @@ def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pct")[2].alias("p75"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling (RANGE-frame) window aggregate — the moving-average class the
+# window suite hadn't covered (row_number/lag/rank are ROWS-frame ops).
+# The frame is time-based (6 days preceding + current), so days with no
+# neighbors aggregate only themselves — different semantics from a
+# 7-ROWS frame over a dense calendar.
+# ---------------------------------------------------------------------------
+@register(
+    "daily_revenue_rolling_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT d, CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(rev_dec) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS revenue_7d,
+           COUNT(*) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS days_in_window
+    FROM daily
+    """,
+    tags=("window", "rolling", "range-frame"),
+)
+def daily_revenue_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per order day via a RANGE window frame.
+
+    Spark expresses time-RANGE frames on the epoch-seconds ordering
+    column with second offsets; summing the day-level decimal-exact
+    revenues (not raw rows) keeps the double bit-identical to the
+    oracle. Single-partition window is intentional here (one row per
+    day); at 100 TB the same pattern partitions by entity
+    (user/region) first.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    # keep the day-level sum in decimal through the window: windowed SUM
+    # over doubles accumulates in engine-specific order (DuckDB uses a
+    # segment tree) — decimal is order-independent, cast double LAST
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(dec2("o_totalprice")).alias("rev_dec")
+    )
+    day_secs = 86400
+    w = (
+        Window.orderBy(F.unix_timestamp(F.col("d").cast("timestamp")))
+        .rangeBetween(-6 * day_secs, 0)
+    )
+    return daily.select(
+        "d",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.sum("rev_dec").over(w).cast("double").alias("revenue_7d"),
+        F.count("*").over(w).alias("days_in_window"),
+    )
