@@ -58,6 +58,28 @@ def hourly_rollup_stream(
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in window/slide
+    overlapping windows (4 at the defaults). State per (window, type)
+    key; watermark expires windows whose end precedes it."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 RUNNING_STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

@@ -146,3 +146,39 @@ def test_stream_static_enrichment(spark, sf_dir, tmp_path):
     assert got.count() == n_events
     assert got.filter(F.col("user_total_events").isNull()).count() == 0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_sliding_rollup_equals_batch(spark, sf_dir, tmp_path):
+    """Sliding windows (1h / 15min): streaming result over the full
+    input equals the batch F.window aggregation — including the 4x
+    window overlap per event."""
+    from hadoop_project_spark.streaming.windows import sliding_rollup_stream
+
+    src = _events_as_parquet_dir(spark, sf_dir, tmp_path)
+    stream = sliding_rollup_stream(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w_start"], r["w_end"], r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from sliding_test").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e"),
+            "event_type", "n",
+        )
+    )
+    exp = {(r["s"], r["e"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == exp
+    # every event contributes to exactly 4 overlapping windows
+    assert sum(got.values()) == 4 * load_table(spark, sf_dir, "events").count()
+    shutil.rmtree(src, ignore_errors=True)
