@@ -173,6 +173,10 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     wide aggregates well); no per-row Python.
     """
     tc = _token_counts(docs, id_col, text_col)
+    # The md5 hash appears in all 60 bit-vote expressions, but — unlike
+    # the interpreted transform-lambda case in functions/text.py —
+    # whole-stage codegen's subexpression elimination evaluates it once
+    # per row here (A/B measured: inlining beats a pre-projection).
     h = md5_i64(F.col("tok"))
     bit_sums = [
         F.sum(
