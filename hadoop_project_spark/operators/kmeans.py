@@ -101,6 +101,7 @@ def kmeans_fit(
     tol: float = 1e-3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assume_cached: bool = False,
 ) -> KMeansResult:
     """Lloyd's algorithm with deterministic init (the k lowest-id points
     — unlike the reference's unseeded Random, CGenerator.java:99, this
@@ -109,9 +110,12 @@ def kmeans_fit(
     The points DataFrame is cached once; each iteration is one narrow
     assignment projection + one (k×dim)-row aggregation action — the
     entire per-iteration MR job + HBase round-trip of the reference
-    collapsed into a sub-second action.
+    collapsed into a sub-second action. A model-selection sweep passes
+    ``assume_cached=True`` with an externally cached DataFrame so the
+    k fits share one materialization.
     """
-    points = points.select(id_col, vec_col).cache()
+    if not assume_cached:
+        points = points.select(id_col, vec_col).cache()
     try:
         init_rows = points.orderBy(id_col).limit(k).collect()
         centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
@@ -140,7 +144,8 @@ def kmeans_fit(
         # every iteration's action has run; holding the cache past the
         # fit only leaks executor memory across repeated fits (the
         # model-selection sweep calls this once per k)
-        points.unpersist()
+        if not assume_cached:
+            points.unpersist()
 
 
 def silhouette_score(

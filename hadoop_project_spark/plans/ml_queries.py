@@ -73,12 +73,18 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     each with the reference's simplified silhouette ((d2-d1)/d2 on
     squared distances), return one row per k — the engine analog of
     KResults.txt."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = []
-    for k in (4, 8):
-        res = kmeans_fit(emb, k=k, dim=KM_DIM, max_iter=KM_MAX_ITER, tol=KM_TOL)
-        s = silhouette_score(emb, res.centroids)
-        rows.append((k, round(s, 6), res.n_iters, res.converged))
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    try:
+        rows = []
+        for k in (4, 8):
+            res = kmeans_fit(
+                emb, k=k, dim=KM_DIM, max_iter=KM_MAX_ITER, tol=KM_TOL,
+                assume_cached=True,
+            )
+            s = silhouette_score(emb, res.centroids)
+            rows.append((k, round(s, 6), res.n_iters, res.converged))
+    finally:
+        emb.unpersist()
     return spark.createDataFrame(
         rows, "k int, silhouette double, n_iters int, converged boolean"
     )
