@@ -1,0 +1,79 @@
+"""Graph connectivity over edge DataFrames: connected components by
+iterative min-label propagation.
+
+The dedup pipelines emit near-duplicate PAIRS; a dedup policy needs
+CLUSTERS (keep one doc per component). This is the same iterative
+driver-loop shape as K-Means (SURVEY.md §2.9 C2): a cached relation,
+a small per-iteration action, driver-side convergence test.
+
+At scale this is the textbook label-propagation CC: each iteration is
+one shuffle of (node, label) keyed by node; iterations ≈ component
+diameter (near-dup clusters are shallow — a handful of rounds). For
+graphs with giant components the large-star/small-star variant halves
+rounds; unnecessary for dedup-shaped graphs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "n",
+    src_col: str = "a",
+    dst_col: str = "b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) where component = min node id reachable.
+
+    ``nodes`` must contain every vertex (isolated nodes become their own
+    singleton component); ``edges`` is undirected (each pair listed
+    once, either orientation).
+
+    The returned DataFrame is backed by the final iteration's cache (a
+    (node, label) pair per vertex): unpersisting it here would make the
+    caller's action recompute the whole loop lineage uncached. Call
+    ``.unpersist()`` on the result when done with it.
+    """
+    bidir = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("n"), F.col(node_col).alias("l")
+    ).cache()
+    try:
+        for _ in range(max_iter):
+            # each node offers its label to its neighbors; a node keeps
+            # the min of its own label and all offers
+            offers = (
+                bidir.join(labels, bidir.a == labels.n)
+                .select(F.col("b").alias("n"), "l")
+                .groupBy("n")
+                .agg(F.min("l").alias("offer"))
+            )
+            new_labels = (
+                labels.join(offers, "n", "left")
+                .select(
+                    "n",
+                    F.least("l", F.coalesce("offer", F.col("l"))).alias("l"),
+                )
+            )
+            new_labels = new_labels.cache()
+            changed = (
+                new_labels.alias("nw")
+                .join(labels.alias("old"), "n")
+                .filter(F.col("nw.l") != F.col("old.l"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("n"), F.col("l").alias("component"))
+    finally:
+        bidir.unpersist()

@@ -17,3 +17,4 @@ from hadoop_project_spark.plans import text_pipeline  # noqa: F401,E402
 from hadoop_project_spark.plans import dedup_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import similarity_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import ml_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import multimodal_queries  # noqa: F401,E402

@@ -44,7 +44,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(docs)
 
 
-def _sql_minhash_pairs() -> str:
+def _sql_minhash_ctes() -> str:
+    """The shared CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
+    relation — composed into both the pairs query and the recursive
+    clusters query."""
     sig_cols = ",\n           ".join(
         f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(dd.NUM_HASHES)
     )
@@ -57,8 +60,7 @@ def _sql_minhash_pairs() -> str:
             f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig"
         )
     bands_sql = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH {SQL_SHINGLES_CTE},
+    return f"""{SQL_SHINGLES_CTE},
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS (
       {bands_sql}
@@ -75,13 +77,41 @@ def _sql_minhash_pairs() -> str:
       JOIN sh sa ON sa.doc_id = c.doc_a
       JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
       GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(n_inter AS DOUBLE)
+               / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN counts ca ON ca.doc_id = i.doc_a
+      JOIN counts cb ON cb.doc_id = i.doc_b
+    )"""
+
+
+def _sql_minhash_pairs() -> str:
+    return f"""
+    WITH {_sql_minhash_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """
+
+
+def _sql_dedup_clusters(min_jaccard: float) -> str:
+    """Connected components of the near-dup graph via recursive
+    min-label propagation — the SQL twin of
+    operators/graph.connected_components."""
+    return f"""
+    WITH RECURSIVE {_sql_minhash_ctes()},
+    bidir(a, b) AS (
+      SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {min_jaccard}
+      UNION
+      SELECT doc_b, doc_a FROM pairs WHERE jaccard >= {min_jaccard}
+    ),
+    walk(n, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, w.l FROM walk w JOIN bidir e ON e.a = w.n
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(n_inter AS DOUBLE)
-             / CAST(ca.n_sh + cb.n_sh - n_inter AS DOUBLE) AS jaccard
-    FROM inter i
-    JOIN counts ca ON ca.doc_id = i.doc_a
-    JOIN counts cb ON cb.doc_id = i.doc_b
+    SELECT n AS doc_id, MIN(l) AS component FROM walk GROUP BY n
     """
 
 
@@ -204,3 +234,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard near-dups with rare-gram blocking."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(docs)
+
+
+@register(
+    "dedup_clusters",
+    oracle=_sql_dedup_clusters(0.5),
+    tags=("dedup", "graph", "connected-components", "C2", "extension"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair graph (jaccard >= 0.5), every document labeled with the min
+    doc_id of its component (singletons label themselves).
+
+    The Spark side is the iterative label-propagation loop
+    (operators/graph.py); the oracle is a recursive CTE — the driver's
+    hash-match therefore verifies an entire iterative graph algorithm,
+    not just a projection.
+    """
+    from hadoop_project_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    return comp.select(F.col("n").alias("doc_id"), "component")

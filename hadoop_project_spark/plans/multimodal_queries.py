@@ -1,0 +1,58 @@
+"""Multimodal plumbing exposed on the driver contract.
+
+There is no media table in the testdata, so the media DataFrame is
+derived deterministically from `documents` (payload = UTF-8 bytes of
+the text). The decode stage uses the deterministic fake codec
+(operators/multimodal.fake_image_decoder: 16 floats from sha256 of the
+payload) — which means the WHOLE mapInPandas path has an exact SQL
+oracle: DuckDB's sha256(text) hashes the same UTF-8 bytes, and
+round(feature*255) recovers the exact digest byte on both sides (the
+float32 storage of the feature is lossless enough that *255 rounds
+back to the integer byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators.multimodal import (
+    extract_features,
+    fake_image_decoder,
+)
+from hadoop_project_spark.plans.registry import register
+
+_N_BYTES_CHECKED = 4
+
+_BYTE_COLS_SQL = ",\n           ".join(
+    f"CAST(('0x' || substr(sha256(text), {2 * i + 1}, 2)) AS INT) AS b{i}"
+    for i in range(_N_BYTES_CHECKED)
+)
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           16 AS feat_dim,
+           {_BYTE_COLS_SQL}
+    FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "extension"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode→featurize over binary media columns, byte-
+    exact against the SQL oracle (see module docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("fake").alias("format"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = extract_features(media, decoder=fake_image_decoder)
+    byte_cols = [
+        F.round(F.col("features")[i] * 255).cast("int").alias(f"b{i}")
+        for i in range(_N_BYTES_CHECKED)
+    ]
+    return feats.select("media_id", "feat_dim", *byte_cols)

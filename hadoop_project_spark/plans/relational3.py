@@ -531,3 +531,40 @@ def daily_revenue_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_dec").over(w).cast("double").alias("revenue_7d"),
         F.count("*").over(w).alias("days_in_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-family window functions (percent_rank / cume_dist / ntile) —
+# completes the window-function surface beyond row_number/lag/rolling.
+# All three are exact-rational per group, so doubles match the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "order_rank_stats",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd,
+           NTILE(4) OVER w AS quartile
+    FROM orders
+    WHERE YEAR(o_orderdate) = 1997
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank", "O2"),
+)
+def order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / quartile of each 1997 order within its
+    priority class (deterministic orderkey tie-break)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1997
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
