@@ -32,48 +32,48 @@ def connected_components(
     singleton component); ``edges`` is undirected (each pair listed
     once, either orientation).
 
-    The returned DataFrame is backed by the final iteration's cache (a
-    (node, label) pair per vertex): unpersisting it here would make the
-    caller's action recompute the whole loop lineage uncached. Call
-    ``.unpersist()`` on the result when done with it.
+    Each iteration references the previous labels relation TWICE (the
+    offers join and the changed-count join), so a cache-only loop grows
+    the logical plan 2^iterations — an 11-round chain OOMs the JVM just
+    materializing the plan tree. localCheckpoint(eager) truncates the
+    lineage every round: plan size stays O(1) in iteration count, which
+    is what makes this safe for deep graphs (and is the same fix
+    SURVEY.md §4 prescribes for iterative state: "localCheckpoint if
+    lineage grows").
     """
     bidir = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(node_col).alias("n"), F.col(node_col).alias("l")
-    ).cache()
-    try:
-        for _ in range(max_iter):
-            # each node offers its label to its neighbors; a node keeps
-            # the min of its own label and all offers
-            offers = (
-                bidir.join(labels, bidir.a == labels.n)
-                .select(F.col("b").alias("n"), "l")
-                .groupBy("n")
-                .agg(F.min("l").alias("offer"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # each node offers its label to its neighbors; a node keeps
+        # the min of its own label and all offers
+        offers = (
+            bidir.join(labels, bidir.a == labels.n)
+            .select(F.col("b").alias("n"), "l")
+            .groupBy("n")
+            .agg(F.min("l").alias("offer"))
+        )
+        new_labels = (
+            labels.join(offers, "n", "left")
+            .select(
+                "n",
+                F.least("l", F.coalesce("offer", F.col("l"))).alias("l"),
             )
-            new_labels = (
-                labels.join(offers, "n", "left")
-                .select(
-                    "n",
-                    F.least("l", F.coalesce("offer", F.col("l"))).alias("l"),
-                )
-            )
-            new_labels = new_labels.cache()
-            changed = (
-                new_labels.alias("nw")
-                .join(labels.alias("old"), "n")
-                .filter(F.col("nw.l") != F.col("old.l"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(F.col("n"), F.col("l").alias("component"))
-    finally:
-        bidir.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("nw")
+            .join(labels.alias("old"), "n")
+            .filter(F.col("nw.l") != F.col("old.l"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n"), F.col("l").alias("component"))

@@ -1,0 +1,52 @@
+"""connected_components on synthetic topologies (operators/graph.py) —
+shapes the documents corpus can't guarantee: long chains (iteration
+depth), stars, isolated nodes, everything-connected."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_project_spark.operators.graph import connected_components
+
+
+def _cc(spark, n_nodes, edge_list):
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "n long")
+    edges = (
+        spark.createDataFrame(edge_list, "a long, b long")
+        if edge_list
+        else spark.createDataFrame([], "a long, b long")
+    )
+    out = connected_components(nodes, edges)
+    comp = {r["n"]: r["component"] for r in out.collect()}
+    out.unpersist()
+    return comp
+
+
+def test_chain_collapses_to_min(spark):
+    """A 12-node chain needs multiple propagation rounds; all nodes must
+    end at label 0."""
+    comp = _cc(spark, 12, [(i, i + 1) for i in range(11)])
+    assert set(comp.values()) == {0}
+
+
+def test_two_components_and_isolated(spark):
+    comp = _cc(spark, 7, [(1, 2), (2, 3), (5, 6)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[5] == comp[6] == 5
+    assert comp[0] == 0 and comp[4] == 4  # singletons
+
+
+def test_star_single_round(spark):
+    comp = _cc(spark, 6, [(0, i) for i in range(1, 6)])
+    assert set(comp.values()) == {0}
+
+
+def test_edge_orientation_irrelevant(spark):
+    a = _cc(spark, 4, [(3, 2), (2, 1), (1, 0)])
+    b = _cc(spark, 4, [(0, 1), (1, 2), (2, 3)])
+    assert a == b == {i: 0 for i in range(4)}
+
+
+def test_no_edges_all_singletons(spark):
+    comp = _cc(spark, 5, [])
+    assert comp == {i: i for i in range(5)}

@@ -27,8 +27,11 @@ QUERIES = [
     "word_count",
     "doc_quality_scores",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    "multimodal_features",
     "ann_topk_lsh",
     "events_sessionization_batch",
+    "order_rank_stats",
 ]
 
 
