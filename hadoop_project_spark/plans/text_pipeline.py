@@ -203,3 +203,33 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("quality_mass"),
     )
+
+
+@register(
+    "docs_source_groups",
+    oracle="""
+    SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 4 AS src_group,
+           COUNT(*) AS n_docs,
+           COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+           COUNT(CASE WHEN text LIKE '%the%' THEN 1 END) AS n_contains_the,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "regexp", "string-functions"),
+)
+def docs_source_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function coverage in one aggregation: regexp_extract of
+    the numeric source id, LIKE containment, conditional counts (F2/F5
+    generalized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    return (
+        docs.groupBy((src_num % 4).alias("src_group"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+            F.count(F.when(F.col("text").like("%the%"), 1)).alias("n_contains_the"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
