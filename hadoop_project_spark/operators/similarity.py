@@ -223,3 +223,69 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of brute_force_topk: the query matrix rides
+    a closure into a scalar pandas_udf that scores each corpus batch
+    against ALL queries with one numpy matmul.
+
+    This is the documented "UDF surface" of the engine (SURVEY.md §2.8):
+    when per-row math gets wide enough (large k·dim), one BLAS matmul
+    per Arrow batch beats per-row JVM expression evaluation. Results are
+    float64 numpy, so ranks agree with the JVM path except at exact
+    cosine ties (tests compare against brute_force_topk with tolerance).
+
+    Scale shape: identical to brute_force_topk — corpus scan stays
+    partition-parallel, queries broadcast (here: serialized in the UDF
+    closure), only (n_corpus × n_queries) scores then per-query top-k.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[vec_col] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint resolution can't see the local pd import
+    @pandas_udf("array<struct<query_id: long, cosine: double>>")
+    def score_all(vecs):
+        c_mat = np.array(vecs.tolist(), dtype=np.float64)
+        c_norm = np.linalg.norm(c_mat, axis=1)
+        sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)
+        return pd.Series(
+            [
+                [
+                    {"query_id": int(qid), "cosine": float(s)}
+                    for qid, s in zip(q_ids, row)
+                ]
+                for row in sims
+            ]
+        )
+
+    scored = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(score_all(F.col(vec_col))).alias("qs"),
+        )
+        .select("neighbor_id", F.col("qs.query_id").alias("query_id"),
+                F.col("qs.cosine").alias("cosine"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -568,3 +568,65 @@ def order_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (view → click → purchase): per-user stage timestamps
+# chained by strict event-time order. The standard product-analytics
+# shape; each stage is one groupBy(user) + one equi-join back — no
+# window over the whole event stream needed.
+# ---------------------------------------------------------------------------
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+       AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+       AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+    """,
+    tags=("funnel", "join", "agg"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users progressing view → click → purchase, each stage within 24h
+    of the previous (a saturating no-deadline funnel converts everyone
+    in this dense synthetic data — the window makes the stages
+    discriminate: 150 → 60 → 25 at sf0.01)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev, prev_ts: str, out_ts: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(out_ts))
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_ts))
+                & (F.col("ts") <= F.col(prev_ts) + F.expr("INTERVAL 24 HOURS"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )

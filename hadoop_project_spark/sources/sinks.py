@@ -75,3 +75,42 @@ def drop_table(spark: SparkSession, table: str) -> None:
     """DDL drop-if-exists (S10 — the reference's recreate-table pattern,
     Flight2/src/main/java/hw4/HPopulate.java:125-151)."""
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a parquet directory into
+    ``target_files`` files (optionally sorted for row-group pruning).
+
+    The small-files problem is the classic long-running-pipeline decay
+    mode (every micro-batch/append writes a few rows → thousands of
+    tiny files → scan-planning dominates). Returns (files_before,
+    files_after). Uses an overwrite-via-temp so a crash mid-compact
+    never loses data: write to `<path>._compact_tmp`, then swap.
+    """
+    import os
+    import shutil
+
+    before = [
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    df = spark.read.parquet(path)
+    out = df.repartition(target_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    tmp = f"{path}._compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap: remove originals, move compacted files in
+    for f in before:
+        os.remove(os.path.join(path, f))
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(tmp, f), os.path.join(path, f))
+    shutil.rmtree(tmp, ignore_errors=True)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    return len(before), len(after)

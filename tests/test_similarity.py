@@ -49,3 +49,29 @@ def test_lsh_bucket_determinism(spark, sf_dir):
     b1 = emb.select(sim.lsh_bucket("embedding", planes).alias("b")).collect()
     b2 = emb.select(sim.lsh_bucket("embedding", planes).alias("b")).collect()
     assert [r["b"] for r in b1] == [r["b"] for r in b2]
+
+
+def test_pandas_topk_matches_jvm_topk(spark, sf_dir):
+    """The Arrow/numpy ANN path must produce the same neighbor sets as
+    the JVM expression path (modulo exact-tie ordering): compare ids
+    per query and cosines within 1e-9."""
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_pandas,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    jvm = brute_force_topk(emb, queries, k=5)
+    arrow = brute_force_topk_pandas(emb, queries, k=5)
+    j = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in jvm.collect()}
+    a = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"]) for r in arrow.collect()}
+    assert j.keys() == a.keys()
+    for key, (jn, jc) in j.items():
+        an, ac = a[key]
+        assert abs(jc - ac) < 1e-9, (key, jc, ac)
+        # neighbor ids may differ only under exact cosine ties
+        if jn != an:
+            assert abs(jc - ac) < 1e-12

@@ -104,3 +104,26 @@ def test_bucketed_groupby_has_no_shuffle(spark, sf_dir, tmp_path):
         assert "Exchange" not in _plan(agg)
     finally:
         drop_table(spark, "lineitem_bkt2")
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    """Fragment orders into 64 small files, compact to 4, verify row
+    and content parity."""
+    from hadoop_project_spark.sources.sinks import compact_parquet
+
+    out = str(tmp_path / "frag")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(out)
+    checksum_before = spark.read.parquet(out).agg(
+        F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("c")
+    ).first()["c"]
+    n_before, n_after = compact_parquet(
+        spark, out, target_files=4, sort_cols=["o_orderdate"]
+    )
+    assert n_before >= 60 and n_after == 4
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    checksum_after = back.agg(
+        F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("c")
+    ).first()["c"]
+    assert checksum_before == checksum_after
