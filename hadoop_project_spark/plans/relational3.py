@@ -630,3 +630,56 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
         .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous UNION ALL: orders and purchase events harmonized into
+# one activity feed, then rolled up monthly per kind — the multi-source
+# append shape (type harmonization + union + shared agg).
+# ---------------------------------------------------------------------------
+@register(
+    "activity_feed_monthly",
+    oracle="""
+    WITH feed AS (
+      SELECT 'order' AS kind, o_orderdate AS at,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+      FROM orders
+      UNION ALL
+      SELECT 'purchase' AS kind, ts AS at,
+             CAST(value AS DECIMAL(18,2)) AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT kind,
+           CAST(DATE_TRUNC('month', at) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_rows,
+           CAST(SUM(amount) AS DOUBLE) AS total_amount
+    FROM feed
+    GROUP BY kind, DATE_TRUNC('month', at)
+    """,
+    tags=("union", "agg"),
+)
+def activity_feed_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly rollup of a two-source activity feed (orders ∪ purchase
+    events) with harmonized schema."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"),
+        F.col("o_orderdate").alias("at"),
+        dec2("o_totalprice").alias("amount"),
+    )
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.lit("purchase").alias("kind"),
+            F.col("ts").alias("at"),
+            dec2("value").alias("amount"),
+        )
+    )
+    return (
+        orders.unionByName(purchases)
+        .groupBy("kind", F.date_trunc("month", "at").alias("month"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("amount").cast("double").alias("total_amount"),
+        )
+    )
