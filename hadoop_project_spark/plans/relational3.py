@@ -683,3 +683,34 @@ def activity_feed_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("amount").cast("double").alias("total_amount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows in BATCH (the oracle-checked twin of
+# streaming/windows.sliding_rollup_stream): every event lands in
+# window/slide = 4 overlapping 1-hour windows. The oracle derives the
+# same window set arithmetically: the windows containing ts start at
+# floor15(ts) - k*15min for k in 0..3.
+# ---------------------------------------------------------------------------
+@register(
+    "events_sliding_hourly",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                - k * INTERVAL '15 minutes' AS TIMESTAMP) AS w_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events, UNNEST(RANGE(0, 4)) t(k)
+    GROUP BY 1, 2
+    """,
+    tags=("window", "sliding", "time", "streaming-batch"),
+)
+def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts per (1h window sliding every 15min, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
