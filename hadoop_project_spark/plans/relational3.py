@@ -714,3 +714,106 @@ def events_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass global-stats → per-row bucketing: equal-width histogram of
+# order price. This is the reference's MinMax → CGenerator shape
+# (final/src/main/java/population/MinMax.java feeding CGenerator.java):
+# a global aggregate whose scalar result parameterizes the next pass —
+# here via a 1-row broadcast cross join instead of an HBase singleton
+# row round-trip.
+# ---------------------------------------------------------------------------
+@register(
+    "price_histogram",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders
+    )
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / (hi - lo) * 10) AS INT), 9)
+             AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS bucket_min,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS bucket_max
+    FROM orders, stats
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram", "A10", "two-pass"),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equal-width histogram; bucket edges from a global
+    min/max pass broadcast into the bucketing pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo")) * 10).cast("int"),
+        F.lit(9),
+    )
+    return (
+        orders.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("bucket_min"),
+            F.max("o_totalprice").cast("double").alias("bucket_max"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation from exact sufficient statistics: built-in corr() differs
+# across engines in accumulation order/algorithm, so the moments are
+# decimal-exact sums and the Pearson formula is applied once at the end
+# — bit-identical doubles on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "qty_price_correlation",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr_qty_price
+    FROM m
+    """,
+    tags=("agg", "statistics"),
+)
+def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs price per return flag, from
+    decimal-exact moment sums."""
+    l = load_table(spark, sf_dir, "lineitem")
+    qty, price = dec2("l_quantity"), dec2("l_extendedprice")
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(price * price).alias("syy"),
+        F.sum(qty * price).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (F.col(c).cast("double") for c in ("sxx", "syy", "sxy"))
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy)
+         / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+         ).alias("corr_qty_price"),
+    )
