@@ -158,3 +158,20 @@ def sessionize_stream(
             "session_value",
         )
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming deduplication: drop repeat deliveries of the same event
+    within the watermark horizon (the at-least-once → effectively-once
+    bridge every ingest pipeline needs; dedup state per key is expired
+    by the watermark so it stays bounded).
+
+    Default key is event_id — the natural idempotency key of the
+    events table.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

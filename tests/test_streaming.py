@@ -182,3 +182,29 @@ def test_sliding_rollup_equals_batch(spark, sf_dir, tmp_path):
     # every event contributes to exactly 4 overlapping windows
     assert sum(got.values()) == 4 * load_table(spark, sf_dir, "events").count()
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_dedup_drops_redelivery(spark, sf_dir, tmp_path):
+    """Feed every event TWICE (two identical files); the deduped stream
+    must deliver each event_id exactly once."""
+    from hadoop_project_spark.streaming.windows import dedup_stream
+
+    src = str(tmp_path / "dup_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # redelivery
+    assert spark.read.parquet(src).count() == 2 * ev.count()
+
+    stream = dedup_stream(read_events_stream(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream_test")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+    shutil.rmtree(src, ignore_errors=True)
