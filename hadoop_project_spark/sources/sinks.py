@@ -114,3 +114,12 @@ def compact_parquet(
     shutil.rmtree(tmp, ignore_errors=True)
     after = [f for f in os.listdir(path) if f.endswith(".parquet")]
     return len(before), len(after)
+
+
+def write_text_report(spark: SparkSession, lines: list[str], path: str) -> None:
+    """Driver text report sink (S9 — the reference's KResults.txt /
+    Summary.txt writer, final/src/main/java/calc/Summarizer.java:65-121):
+    tiny driver-held content written as ONE ordered text file via
+    coalesce(1)."""
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    df.coalesce(1).write.mode("overwrite").text(path)

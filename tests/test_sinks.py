@@ -127,3 +127,17 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
         F.sum(F.crc32(F.col("o_orderkey").cast("string"))).alias("c")
     ).first()["c"]
     assert checksum_before == checksum_after
+
+
+def test_text_report_sink(spark, tmp_path):
+    """S9: report lines come back byte-identical and in order from a
+    single part file."""
+    from hadoop_project_spark.sources.sinks import write_text_report
+
+    lines = [f"SilScore:{i / 10} at Kvalue:{i} at iteration:2" for i in range(1, 6)]
+    out = str(tmp_path / "report")
+    write_text_report(spark, lines, out)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+    with open(os.path.join(out, parts[0])) as f:
+        assert f.read().splitlines() == lines
