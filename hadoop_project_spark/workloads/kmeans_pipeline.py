@@ -154,10 +154,12 @@ def run_kmeans_pipeline(
     max_iter: int = 20,
     tol: float = 1e-3,
     seed: int = 42,
+    report_dir: str | None = None,
 ) -> KMeansPipelineResult:
     """KDriver.main (KDriver.java:40-65): for k in step..limit step step,
     init → converge → silhouette; then summarize (Summarizer.java:
-    46-121 text formats)."""
+    46-121 text formats). With ``report_dir`` the KResults/Summary
+    reports are written as text files (S9, Summarizer.java:65-121)."""
     pts = weighted_points(pickups).cache()
     bounds = minmax_bounds(pts)
     res = KMeansPipelineResult(best_k=-1, best_score=float("-inf"), best_iteration=0)
@@ -181,5 +183,11 @@ def run_kmeans_pipeline(
             for i, (la, lo) in enumerate(res.centroids[res.best_k])
         ],
     ]
+    if report_dir is not None:
+        from hadoop_project_spark.sources.sinks import write_text_report
+
+        spark = pickups.sparkSession
+        write_text_report(spark, res.kresults_lines, f"{report_dir}/KResults")
+        write_text_report(spark, res.summary_lines, f"{report_dir}/Summary")
     pts.unpersist()
     return res
