@@ -175,3 +175,49 @@ def dedup_stream(
     """
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def purchases_after_clicks_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the preceding ``horizon``.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store holds only ``watermark + horizon`` of
+    either stream per user — the condition every production
+    stream-stream join needs to avoid unbounded buffering.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_value",
+        "click_id",
+        "c_ts",
+        "p_ts",
+    )

@@ -208,3 +208,45 @@ def test_stream_dedup_drops_redelivery(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream join over the full input equals the equivalent
+    batch interval join (same condition, same sides)."""
+    from hadoop_project_spark.streaming.windows import purchases_after_clicks_stream
+
+    src = _events_as_parquet_dir(spark, sf_dir, tmp_path)
+    ev_stream = read_events_stream(spark, src)
+    clicks = ev_stream.filter(F.col("event_type") == "click")
+    purchases = ev_stream.filter(F.col("event_type") == "purchase")
+    joined = purchases_after_clicks_stream(clicks, purchases, horizon="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("select * from ss_join_test").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    exp = {(r["pid"], r["cid"]) for r in batch.collect()}
+    assert got == exp and len(got) > 0
+    shutil.rmtree(src, ignore_errors=True)
