@@ -106,8 +106,12 @@ def lsh_topk(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cosine_round: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
+    ``cosine_round`` rounds the cosine BEFORE ranking (oracle parity:
+    ordering decisions must be made on the same values both engines
+    compare).
 
     Single-table sign-bit LSH fails whenever a neighborhood straddles a
     hyperplane (the whole cluster splits across buckets), so — as in
@@ -173,14 +177,13 @@ def lsh_topk(
         F.col(vec_col).alias("c_vec"),
         l2_norm(vec_col).alias("c_norm"),
     )
+    cos = dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    if cosine_round is not None:
+        cos = F.round(cos, cosine_round)
     scored = (
         cand.join(F.broadcast(q_full), "query_id")
         .join(c_full, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -132,3 +132,88 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
     )
+
+
+def _sql_plane_dot(vec: str, plane: list[float]) -> str:
+    """Dot of an embedding column with a literal hyperplane, as the same
+    left-to-right fold Spark's F.aggregate produces."""
+    lits = ", ".join(repr(x) for x in plane)
+    return (
+        f"list_sum([CAST({vec}[i] AS DOUBLE) * ([{lits}])[i] "
+        f"for i in range(1, {DIM + 1})])"
+    )
+
+
+def _sql_lsh_bucket(vec: str, planes: list[list[float]]) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_plane_dot(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _sql_lsh_oracle(n_planes: int = 8, n_tables: int = 4, seed: int = 42) -> str:
+    """Full SQL twin of sim.lsh_topk: per-table sign-bit buckets from
+    the SAME seeded hyperplanes, multiprobe hamming-1 matching, exact
+    cosine on candidates, per-query top-k."""
+    all_planes = [
+        sim.make_hyperplanes(n_planes, DIM, seed + 1000 * t)
+        for t in range(n_tables)
+    ]
+    bkt_cols = ", ".join(
+        f"{_sql_lsh_bucket('embedding', all_planes[t])} AS bkt{t}"
+        for t in range(n_tables)
+    )
+    match = []
+    for t in range(n_tables):
+        match.append(f"c.bkt{t} = q.bkt{t}")
+        match += [
+            f"c.bkt{t} = xor(q.bkt{t}, {1 << i})" for i in range(n_planes)
+        ]
+    match_sql = "\n         OR ".join(match)
+    return f"""
+    WITH keyed AS (
+      SELECT vec_id, embedding, {bkt_cols} FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM keyed q JOIN keyed c
+        ON q.vec_id < {N_QUERIES}
+       AND c.vec_id <> q.vec_id
+       AND ({match_sql})
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_sql_cosine("qe.embedding", "ce.embedding")} AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {K}
+    """
+
+
+@register(
+    "ann_topk_lsh_verified",
+    oracle=_sql_lsh_oracle(),
+    tags=("similarity", "ann", "lsh", "extension"),
+)
+def ann_topk_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH ANN path with a FULL SQL oracle: DuckDB re-derives the
+    seeded hyperplane buckets, multiprobe candidates, and ranked cosines
+    from scratch, so the driver hash-verifies the entire approximate
+    pipeline, not just its row count (ann_topk_lsh keeps the op-level
+    builder + recall property test)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    # cosine_round=9 BEFORE ranking: ordering decisions are made on the
+    # same 9dp values the oracle ranks, so boundary ties agree
+    return sim.lsh_topk(
+        emb, queries, k=K, n_planes=8, dim=DIM, seed=42, cosine_round=9
+    )
