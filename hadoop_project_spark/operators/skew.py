@@ -23,8 +23,6 @@ operators cover the two cases AQE does not:
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import Column, DataFrame, functions as F
 
 

@@ -4,8 +4,6 @@ depth), stars, isolated nodes, everything-connected."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from hadoop_project_spark.operators.graph import connected_components
 
 

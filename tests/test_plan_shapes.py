@@ -5,7 +5,6 @@ iterating — SURVEY.md §4)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from hadoop_project_spark.catalog import load_table

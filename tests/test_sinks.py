@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 from hadoop_project_spark.catalog import load_table
