@@ -27,6 +27,7 @@ KM_TOL = 1e-3
 
 @register(
     "kmeans_centroids",
+    priority=900,
     oracle=None,
     tags=("ml", "kmeans", "A11", "J3", "O3", "C2"),
 )
@@ -47,6 +48,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_cluster_sizes",
+    priority=900,
     oracle=None,
     tags=("ml", "kmeans", "A9", "O3"),
 )
@@ -65,6 +67,7 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kmeans_silhouette",
+    priority=900,
     oracle=None,
     tags=("ml", "kmeans", "A12", "F13", "C1"),
 )

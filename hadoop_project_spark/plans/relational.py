@@ -249,6 +249,7 @@ def priority_month_dense_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "customers_without_orders",
+    priority=900,
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
@@ -354,6 +355,7 @@ def weighted_avg_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "most_valuable_order",
+    priority=900,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
@@ -375,6 +377,7 @@ def most_valuable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "order_fanout_stats",
+    priority=900,
     oracle="""
     SELECT l_linestatus,
            COUNT(DISTINCT l_orderkey) AS n_orders,

@@ -37,6 +37,7 @@ def lineitem_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "orders_cube",
+    priority=900,
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
     FROM orders
@@ -108,6 +109,7 @@ def events_sessionization_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_top_users",
+    priority=900,
     oracle="""
     SELECT user_id, total_value, n_events, CAST(rnk AS INTEGER) AS rnk
     FROM (
@@ -174,6 +176,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "part_popularity",
+    priority=900,
     oracle="""
     SELECT p.p_brand, p.p_type,
            CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,

@@ -88,6 +88,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_topk_lsh",
+    priority=900,
     oracle=None,  # approximate scale path; recall vs brute force is
     # asserted in tests/test_similarity.py instead of a SQL oracle
     tags=("similarity", "ann", "lsh", "extension"),

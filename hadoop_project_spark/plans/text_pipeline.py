@@ -167,7 +167,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang_pred,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_tokens AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST(round(quality_score, 6) AS DECIMAL(18,6))) AS DOUBLE) AS quality_mass
     FROM (
       SELECT {_sql_lang_case()} AS lang_pred,
@@ -212,7 +212,7 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_docs,
            COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
            COUNT(CASE WHEN text LIKE '%the%' THEN 1 END) AS n_contains_the,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
     """,
