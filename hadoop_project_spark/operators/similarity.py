@@ -3,9 +3,13 @@
 Two paths, per the standard ANN playbook:
 
 * brute_force_topk — exact cosine top-k: broadcast the (small) query
-  set, scan the corpus once, per-query window top-k. At 100 TB the
-  corpus side stays partition-parallel with zero shuffle of the corpus;
-  only the (n_queries × k) result shuffles.
+  set, scan the corpus once, then rank in two stages: a partition-local
+  top-k (groupBy(partition, query) with a sorted-slice aggregate, so the
+  scored set leaves its scan stage list-batched and spread over
+  partitions × n_queries reducers) followed by a global per-query window
+  over at most partitions × k survivors per query. A single
+  Window.partitionBy(query_id) over the raw scores would collapse to
+  n_queries reducer tasks at scale.
 * lsh_topk — random-hyperplane LSH: bucket corpus and queries by the
   sign-bit key of H fixed hyperplanes, search only matching buckets
   (optionally multi-probe by also matching hamming-1 neighbor buckets).
@@ -26,6 +30,48 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_project_spark.functions.vector import dot, l2_norm
+
+
+def local_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Partition-local top-k on (query_id, neighbor_id, cosine) rows.
+
+    Keeps the best k rows per (scan partition, query) with one aggregate:
+    the sort key is a (-cosine, neighbor_id) struct, so ascending
+    sort_array yields exactly the total order the global ranking window
+    uses (cosine desc, neighbor_id asc; double negation is bit-exact).
+    The global top-k per query is invariant under this pre-filter — every
+    globally-ranked row is necessarily in its own partition's top-k — so
+    the downstream window sees at most num_partitions × k rows per query
+    instead of the whole scored set in one reducer task.
+    """
+    entry = F.struct(
+        (-F.col("cosine")).alias("neg_cos"),
+        F.col("neighbor_id").alias("neighbor_id"),
+        F.col("cosine").alias("cosine"),
+    )
+    return (
+        scored.groupBy(F.spark_partition_id().alias("pid"), "query_id")
+        .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, k).alias("top"))
+        .select("query_id", F.explode("top").alias("e"))
+        .select(
+            "query_id",
+            F.col("e.neighbor_id").alias("neighbor_id"),
+            F.col("e.cosine").alias("cosine"),
+        )
+    )
+
+
+def global_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k: partition-local pre-filter, then the
+    ranking window over the bounded survivor set."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local_topk(scored, k)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def brute_force_topk(
@@ -63,13 +109,7 @@ def brute_force_topk(
             (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return global_topk(scored, k)
 
 
 def make_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -284,11 +324,4 @@ def brute_force_topk_pandas(
                 F.col("qs.cosine").alias("cosine"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return global_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")

@@ -51,6 +51,55 @@ def test_lsh_bucket_determinism(spark, sf_dir):
     assert [r["b"] for r in b1] == [r["b"] for r in b2]
 
 
+def test_local_topk_bounds_ranking_input(spark, sf_dir):
+    """The two-stage ranking's window input must be bounded by
+    num_scan_partitions × n_queries × k, not the full scored set, and
+    the final result must equal a naive single-window ranking."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").repartition(6)
+    queries = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8)
+    k = 5
+    from hadoop_project_spark.functions.vector import dot, l2_norm
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("cosine"),
+        )
+    )
+    survivors = sim.local_topk(scored, k)
+    n_parts = scored.rdd.getNumPartitions()
+    n_queries = queries.count()
+    assert survivors.count() <= n_parts * n_queries * k
+    assert survivors.count() < scored.count()
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    two_stage = sim.global_topk(scored, k)
+    nv = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in naive.collect()}
+    ts = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in two_stage.collect()}
+    assert nv == ts
+
+
 def test_pandas_topk_matches_jvm_topk(spark, sf_dir):
     """The Arrow/numpy ANN path must produce the same neighbor sets as
     the JVM expression path (modulo exact-tie ordering): compare ids
