@@ -68,20 +68,27 @@ def assign_clusters(
 def update_centroids(
     assigned: DataFrame, k: int, dim: int, vec_col: str = "embedding",
     weight_col: str | None = None,
-) -> tuple[list[list[float]], list[int]]:
+) -> tuple[list[list[float]], list[int], float]:
     """New centroids = per-cluster per-dimension (weighted) mean —
     A11's sum(x·w)/sum(w) (KMeans.java:178-205) via posexplode +
     groupBy(cluster, dim): one shuffle of (k × dim) partial aggregates,
-    never the raw points."""
+    never the raw points.
+
+    Also returns the weighted inertia of the assignment that produced
+    ``assigned`` (sum of w·dist). After posexplode each point's dist
+    repeats once per dimension, so summing dist·w alongside the per-dim
+    sums and dividing by dim recovers it with zero extra actions.
+    """
     w = F.col(weight_col) if weight_col else F.lit(1)
     per_dim = (
         assigned.select(
-            "cluster", w.alias("w"), F.posexplode(vec_col).alias("pos", "val")
+            "cluster", w.alias("w"), "dist", F.posexplode(vec_col).alias("pos", "val")
         )
         .groupBy("cluster", "pos")
         .agg(
             F.sum(F.col("val").cast("double") * F.col("w")).alias("s"),
             F.sum("w").alias("n"),
+            F.sum(F.col("dist") * F.col("w")).alias("d"),
         )
         .collect()
     )
@@ -90,7 +97,8 @@ def update_centroids(
     for row in per_dim:
         sums[row["cluster"]][row["pos"]] = row["s"] / row["n"]
         counts[row["cluster"]] = row["n"]
-    return sums, counts
+    inertia = sum(row["d"] for row in per_dim) / dim
+    return sums, counts, inertia
 
 
 def kmeans_fit(
@@ -125,7 +133,8 @@ def kmeans_fit(
         it = 0
         for it in range(1, max_iter + 1):
             assigned = assign_clusters(points, centroids, vec_col)
-            new_centroids, counts = update_centroids(assigned, k, dim, vec_col)
+            new_centroids, counts, inertia = update_centroids(assigned, k, dim, vec_col)
+            inertia_hist.append(inertia)
             # empty cluster: keep previous centroid (reference keeps the
             # row absent; keeping the old centroid is the standard fix)
             for i in range(k):

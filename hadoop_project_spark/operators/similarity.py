@@ -124,13 +124,20 @@ def make_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float
 
 
 def lsh_bucket(vec_col: str, planes: list[list[float]]):
-    """Bucket id = integer of sign bits of <vec, plane_i>."""
+    """Bucket id = integer of sign bits of <vec, plane_i>.
+
+    The dot is rounded to 9 dp BEFORE the sign decision (the same
+    strategy as cosine_round): a vector lying within an ulp of a
+    hyperplane would otherwise flip its bucket between two engines'
+    summation orders, changing the candidate set an oracle re-derives."""
     key = None
     for i, p in enumerate(planes):
         # one array<double> Literal node per plane, not dim individual
         # F.lit nodes (same plan-size fix as kmeans._centroid_array)
         plane = F.lit([float(x) for x in p])
-        bit = F.when(dot(vec_col, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            F.round(dot(vec_col, plane), 9) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         key = bit if key is None else key + bit
     return key.cast("long")
 

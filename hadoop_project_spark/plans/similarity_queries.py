@@ -8,7 +8,6 @@ floating-point folds ever differ in the last ulp.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.window import Window
 
 from hadoop_project_spark.catalog import load_table
 from hadoop_project_spark.functions.vector import cosine_similarity
@@ -78,12 +77,9 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity("q_vec", "c_vec"), 9).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= K
-    )
+    # two-stage ranking (partition-local top-k, then the global window
+    # over ≤ partitions × K survivors) — see operators.similarity
+    return sim.global_topk(scored, K)
 
 
 @register(
@@ -146,8 +142,11 @@ def _sql_plane_dot(vec: str, plane: list[float]) -> str:
 
 
 def _sql_lsh_bucket(vec: str, planes: list[list[float]]) -> str:
+    # round(…, 9) before the sign test mirrors operators.similarity
+    # .lsh_bucket: both engines make the bucket decision on the same
+    # 9dp value, so a borderline plane can't flip the candidate set
     bits = " + ".join(
-        f"(CASE WHEN {_sql_plane_dot(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN round({_sql_plane_dot(vec, p)}, 9) >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
     return f"CAST({bits} AS BIGINT)"

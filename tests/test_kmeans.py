@@ -83,6 +83,23 @@ def test_kmeans_inertia_monotone(spark, sf_dir, emb):
     assert all(a >= b - 1e-9 for a, b in zip(inertias, inertias[1:]))
 
 
+def test_inertia_history_populated_and_monotone(spark, sf_dir, emb):
+    """The fit records one inertia per iteration, matching numpy's
+    assignment-step inertia sequence and non-increasing per Lloyd."""
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    res = kmeans_fit(emb, k=K, dim=DIM, max_iter=MAX_ITER, tol=TOL)
+    assert len(res.inertia_history) == res.n_iters
+    assert all(
+        a >= b - 1e-9
+        for a, b in zip(res.inertia_history, res.inertia_history[1:])
+    )
+    # first-iteration inertia is the assignment cost under the init
+    # centroids (k lowest-id points)
+    d = ((X[:, None, :] - X[None, :K, :]) ** 2).sum(axis=2)
+    assert abs(res.inertia_history[0] - d.min(axis=1).sum()) < 1e-6
+
+
 def test_silhouette_in_range(spark, sf_dir, emb):
     res = kmeans_fit(emb, k=K, dim=DIM, max_iter=3, tol=TOL)
     s = silhouette_score(emb, res.centroids)
