@@ -230,18 +230,37 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users_daily",
-    oracle=None,  # HLL sketch result is engine-specific by design; the
-    # exact-count twin below is the verified counterpart
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d, TRUE AS within_5pct
+    FROM events GROUP BY CAST(ts AS DATE)
+    """,
     tags=("agg", "approx", "extension"),
 )
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per day — the sketch path
-    for 100 TB cardinality work; its exact twin
-    `exact_distinct_users_daily` is oracle-verified, and
-    tests/test_plan_shapes.py asserts the approx result is within 5%."""
+    for 100 TB cardinality work.
+
+    The sketch estimate itself is engine-specific, so the hashable
+    output is the bounds check: both the HLL estimate (rsd 0.02) and the
+    exact distinct count run in one groupBy, and each day emits
+    within_5pct = |approx − exact| ≤ 5% · exact. The oracle derives the
+    same day keys with TRUE constants, so the driver hash verifies the
+    sketch's accuracy claim on every group. The exact twin
+    `exact_distinct_users_daily` hash-verifies the counts themselves."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    return (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "d",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_5pct"),
+        )
     )
 
 

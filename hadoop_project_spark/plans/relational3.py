@@ -458,25 +458,42 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "approx_price_percentiles",
-    oracle=None,
+    oracle="""
+    SELECT o_orderpriority,
+           TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
     tags=("agg", "percentile", "approx", "extension"),
 )
 def approx_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile quartiles of order price per priority
-    (accuracy 10000 ≈ ±0.01% rank error)."""
+    (accuracy 10000 ≈ ±0.01% rank error).
+
+    Sketch values are engine-specific, so the hashable output is a
+    rank-window bounds check: each sketch quartile must lie between the
+    exact interpolated quantiles at q ± 0.02 (a ±2-centile window —
+    generous vs the sketch's 1e-4 rank error, but tight enough to catch
+    a broken sketch, and value-scale-free so it holds at every SF). The
+    oracle derives the same priority keys with TRUE constants, making
+    the driver hash a per-group accuracy gate
+    (`price_percentiles_by_priority` hash-verifies exact values)."""
     orders = load_table(spark, sf_dir, "orders")
     pct = F.expr(
         "approx_percentile(o_totalprice, array(0.25, 0.50, 0.75), 10000)"
     )
+    lo = F.expr("percentile(o_totalprice, array(0.23, 0.48, 0.73))")
+    hi = F.expr("percentile(o_totalprice, array(0.27, 0.52, 0.77))")
+    ok = [
+        (
+            (F.col("pct")[i] >= F.col("lo")[i])
+            & (F.col("pct")[i] <= F.col("hi")[i])
+        ).alias(f"p{q}_ok")
+        for i, q in enumerate((25, 50, 75))
+    ]
     return (
         orders.groupBy("o_orderpriority")
-        .agg(pct.alias("pct"))
-        .select(
-            "o_orderpriority",
-            F.col("pct")[0].alias("p25"),
-            F.col("pct")[1].alias("p50"),
-            F.col("pct")[2].alias("p75"),
-        )
+        .agg(pct.alias("pct"), lo.alias("lo"), hi.alias("hi"))
+        .select("o_orderpriority", *ok)
     )
 
 

@@ -99,17 +99,16 @@ def test_no_cartesian_in_lsh(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    approx = {
-        r["d"]: r["approx_users"]
-        for r in SPECS["approx_distinct_users_daily"].build(spark, sf_dir).collect()
-    }
-    exact = {
-        r["d"]: r["n_users"]
+    """The HLL query emits its own bounds check (within_5pct per day,
+    hash-verified against TRUE constants by the oracle); every day and
+    the day-key set itself must agree with the exact twin."""
+    rows = SPECS["approx_distinct_users_daily"].build(spark, sf_dir).collect()
+    exact_days = {
+        r["d"]
         for r in SPECS["exact_distinct_users_daily"].build(spark, sf_dir).collect()
     }
-    assert approx.keys() == exact.keys()
-    for d, n in exact.items():
-        assert abs(approx[d] - n) <= max(0.05 * n, 2), (d, approx[d], n)
+    assert {r["d"] for r in rows} == exact_days
+    assert all(r["within_5pct"] for r in rows)
 
 
 def test_events_nanos_normalized(spark, sf_dir):
@@ -121,29 +120,10 @@ def test_events_nanos_normalized(spark, sf_dir):
 
 
 def test_approx_percentiles_within_tolerance(spark, sf_dir):
-    """Sketch quantiles are rank-bounded, not value-bounded (the sketch
-    returns a real element; exact interpolates): each approx quantile
-    must lie within the exact [q-5%, q+5%] rank window."""
-    from hadoop_project_spark.catalog import load_table
-
-    approx = {
-        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"])
-        for r in SPECS["approx_price_percentiles"].build(spark, sf_dir).collect()
-    }
-    orders = load_table(spark, sf_dir, "orders")
-    bounds = {
-        r["o_orderpriority"]: r["b"]
-        for r in orders.groupBy("o_orderpriority")
-        .agg(
-            F.expr(
-                "percentile(o_totalprice, array(0.20, 0.30, 0.45, 0.55, 0.70, 0.80))"
-            ).alias("b")
-        )
-        .collect()
-    }
-    assert approx.keys() == bounds.keys()
-    for prio, (a25, a50, a75) in approx.items():
-        b = bounds[prio]
-        assert b[0] <= a25 <= b[1], (prio, "p25", a25, b[0], b[1])
-        assert b[2] <= a50 <= b[3], (prio, "p50", a50, b[2], b[3])
-        assert b[4] <= a75 <= b[5], (prio, "p75", a75, b[4], b[5])
+    """The sketch query emits its own rank-window bounds check (sketch
+    quantile between exact q±0.02 quantiles, hash-verified against TRUE
+    constants by the oracle); every priority must pass all three."""
+    rows = SPECS["approx_price_percentiles"].build(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["p25_ok"] and r["p50_ok"] and r["p75_ok"], r
