@@ -12,6 +12,7 @@ from hadoop_project_spark.plans.registry import QuerySpec, all_queries, register
 from hadoop_project_spark.plans import relational  # noqa: F401,E402
 from hadoop_project_spark.plans import relational2  # noqa: F401,E402
 from hadoop_project_spark.plans import relational3  # noqa: F401,E402
+from hadoop_project_spark.plans import correlated  # noqa: F401,E402
 from hadoop_project_spark.plans import reference_workloads  # noqa: F401,E402
 from hadoop_project_spark.plans import text_pipeline  # noqa: F401,E402
 from hadoop_project_spark.plans import dedup_queries  # noqa: F401,E402

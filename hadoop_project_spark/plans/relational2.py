@@ -229,6 +229,63 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_session_window_batch",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "sessionization", "session-window", "streaming-batch", "extension"),
+)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the built-in session_window — the exact
+    grouping Structured Streaming uses for stateful session aggregation
+    (streaming/windows.sessionize_stream), run in batch so the driver
+    hash anchors the streaming semantics.
+
+    session_window's gap rule differs from the lag-based formulation in
+    events_sessionization_batch: a session is the half-open interval
+    [first_ts, last_ts + gap), so an event exactly `gap` after its
+    predecessor starts a NEW session (lag-based `> gap` keeps it). The
+    oracle therefore flags new sessions on `>=` and derives session_end
+    as max(ts) + gap — byte-matching Spark's window.end."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@register(
     "approx_distinct_users_daily",
     oracle="""
     SELECT CAST(ts AS DATE) AS d, TRUE AS within_5pct
