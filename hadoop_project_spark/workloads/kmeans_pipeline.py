@@ -131,7 +131,15 @@ def lloyd_2d(
 
 def silhouette_2d(points: DataFrame, centroids: list[tuple[float, float]]) -> float:
     """Weighted simplified silhouette (Silhouette.java:78-158):
-    (d2-d1)/d2 on squared distances, weighted by point count."""
+    (d2-d1)/d2 on squared distances, weighted by point count.
+
+    k=1 bug-compat: the reference leaves second_distance at
+    Double.MAX_VALUE when there is no second centroid, so every point
+    scores (MAX−d1)/MAX, which rounds to exactly 1.0 in double — the
+    golden KResults.txt's "SilScore:1.0 at Kvalue:1". Reproduce that
+    sentinel result rather than the textbook undefined-at-k=1."""
+    if len(centroids) < 2:
+        return 1.0
     carr = F.array(*[
         F.struct(F.lit(la).alias("clat"), F.lit(lo).alias("clon"))
         for la, lo in centroids
@@ -177,7 +185,7 @@ def run_kmeans_pipeline(
     res.summary_lines = [
         f"Max SilScore:{res.best_score} at kValue:{res.best_k} "
         f"at iteration:{res.best_iteration}",
-        "Centroids are:",
+        "Corresponding centroids",  # byte-exact header, Summarizer.java:102
         *[
             f"{i}. Lat:{la} Longitude:{lo}"
             for i, (la, lo) in enumerate(res.centroids[res.best_k])

@@ -151,7 +151,7 @@ def test_kmeans_pipeline(pickups_df):
         for l in res.kresults_lines
     )
     assert res.summary_lines[0].startswith("Max SilScore:")
-    assert res.summary_lines[1] == "Centroids are:"
+    assert res.summary_lines[1] == "Corresponding centroids"
     assert all(". Lat:" in l for l in res.summary_lines[2:])
     # pipeline determinism: same seed → identical result
     res2 = run_kmeans_pipeline(pickups_df, k_limit=4, k_step=2, max_iter=15)
