@@ -241,6 +241,107 @@ def lsh_topk(
     )
 
 
+def make_coarse_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded pseudo-random coarse-quantizer centroids in [-1, 1]^dim.
+
+    At 100 TB you'd train these with one K-Means pass (operators.kmeans)
+    and broadcast the result; seeded-random cells keep the IVF mechanics
+    — cell assignment, inverted-list join, multi-cell probing —
+    byte-reproducible so a SQL oracle can re-derive them from the same
+    literals. The operator accepts any centroid list, trained or not."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(dim)]
+        for _ in range(n_cells)
+    ]
+
+
+def _cell_dists(vec_col: str, cents: list[list[float]]):
+    """array<double> of 9dp-rounded squared L2 distances to each coarse
+    centroid (one nested literal; rounding makes the argmin/probe-order
+    decisions identical across engines — same strategy as lsh_bucket)."""
+    from hadoop_project_spark.functions.vector import squared_l2_distance
+
+    carr = F.lit([[float(x) for x in c] for c in cents])
+    return F.transform(carr, lambda c: F.round(squared_l2_distance(vec_col, c), 9))
+
+
+def ivf_cell(vec_col: str, cents: list[list[float]]):
+    """Inverted-file cell id = argmin cell distance (first index on
+    ties, matching ORDER BY d, cell in SQL)."""
+    ds = _cell_dists(vec_col, cents)
+    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+
+
+def ivf_probes(vec_col: str, cents: list[list[float]], n_probe: int):
+    """The n_probe nearest cell ids for a query vector, nearest first
+    (ties to the lower cell id)."""
+    ds = _cell_dists(vec_col, cents)
+    pairs = F.transform(
+        ds, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i"))
+    )
+    return F.transform(F.slice(F.array_sort(pairs), 1, n_probe), lambda s: s["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cosine_round: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via an inverted-file (IVF) index — the other
+    standard ANN scale path next to LSH.
+
+    Scale shape: the corpus scan assigns each vector to its nearest
+    coarse cell (pure projection — at scale this IS the partitioning /
+    clustering key of the stored table, so the "inverted lists" are
+    parquet partitions and probing prunes whole files); each query
+    probes its n_probe nearest cells; the cell-key join carries ids
+    only; exact cosine runs on candidates; the two-stage global_topk
+    bounds the final ranking shuffle."""
+    cents = centroids if centroids is not None else make_coarse_centroids(
+        n_cells, dim, seed
+    )
+    c_ids = corpus.select(
+        F.col(id_col).alias("neighbor_id"), ivf_cell(vec_col, cents).alias("cell")
+    )
+    q_ids = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(ivf_probes(vec_col, cents, n_probe)).alias("cell"),
+    )
+    cand = (
+        c_ids.join(F.broadcast(q_ids), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    q_full = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(vec_col).alias("q_norm"),
+    )
+    c_full = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(vec_col).alias("c_norm"),
+    )
+    cos = dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))
+    if cosine_round is not None:
+        cos = F.round(cos, cosine_round)
+    scored = (
+        cand.join(F.broadcast(q_full), "query_id")
+        .join(c_full, "neighbor_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    return global_topk(scored, k)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     min_cosine: float = 0.95,

@@ -95,10 +95,9 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         rows = []
         for k in (4, 8):
-            res = kmeans_fit(
-                emb, k=k, dim=KM_DIM, max_iter=KM_MAX_ITER, tol=KM_TOL,
-                assume_cached=True,
-            )
+            # the k=8 fit is the same (data, init, params) model that
+            # kmeans_centroids/_cluster_sizes use — share it
+            res = _shared_fit(emb, sf_dir, k)
             s = silhouette_score(emb, res.centroids)
             rows.append((k, round(s, 6), res.n_iters, res.converged))
     finally:

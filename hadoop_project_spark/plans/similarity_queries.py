@@ -199,6 +199,88 @@ def _sql_lsh_oracle(n_planes: int = 8, n_tables: int = 4, seed: int = 42) -> str
     """
 
 
+IVF_CELLS = 16
+IVF_PROBE = 4
+IVF_SEED = 7
+
+
+def _sql_sqdist(vec: str, cent: list[float]) -> str:
+    lits = ", ".join(repr(x) for x in cent)
+    return (
+        f"round(list_sum([(CAST({vec}[i] AS DOUBLE) - ([{lits}])[i]) * "
+        f"(CAST({vec}[i] AS DOUBLE) - ([{lits}])[i]) "
+        f"for i in range(1, {DIM + 1})]), 9)"
+    )
+
+
+def _sql_ivf_oracle() -> str:
+    """Full SQL twin of sim.ivf_topk: same seeded coarse centroids as
+    literals, argmin cell assignment, n_probe nearest cells per query,
+    exact cosine on candidates, per-query top-k."""
+    cents = sim.make_coarse_centroids(IVF_CELLS, DIM, IVF_SEED)
+    ds = ", ".join(_sql_sqdist("embedding", c) for c in cents)
+    pairs = (
+        f"[[ds[i], CAST(i - 1 AS DOUBLE)] for i in range(1, {IVF_CELLS + 1})]"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT vec_id, [{ds}] AS ds FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id,
+             CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+      FROM keyed
+    ),
+    probes AS (
+      SELECT vec_id AS query_id,
+             unnest([CAST(p[2] AS INT)
+                     for p in list_sort({pairs})[:{IVF_PROBE}]]) AS cell
+      FROM keyed WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id
+      FROM probes p JOIN cells c ON c.cell = p.cell
+      WHERE c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {_sql_cosine("qe.embedding", "ce.embedding")} AS cosine
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    WHERE rn <= {K}
+    """
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=_sql_ivf_oracle(),
+    priority=500,
+    tags=("similarity", "ann", "ivf", "extension"),
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a FULL SQL oracle: DuckDB re-derives the seeded
+    coarse cells, the probe sets, and the ranked candidate cosines from
+    the same literals, hash-verifying the whole inverted-file pipeline
+    (cell assignment → multi-cell probe → candidate join → exact
+    re-rank). Registered past the driver window (the LSH pipeline is
+    the in-window ANN representative); tests/test_oracle_parity.py runs
+    this oracle every CI pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.ivf_topk(
+        emb, queries, k=K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        dim=DIM, seed=IVF_SEED, cosine_round=9,
+    )
+
+
 @register(
     "ann_topk_lsh_verified",
     oracle=_sql_lsh_oracle(),

@@ -76,6 +76,9 @@ def test_exiled_queries_are_redundant_variants():
         "events_sliding_hourly": "events_hourly_rollup",  # time windows
         "price_histogram": "lineitem_global_minmax",  # A10 two-pass
         "qty_price_correlation": "price_percentiles_by_priority",  # stats agg
+        # oracle-verified by tests/test_oracle_parity.py every CI run;
+        # ANN family's in-window representative is the LSH pipeline
+        "ann_topk_ivf": "ann_topk_lsh_verified",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,

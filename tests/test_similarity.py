@@ -43,6 +43,29 @@ def test_lsh_recall_floor_on_random_data(spark, sf_dir):
     assert len(e & a) > 0
 
 
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF with random coarse cells on clustered data: probing 4 of 16
+    cells must recover most exact neighbors (cluster members land in
+    the same or adjacent cells)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 25, axis=0) + 0.05 * rng.normal(size=(200, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 8)
+    exact = sim.brute_force_topk(df, queries, k=10)
+    approx = sim.ivf_topk(df, queries, k=10, n_cells=16, n_probe=4, dim=64)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF recall@10 too low: {recall:.2f}"
+
+
 def test_lsh_bucket_determinism(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     planes = sim.make_hyperplanes(8, 64, seed=42)
