@@ -205,6 +205,103 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_MIX_MIN_Q = 0.2
+TRAIN_MIX_TOKEN_CAP = 800
+
+
+@register(
+    "training_data_mix",
+    priority=500,
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {_sql_lang_case()} AS lang_pred,
+             n_tok AS n_tokens,
+             {SQL_QUALITY} AS q,
+             md5({SQL_NORM}) AS fp
+      FROM (
+        SELECT doc_id, source, text,
+               CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+               {SQL_PUNCT_RATIO} AS punct_ratio,
+               {" , ".join(f"CAST({_sql_stop_hits(lg)} AS BIGINT) AS s_{lg}" for lg in ts.LANG_PRIORITY)},
+               {" + ".join(f"CAST({_sql_stop_hits(lg)} AS BIGINT)" for lg in ts.LANG_PRIORITY)} AS total
+        FROM documents
+      )
+    ),
+    filt AS (
+      SELECT * FROM scored
+      WHERE lang_pred = 'en' AND q >= {TRAIN_MIX_MIN_Q}
+    ),
+    ded AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM filt
+      ) WHERE rn = 1
+    ),
+    sel AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY round(q, 9) DESC, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM ded
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+    FROM sel WHERE cum_tokens <= {TRAIN_MIX_TOKEN_CAP}
+    """,
+    tags=("text", "pipeline", "dedup", "window", "extension"),
+)
+def training_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-training-data selection pipeline as ONE declarative plan:
+    language gate → quality gate → exact dedup (min doc_id per
+    normalized-text fingerprint) → per-source token budget (best-quality
+    docs first until the source's 800-token cap).
+
+    Scale shape: everything before the budget step is a scan-side
+    projection + one window per key (fp, then source); no collect, no
+    iteration. Quality ordering uses round(q, 9) so the budget cut falls
+    on the same document in both engines; the oracle re-derives every
+    stage in SQL, so the driver hash verifies the whole pipeline
+    composition, not just the pieces."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        ts.lang_id("text").alias("lang_pred"),
+        ts.token_count("text").alias("n_tokens"),
+        ts.quality_score("text").alias("q"),
+        ts.fingerprint("text").alias("fp"),
+    )
+    filt = scored.filter(
+        (F.col("lang_pred") == "en") & (F.col("q") >= TRAIN_MIX_MIN_Q)
+    )
+    from pyspark.sql.window import Window
+
+    w_dedup = Window.partitionBy("fp").orderBy("doc_id")
+    ded = (
+        filt.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_budget = (
+        Window.partitionBy("source")
+        .orderBy(F.round("q", 9).desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ded.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w_budget).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= TRAIN_MIX_TOKEN_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )
+
+
 @register(
     "docs_source_groups",
     oracle="""

@@ -79,6 +79,9 @@ def test_exiled_queries_are_redundant_variants():
         # oracle-verified by tests/test_oracle_parity.py every CI run;
         # ANN family's in-window representative is the LSH pipeline
         "ann_topk_ivf": "ann_topk_lsh_verified",
+        # composite of in-window-verified stages (lang/quality/dedup/
+        # window budget); oracle runs in every CI pass
+        "training_data_mix": "corpus_quality_by_lang",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
