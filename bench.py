@@ -41,11 +41,21 @@ def main() -> None:
         n for n in sorted(specs) if n not in HEADLINE
     ]
 
-    # warm-up: touch the biggest table once so JVM/codegen/file listing
-    # costs don't land on the first measured query
+    # warm-up: steady-state measurement. One scan of the biggest table
+    # (JVM, file listing), one hash aggregate and one broadcast join on
+    # it (whole-stage-codegen + exchange machinery compile once here,
+    # not inside the first measured query).
+    from pyspark.sql import functions as F
+
     from hadoop_project_spark.catalog import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
+    li = load_table(spark, sf_dir, "lineitem")
+    na = load_table(spark, sf_dir, "nation")
+    li.count()
+    li.groupBy("l_returnflag").agg(F.sum("l_quantity"), F.avg("l_extendedprice")) \
+        .write.format("noop").mode("overwrite").save()
+    li.join(F.broadcast(na), li.l_suppkey % 25 == na.n_nationkey) \
+        .agg(F.count("*")).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

@@ -32,6 +32,13 @@ QUERIES = [
     "ann_topk_lsh",
     "events_sessionization_batch",
     "order_rank_stats",
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "orders_with_late_items",
+    "small_qty_part_revenue",
+    "bulk_share_suppliers",
+    "events_session_window_batch",
+    "training_data_mix",
 ]
 
 
