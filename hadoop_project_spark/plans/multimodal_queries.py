@@ -31,6 +31,45 @@ _BYTE_COLS_SQL = ",\n           ".join(
 
 
 @register(
+    "multimodal_frame_samples",
+    priority=500,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(generate_series(0,
+                  greatest(n_chars * 10 - 1, 0), 1000)) AS BIGINT)
+             AS frame_ts_ms
+    FROM documents
+    """,
+    tags=("multimodal", "video", "frame-sample", "extension"),
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.
+    frame_sample_plan): synthetic video rows derived from documents
+    (duration_ms = n_chars × 10), expanded to one row per 1000 ms
+    sample point by a pure-JVM sequence+explode — the plan the real
+    frame extractor (extract_features over the exploded rows) runs on.
+    Spark's sequence(0, hi, step) and DuckDB's generate_series(0, hi,
+    step) are both stop-inclusive, so the twins agree exactly."""
+    from hadoop_project_spark.operators.multimodal import frame_sample_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit("fake").alias("format"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+@register(
     "multimodal_features",
     oracle=f"""
     SELECT doc_id AS media_id,

@@ -229,6 +229,41 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lineitem_measures_unpivot",
+    priority=500,
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+    tags=("agg", "unpivot", "reshape", "extension"),
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the built-in unpivot (melt) — the inverse
+    of the A8 pivot family. The wide aggregate computes once; unpivot is
+    a zero-shuffle projection expansion (each output row group stays on
+    its input row's partition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec2("l_extendedprice")).cast("double").alias("sum_price"),
+        F.sum(dec2("l_discount")).cast("double").alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "value"
+    )
+
+
+@register(
     "events_session_window_batch",
     oracle="""
     WITH flagged AS (

@@ -82,6 +82,9 @@ def test_exiled_queries_are_redundant_variants():
         # composite of in-window-verified stages (lang/quality/dedup/
         # window budget); oracle runs in every CI pass
         "training_data_mix": "corpus_quality_by_lang",
+        "multimodal_frame_samples": "multimodal_features",
+        # reshape family; the in-window pivot rep is priority_month_matrix
+        "lineitem_measures_unpivot": "priority_month_matrix",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
