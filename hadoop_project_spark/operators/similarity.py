@@ -232,13 +232,10 @@ def lsh_topk(
         .join(c_full, "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    # candidates are already bucket-bounded, but a hot bucket can still
+    # concentrate one query's candidates — the two-stage ranking keeps
+    # the final window input at partitions × k regardless
+    return global_topk(scored, k)
 
 
 def make_coarse_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[float]]:
