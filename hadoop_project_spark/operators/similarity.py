@@ -36,16 +36,26 @@ def local_topk(scored: DataFrame, k: int) -> DataFrame:
     """Partition-local top-k on (query_id, neighbor_id, cosine) rows.
 
     Keeps the best k rows per (scan partition, query) with one aggregate:
-    the sort key is a (-cosine, neighbor_id) struct, so ascending
+    the sort key is an (ord, -cosine, neighbor_id) struct, so ascending
     sort_array yields exactly the total order the global ranking window
-    uses (cosine desc, neighbor_id asc; double negation is bit-exact).
+    uses (double negation is bit-exact). The window's `cosine DESC`
+    places NaN first (Spark orders NaN above every double) and NULL last
+    (DESC is NULLS LAST), while a bare ascending sort on -cosine would
+    put NaN last and NULL first — the explicit ord bucket (0 = NaN,
+    1 = value, 2 = NULL, with -cosine null-filled) restores parity.
     The global top-k per query is invariant under this pre-filter — every
     globally-ranked row is necessarily in its own partition's top-k — so
     the downstream window sees at most num_partitions × k rows per query
     instead of the whole scored set in one reducer task.
     """
     entry = F.struct(
-        (-F.col("cosine")).alias("neg_cos"),
+        F.when(F.col("cosine").isNull(), F.lit(2))
+        .when(F.isnan("cosine"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("ord"),
+        F.coalesce(
+            F.when(~F.isnan("cosine"), -F.col("cosine")), F.lit(0.0)
+        ).alias("neg_cos"),
         F.col("neighbor_id").alias("neighbor_id"),
         F.col("cosine").alias("cosine"),
     )

@@ -114,13 +114,13 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sp
     JOIN pt ON sp.l_partkey = pt.l_partkey
     JOIN supplier ON s_suppkey = sp.l_suppkey
-    WHERE CAST(sq AS DOUBLE) > 0.3 * CAST(tq AS DOUBLE)
+    WHERE CAST(sq AS DOUBLE) > 0.15 * CAST(tq AS DOUBLE)
     GROUP BY s_name
     """,
     tags=("join", "subquery", "agg", "threshold"),
 )
 def bulk_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q20 shape: suppliers who shipped more than 30% of some part's
+    """Q20 shape: suppliers who shipped more than 15% of some part's
     total quantity, with how many such parts each. Nested aggregation
     (per supplier-part, then per part) with an aggregate-derived
     threshold; quantities are summed as DECIMAL (exact) and cast to
@@ -135,7 +135,7 @@ def bulk_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = li.groupBy("l_partkey").agg(F.sum(dec2("l_quantity")).alias("tq"))
     bulk = sp.join(pt, "l_partkey").filter(
-        F.col("sq").cast("double") > 0.3 * F.col("tq").cast("double")
+        F.col("sq").cast("double") > 0.15 * F.col("tq").cast("double")
     )
     return (
         bulk.join(

@@ -31,11 +31,14 @@ KM_TOL = 1e-3
 _FIT_CACHE: dict[tuple[str, int], object] = {}
 
 
-def _shared_fit(emb: DataFrame, sf_dir: str, k: int = KM_K):
+def _shared_fit(
+    emb: DataFrame, sf_dir: str, k: int = KM_K, assume_cached: bool = False
+):
     key = (sf_dir, k)
     if key not in _FIT_CACHE:
         _FIT_CACHE[key] = kmeans_fit(
-            emb, k=k, dim=KM_DIM, max_iter=KM_MAX_ITER, tol=KM_TOL
+            emb, k=k, dim=KM_DIM, max_iter=KM_MAX_ITER, tol=KM_TOL,
+            assume_cached=assume_cached,
         )
     return _FIT_CACHE[key]
 
@@ -96,8 +99,9 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         for k in (4, 8):
             # the k=8 fit is the same (data, init, params) model that
-            # kmeans_centroids/_cluster_sizes use — share it
-            res = _shared_fit(emb, sf_dir, k)
+            # kmeans_centroids/_cluster_sizes use — share it; emb is
+            # already cached here, don't let the fit cache a second copy
+            res = _shared_fit(emb, sf_dir, k, assume_cached=True)
             s = silhouette_score(emb, res.centroids)
             rows.append((k, round(s, 6), res.n_iters, res.converged))
     finally:

@@ -230,7 +230,7 @@ TRAIN_MIX_TOKEN_CAP = 800
     ),
     filt AS (
       SELECT * FROM scored
-      WHERE lang_pred = 'en' AND q >= {TRAIN_MIX_MIN_Q}
+      WHERE lang_pred = 'en' AND round(q, 9) >= {TRAIN_MIX_MIN_Q}
     ),
     ded AS (
       SELECT * FROM (
@@ -272,8 +272,10 @@ def training_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts.quality_score("text").alias("q"),
         ts.fingerprint("text").alias("fp"),
     )
+    # round(q, 9) before the gate — every float-derived decision is made
+    # on the same 9dp value in both engines (same rule as the ordering)
     filt = scored.filter(
-        (F.col("lang_pred") == "en") & (F.col("q") >= TRAIN_MIX_MIN_Q)
+        (F.col("lang_pred") == "en") & (F.round("q", 9) >= TRAIN_MIX_MIN_Q)
     )
     from pyspark.sql.window import Window
 

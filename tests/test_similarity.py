@@ -123,6 +123,42 @@ def test_local_topk_bounds_ranking_input(spark, sf_dir):
     assert nv == ts
 
 
+def test_local_topk_nan_null_parity_with_window(spark):
+    """NaN cosines rank FIRST under the window's cosine DESC (Spark
+    orders NaN above all doubles) and NULLs rank LAST (DESC NULLS
+    LAST); the partition-local pre-filter must preserve exactly that
+    order or the two-stage result diverges from the naive window."""
+    import math
+
+    from pyspark.sql.window import Window
+
+    rows = []
+    for q in (1, 2):
+        rows += [(q, 10, float("nan")), (q, 11, None), (q, 12, 0.9),
+                 (q, 13, 0.8), (q, 14, float("nan")), (q, 15, None),
+                 (q, 16, 0.7)]
+    scored = spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine double"
+    ).repartition(3)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    naive = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+    )
+    two_stage = sim.global_topk(scored, 4)
+
+    def key(r):
+        c = r["cosine"]
+        c = "nan" if (c is not None and math.isnan(c)) else c
+        return (r["query_id"], r["rank"], r["neighbor_id"], c)
+
+    assert sorted(map(key, naive.collect())) == sorted(
+        map(key, two_stage.collect())
+    )
+
+
 def test_pandas_topk_matches_jvm_topk(spark, sf_dir):
     """The Arrow/numpy ANN path must produce the same neighbor sets as
     the JVM expression path (modulo exact-tie ordering): compare ids
