@@ -250,3 +250,42 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
     exp = {(r["pid"], r["cid"]) for r in batch.collect()}
     assert got == exp and len(got) > 0
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
+    """The foreachBatch parquet sink must (a) deliver exactly the input
+    rows across micro-batches and (b) be replay-safe: re-running a
+    batch id overwrites its directory instead of duplicating rows."""
+    from hadoop_project_spark.streaming.sinks import idempotent_parquet_sink
+
+    src = _events_as_parquet_dir(spark, sf_dir, tmp_path)
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "sink_ckpt")
+    stream = read_events_stream(spark, src).select("event_id", "user_id", "ts")
+    sink = idempotent_parquet_sink(out)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert written.count() == n_src
+    assert written.select("event_id").distinct().count() == n_src
+
+    # replay: feeding the same batch id again must not duplicate
+    replay_df = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    ).limit(100)
+    max_batch = max(
+        int(d.split("=")[1])
+        for d in __import__("os").listdir(out)
+        if d.startswith("batch_id=")
+    )
+    sink(replay_df, max_batch)
+    sink(replay_df, max_batch)
+    replayed = spark.read.parquet(f"{out}/batch_id={max_batch}")
+    assert replayed.count() == 100
+    shutil.rmtree(src, ignore_errors=True)
