@@ -98,6 +98,69 @@ def small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cheapest_supplier_per_part",
+    priority=500,
+    oracle="""
+    WITH up AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_price) AS best_price
+      FROM up GROUP BY l_partkey
+    )
+    SELECT up.l_partkey,
+           MIN(up.l_suppkey) AS l_suppkey,
+           MIN(up.unit_price) AS unit_price
+    FROM up JOIN best
+      ON up.l_partkey = best.l_partkey AND up.unit_price = best.best_price
+    GROUP BY up.l_partkey
+    """,
+    tags=("join", "subquery", "argmin", "A13"),
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: for every part, the supplier quoting the minimum unit
+    price (scalar MIN subquery correlated on the part key). Classic
+    decorrelation — aggregate the minimum per part, join back on
+    (part, price) — rather than a window, because Q2's subquery compares
+    against an aggregate of a DIFFERENT relation slice in real TPC-H;
+    the join-back form generalizes. The unit price stays a RAW double:
+    IEEE division is bit-identical on both engines, and MIN / the
+    equality join-back over identical doubles are exact — whereas a
+    decimal rounding of the quotient hits half-boundary disagreements
+    (Spark HALF_UP on the shortest repr vs DuckDB on the binary value).
+    Ties break to the lowest supplier."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    up = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_price"
+            )
+        )
+    )
+    best = (
+        up.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "bp_partkey")  # disambiguate self-join lineage
+    )
+    return (
+        up.join(
+            best,
+            (F.col("l_partkey") == F.col("bp_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.min("unit_price").alias("unit_price"),
+        )
+    )
+
+
+@register(
     "bulk_share_suppliers",
     oracle="""
     WITH sp AS (

@@ -74,3 +74,19 @@ def pickup_schema() -> T.StructType:
 
 def read_pickups_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(pickup_schema()).csv(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = False) -> None:
+    """CSV sink with the same quoting convention the readers use
+    (S5 generalized: the reference's text sinks write delimited lines,
+    TextOutputFormat; here fields containing the delimiter/quote are
+    quoted+escaped so the file round-trips through read_*_csv exactly).
+    One file per partition — at scale, repartition first to control
+    file count, as with every file sink."""
+    (
+        df.write.mode("overwrite")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("header", str(header).lower())
+        .csv(path)
+    )

@@ -85,6 +85,8 @@ def test_exiled_queries_are_redundant_variants():
         "multimodal_frame_samples": "multimodal_features",
         # reshape family; the in-window pivot rep is priority_month_matrix
         "lineitem_measures_unpivot": "priority_month_matrix",
+        # argmin-per-group; in-window argmax rep + Q17/Q20 correlated reps
+        "cheapest_supplier_per_part": "latest_event_per_user",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,

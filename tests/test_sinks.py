@@ -140,3 +140,30 @@ def test_text_report_sink(spark, tmp_path):
     assert len(parts) == 1
     with open(os.path.join(out, parts[0])) as f:
         assert f.read().splitlines() == lines
+
+
+def test_csv_sink_roundtrips_quoted_fields(spark, tmp_path):
+    """Fields containing delimiters and quotes must survive
+    write_csv → read (the opencsv-parity quoting convention)."""
+    from hadoop_project_spark.sources.csv import write_csv
+
+    rows = [
+        (1, 'plain'),
+        (2, 'with,comma'),
+        (3, 'with "quotes" inside'),
+        (4, 'both, "mixed", here'),
+        (5, ''),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload string")
+    out = str(tmp_path / "csv_out")
+    write_csv(df, out)
+    back = (
+        spark.read.schema("id int, payload string")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out)
+    )
+    got = {(r["id"], r["payload"]) for r in back.collect()}
+    # Spark's CSV sink writes empty string as an empty (null) field
+    exp = {(i, p if p else None) for i, p in rows}
+    assert got == exp
