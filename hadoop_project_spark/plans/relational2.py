@@ -229,6 +229,78 @@ def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_timespine_gapfill",
+    priority=500,
+    oracle="""
+    WITH bucketed AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, MIN(ts)) AS lo,
+             time_bucket(INTERVAL 15 MINUTE, MAX(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 15 MINUTE)) AS bucket
+      FROM b
+    )
+    SELECT spine.bucket,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           COALESCE(total_value, 0.0) AS total_value
+    FROM spine LEFT JOIN bucketed ON spine.bucket = bucketed.bucket
+    """,
+    tags=("time", "gapfill", "spine", "A7", "extension"),
+)
+def events_timespine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series output over a generated 15-minute spine:
+    buckets with no events appear with zero counts (A7's dense-domain
+    fill generalized from the airline month matrix to a time spine).
+
+    Scale shape: the spine is sequence(min, max, 15 min) exploded from
+    ONE aggregate row — size = time-range/step regardless of data
+    volume — then a left join against the bucketed aggregate on the
+    bucket key. Spark's window(ts, '15 minutes') and DuckDB's
+    time_bucket both align to epoch-divisible boundaries, so the keys
+    agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec2("value")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n_events", "total_value")
+    )
+    # spine: one row of (lo, hi) bucket starts -> exploded sequence
+    lo_hi = ev.agg(
+        F.min("ts").alias("lo_ts"), F.max("ts").alias("hi_ts")
+    ).select(
+        F.timestamp_seconds(
+            (F.unix_timestamp("lo_ts") / 900).cast("long") * 900
+        ).alias("lo"),
+        F.timestamp_seconds(
+            (F.unix_timestamp("hi_ts") / 900).cast("long") * 900
+        ).alias("hi"),
+    )
+    spine = lo_hi.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 15 MINUTES"))
+        ).alias("bucket")
+    )
+    return (
+        spine.join(bucketed, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+@register(
     "lineitem_measures_unpivot",
     priority=500,
     oracle="""

@@ -87,6 +87,8 @@ def test_exiled_queries_are_redundant_variants():
         "lineitem_measures_unpivot": "priority_month_matrix",
         # argmin-per-group; in-window argmax rep + Q17/Q20 correlated reps
         "cheapest_supplier_per_part": "latest_event_per_user",
+        # dense-fill family; in-window A7 rep
+        "events_timespine_gapfill": "priority_month_dense_counts",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
