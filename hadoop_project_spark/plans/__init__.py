@@ -16,6 +16,7 @@ from hadoop_project_spark.plans import correlated  # noqa: F401,E402
 from hadoop_project_spark.plans import reference_workloads  # noqa: F401,E402
 from hadoop_project_spark.plans import text_pipeline  # noqa: F401,E402
 from hadoop_project_spark.plans import dedup_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import corpus_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import similarity_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import ml_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import multimodal_queries  # noqa: F401,E402

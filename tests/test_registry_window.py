@@ -87,6 +87,13 @@ def test_exiled_queries_are_redundant_variants():
         "lineitem_measures_unpivot": "priority_month_matrix",
         # argmin-per-group; in-window argmax rep + Q17/Q20 correlated reps
         "cheapest_supplier_per_part": "latest_event_per_user",
+        # corpus-governance family (oracles run every CI pass); gram-join
+        # machinery's in-window rep is the jaccard dedup query, scan-stage
+        # text scoring's rep is the quality rollup
+        "decontaminate_ngram": "dedup_ngram_jaccard",
+        "source_overlap_matrix": "dedup_ngram_jaccard",
+        "doc_repetition_stats": "corpus_quality_by_lang",
+        "docs_hash_sample": "docs_source_groups",
         # dense-fill family; in-window A7 rep
         "events_timespine_gapfill": "priority_month_dense_counts",
         # oracle-less by design:
