@@ -20,3 +20,4 @@ from hadoop_project_spark.plans import corpus_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import similarity_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import ml_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import multimodal_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import roundtrip_queries  # noqa: F401,E402

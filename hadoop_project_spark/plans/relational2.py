@@ -157,6 +157,9 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY o.o_custkey
     """,
     tags=("join", "agg", "subquery"),
+    # join-back-to-aggregate shape; the in-window correlated reps are
+    # the Q4/Q17 queries (orders_with_late_items, small_qty_part_revenue)
+    priority=500,
 )
 def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-back-to-aggregate (correlated-subquery shape): orders above

@@ -1,0 +1,113 @@
+"""Source/sink roundtrip queries — the driver-visible anchors for the
+engine's file write + read paths (SURVEY.md §2.1 S2/S5/S6).
+
+Each query pushes driver test data through one of the engine's own
+sinks and reads it back through the matching source before computing
+its aggregate; the DuckDB oracle computes the same aggregate straight
+from the original parquet. A hash match therefore certifies the whole
+write→read path — quoting, schema application, partition-directory
+layout, type preservation — not just the final agg (the same
+end-to-end strategy the reference's tests apply to its populate jobs,
+Flight2/src/main/java/hw4/HPopulate.java:92-101).
+
+Roundtrip files land under a deterministic per-SF directory in the
+system temp dir, rewritten with mode=overwrite on every run — the
+builders are side-effecting but idempotent, and the read DataFrame they
+return stays valid until the driver collects it.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.functions.text import tokenize
+from hadoop_project_spark.plans.registry import register
+from hadoop_project_spark.sources.csv import write_csv
+from hadoop_project_spark.sources.sinks import write_partitioned
+
+
+def _roundtrip_dir(sf_dir: str, name: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), "hps_roundtrips", sf, name)
+
+
+@register(
+    "csv_roundtrip_word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (
+      SELECT UNNEST(STRING_SPLIT_REGEX(text, '\\s+')) AS word
+      FROM documents
+    )
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    tags=("source", "sink", "S2", "S5", "roundtrip"),
+)
+def csv_roundtrip_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → engine CSV sink → positional-schema CSV source →
+    word count. The oracle runs on the original parquet, so the hash
+    match proves the CSV quoting/escaping and schema application are
+    lossless (S2+S5), with the in-window `word_count` as the
+    no-roundtrip control."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _roundtrip_dir(sf_dir, "docs_csv")
+    write_csv(docs, path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return (
+        back.select(F.explode(tokenize("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "partitioned_parquet_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "S6", "roundtrip"),
+)
+def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → partitioned+sorted parquet sink (partitionBy the
+    priority, sortWithinPartitions the key for row-group pruning) →
+    plain parquet read → per-priority rollup. Hash-matching the
+    direct-scan oracle proves the partition-directory layout preserves
+    rows, types, and the partition column's values exactly (S6)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _roundtrip_dir(sf_dir, "orders_part")
+    write_partitioned(
+        orders, path, partition_cols=["o_orderpriority"],
+        sort_cols=["o_orderkey"],
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

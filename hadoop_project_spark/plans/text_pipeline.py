@@ -68,6 +68,9 @@ SQL_QUALITY = (
     FROM documents
     """,
     tags=("text", "token-count", "extension"),
+    # per-doc scan-stage text stats; token counting's in-window reps are
+    # the quality rollup (sums n_tokens) and doc_quality_scores
+    priority=500,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counting: whitespace tokens + BPE-ish fragment

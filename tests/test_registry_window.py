@@ -40,6 +40,8 @@ MUST_VERIFY = {
     "approx_price_percentiles",
     "corpus_quality_by_lang",
     "docs_source_groups",
+    "csv_roundtrip_word_count",
+    "partitioned_parquet_roundtrip",
 }
 
 
@@ -94,6 +96,11 @@ def test_exiled_queries_are_redundant_variants():
         "source_overlap_matrix": "dedup_ngram_jaccard",
         "doc_repetition_stats": "corpus_quality_by_lang",
         "docs_hash_sample": "docs_source_groups",
+        # displaced to make room for the roundtrip sink/source anchors:
+        # join-back-to-agg shape is covered by the Q4/Q17 correlated reps
+        "orders_above_customer_avg": "small_qty_part_revenue",
+        # token-count stats roll up inside the in-window quality rollup
+        "doc_token_stats": "corpus_quality_by_lang",
         # dense-fill family; in-window A7 rep
         "events_timespine_gapfill": "priority_month_dense_counts",
         # oracle-less by design:
