@@ -438,6 +438,9 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY CAST(ts AS DATE)
     """,
     tags=("agg", "distinct"),
+    # distinct-count agg is also hash-exercised inside the in-window
+    # approx_distinct bounds oracle (exact twin embedded in the same agg)
+    priority=500,
 )
 def exact_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact daily distinct users (the verification twin of the HLL

@@ -841,3 +841,49 @@ def qty_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
          ).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution ranks over a total order — ntile / percent_rank /
+# cume_dist WITHOUT the single-task global window (extension; the
+# scalable-ranking analog of the reference's total-order sort, §2.5 O1).
+# ---------------------------------------------------------------------------
+@register(
+    "customer_value_deciles",
+    priority=500,
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend,
+           CAST(rank() OVER w AS BIGINT) AS rank,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(10) OVER w AS INT) AS bucket
+    FROM spend
+    WINDOW w AS (ORDER BY spend, o_custkey)
+    """,
+    tags=("window", "ranking", "extension"),
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer lifetime spend ranked globally: exact rank,
+    percent_rank, cume_dist, and spend decile via
+    operators/ranking.global_distribution_ranks — range-repartition +
+    mapInPandas local ranks + prefix-sum offsets, never a
+    parallelism-1 global window (the oracle's window functions ARE that
+    naive plan, so the hash match proves the distributed formulation
+    exactly reproduces it)."""
+    from hadoop_project_spark.operators.ranking import (
+        global_distribution_ranks,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(dec2("o_totalprice")).cast("double").alias("spend")
+    )
+    return global_distribution_ranks(
+        spend, [F.col("spend"), F.col("o_custkey")], ntile_k=10
+    )

@@ -111,3 +111,49 @@ def partitioned_parquet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    tags=("sink", "S7", "roundtrip", "join"),
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders + lineitem rewritten through the bucketed sink (bucketBy
+    the join key, 8 buckets, sorted) then joined via the catalog tables
+    — the join runs with NO Exchange on either side (the layout
+    co-locates it; asserted in tests/test_sinks.py). The direct-scan
+    oracle hash certifies the bucketed write→catalog-read→join path
+    end-to-end (S7)."""
+    from hadoop_project_spark.sources.sinks import write_bucketed
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    ot, lt = f"rt_orders_bkt_{sf}", f"rt_lineitem_bkt_{sf}"
+    write_bucketed(orders, ot, ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(lineitem, lt, ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    o = spark.table(ot).where(F.col("o_orderpriority") == "1-URGENT")
+    l = spark.table(lt)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

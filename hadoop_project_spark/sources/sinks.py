@@ -64,7 +64,23 @@ def write_bucketed(
     Two tables bucketed identically on their join key join with NO
     Exchange on either side (asserted in tests/test_sinks.py); the same
     holds for groupBy on the bucket key.
+
+    Overwrite is made robust to a stale warehouse directory: a managed
+    table's files can survive from a previous session while the (in-
+    memory) catalog forgets the table, in which case saveAsTable fails
+    with LOCATION_ALREADY_EXISTS — drop the entry and clear the leftover
+    location first.
     """
+    if mode == "overwrite":
+        import os
+        import shutil
+
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), table.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

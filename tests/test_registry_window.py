@@ -42,6 +42,7 @@ MUST_VERIFY = {
     "docs_source_groups",
     "csv_roundtrip_word_count",
     "partitioned_parquet_roundtrip",
+    "bucketed_join_roundtrip",
 }
 
 
@@ -67,7 +68,7 @@ def test_exiled_queries_are_redundant_variants():
         # exiled name -> in-window query covering the same operator row
         "customers_without_orders": "big_spender_segments",  # J4 anti/semi
         "most_valuable_order": "latest_event_per_user",  # A13 argmax
-        "order_fanout_stats": "exact_distinct_users_daily",  # distinct agg
+        "order_fanout_stats": "approx_distinct_users_daily",  # distinct agg
         "orders_cube": "orders_grouping_sets",  # grouping analytics
         "events_top_users": "shipping_priority_topk",  # top-k
         "part_popularity": "regional_revenue",  # J3 broadcast join
@@ -101,6 +102,10 @@ def test_exiled_queries_are_redundant_variants():
         "orders_above_customer_avg": "small_qty_part_revenue",
         # token-count stats roll up inside the in-window quality rollup
         "doc_token_stats": "corpus_quality_by_lang",
+        # distinct-count agg embedded in the approx bounds oracle
+        "exact_distinct_users_daily": "approx_distinct_users_daily",
+        # distributed ranking; in-window window-function rep
+        "customer_value_deciles": "order_rank_stats",
         # dense-fill family; in-window A7 rep
         "events_timespine_gapfill": "priority_month_dense_counts",
         # oracle-less by design:
