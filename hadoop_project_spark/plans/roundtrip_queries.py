@@ -157,3 +157,55 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "zorder_roundtrip",
+    priority=500,
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_extendedprice BETWEEN 20000 AND 40000
+    GROUP BY l_returnflag
+    """,
+    tags=("sink", "layout", "zorder", "roundtrip"),
+)
+def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem rewritten Z-order-clustered on (quantity, price), read
+    back through a two-dimensional range predicate — the workload shape
+    the Morton layout exists for (file/row-group min-max pruning on
+    BOTH columns; measured in tests/test_layout.py). The direct-scan
+    oracle hash proves the layout rewrite is lossless."""
+    from hadoop_project_spark.sources.layout import write_zordered
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    path = _roundtrip_dir(sf_dir, "lineitem_zorder")
+    write_zordered(
+        li,
+        path,
+        [
+            (F.col("l_quantity"), 1.0, 50.0),
+            (F.col("l_extendedprice"), 900.0, 105000.0),
+        ],
+        n_files=16,
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.where(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_extendedprice").between(20000, 40000)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -106,6 +106,8 @@ def test_exiled_queries_are_redundant_variants():
         "exact_distinct_users_daily": "approx_distinct_users_daily",
         # distributed ranking; in-window window-function rep
         "customer_value_deciles": "order_rank_stats",
+        # layout-sink family; in-window write-path rep
+        "zorder_roundtrip": "partitioned_parquet_roundtrip",
         # dense-fill family; in-window A7 rep
         "events_timespine_gapfill": "priority_month_dense_counts",
         # oracle-less by design:
