@@ -449,3 +449,39 @@ def exact_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.to_date("ts").alias("d")).agg(
         F.countDistinct("user_id").alias("n_users")
     )
+
+
+@register(
+    "events_user_rollup_salted",
+    priority=500,
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "skew", "R4"),
+)
+def events_user_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rollup computed through the two-phase SALTED aggregation
+    (operators/skew.py R4): phase 1 groups on (user_id, salt) so a hot
+    user's rows spread over 16 reduce tasks, phase 2 merges the partial
+    rows. The oracle is the plain one-phase GROUP BY — the hash match
+    proves salting is a pure placement transform (partials go through
+    decimal so the two-phase merge is order-exact)."""
+    from hadoop_project_spark.operators.skew import salted_groupby_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_groupby_agg(
+        ev,
+        keys=["user_id"],
+        partial_aggs=[
+            F.count("*").alias("pc"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("pv"),
+        ],
+        merge_aggs=[
+            F.sum("pc").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        ],
+        n_salts=16,
+    )

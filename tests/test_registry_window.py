@@ -108,6 +108,8 @@ def test_exiled_queries_are_redundant_variants():
         "customer_value_deciles": "order_rank_stats",
         # layout-sink family; in-window write-path rep
         "zorder_roundtrip": "partitioned_parquet_roundtrip",
+        # R4 salting equivalence; in-window keyed-agg rep
+        "events_user_rollup_salted": "events_hourly_rollup",
         # dense-fill family; in-window A7 rep
         "events_timespine_gapfill": "priority_month_dense_counts",
         # oracle-less by design:

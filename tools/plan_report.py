@@ -39,6 +39,15 @@ QUERIES = [
     "bulk_share_suppliers",
     "events_session_window_batch",
     "training_data_mix",
+    "decontaminate_ngram",
+    "doc_repetition_stats",
+    "docs_hash_sample",
+    "source_overlap_matrix",
+    "customer_value_deciles",
+    "csv_roundtrip_word_count",
+    "partitioned_parquet_roundtrip",
+    "bucketed_join_roundtrip",
+    "zorder_roundtrip",
 ]
 
 
