@@ -60,6 +60,12 @@ TOP_BIGRAM_FLAG = 0.08
 SAMPLE_BITS = 32
 SAMPLE_MOD = 1 << SAMPLE_BITS
 
+# Per-source document cap (the "domain capping" rule crawl pipelines
+# apply so one over-represented source can't dominate the training mix).
+# 20 < the 25 docs/source at sf0.01, so the cap genuinely drops rows at
+# the driver's correctness SF — not a vacuous keep-everything filter.
+SOURCE_CAP = 20
+
 
 def contamination_report(
     docs: DataFrame, bench_pred: Column, k: int = DECONTAM_K
@@ -157,6 +163,33 @@ def stratified_hash_sample(
         "doc_id",
         "source",
         (u.cast("double") / F.lit(float(SAMPLE_MOD))).alias("sample_u"),
+    )
+
+
+def cap_per_source(
+    docs: DataFrame, quality: Column, cap: int = SOURCE_CAP
+) -> DataFrame:
+    """Domain capping: keep at most ``cap`` documents per source, best
+    quality first — the mix-governance rule that stops one crawl from
+    dominating the corpus.
+
+    Per the house determinism rule, the RANKING decision uses the
+    quality score rounded to 9 dp with doc_id as total-order tie-break,
+    so the kept set is identical on every engine. The window partitions
+    by source — per-source state only, so skew is bounded by the largest
+    single source and AQE can split stragglers; there is no global
+    ordering anywhere.
+
+    Output: (source, doc_id, quality_r, cap_rank) for kept docs.
+    """
+    from pyspark.sql import Window
+
+    q = F.round(quality, 9)
+    w = Window.partitionBy("source").orderBy(F.desc("quality_r"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", q.alias("quality_r"))
+        .withColumn("cap_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("cap_rank") <= cap)
     )
 
 

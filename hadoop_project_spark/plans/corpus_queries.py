@@ -15,8 +15,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
 from hadoop_project_spark.operators import corpus as cp
+from hadoop_project_spark.operators import textstats as ts
 from hadoop_project_spark.plans.dedup_queries import SQL_NORM, SQL_SHINGLES_CTE
 from hadoop_project_spark.plans.registry import register
+from hadoop_project_spark.plans.text_pipeline import (
+    SQL_NTOK,
+    SQL_PUNCT_RATIO,
+    SQL_QUALITY,
+    _sql_stop_hits,
+)
 
 # The held-out "benchmark" split for decontamination: a deterministic
 # 1/97 slice of doc ids, standing in for an eval set distributed with
@@ -149,3 +156,34 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-equi-join over the (source, gram) distinct set."""
     docs = load_table(spark, sf_dir, "documents")
     return cp.source_overlap_matrix(docs)
+
+
+@register(
+    "source_quality_cap",
+    priority=500,
+    oracle=f"""
+    WITH q AS (
+      SELECT source, doc_id, round({SQL_QUALITY}, 9) AS quality_r
+      FROM (
+        SELECT source, doc_id,
+               CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+               {SQL_PUNCT_RATIO} AS punct_ratio,
+               CAST({_sql_stop_hits('en')} AS BIGINT) AS s_en
+        FROM documents
+      )
+    )
+    SELECT source, doc_id, quality_r, cap_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY source ORDER BY quality_r DESC, doc_id ASC) AS INT)
+        AS cap_rank
+      FROM q
+    ) WHERE cap_rank <= {cp.SOURCE_CAP}
+    """,
+    tags=("corpus", "capping", "extension"),
+)
+def source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping: at most SOURCE_CAP docs kept per source, best
+    quality first (9-dp-rounded score, doc_id tie-break) — per-source
+    window state only, no global ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cp.cap_per_source(docs, ts.quality_score("text"))

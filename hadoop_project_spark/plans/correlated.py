@@ -207,3 +207,77 @@ def bulk_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("n_bulk_parts"))
     )
+
+
+@register(
+    "sole_late_supplier_orders",
+    priority=500,
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, COUNT(*) AS n_orders
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+      )
+    GROUP BY s_name
+    """,
+    tags=("join", "subquery", "exists", "not-exists", "J4"),
+)
+def sole_late_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: per supplier, the multi-supplier orders on which they
+    were the ONLY late shipper (late = shipped 60+ days after the order
+    date). The correlated EXISTS decorrelates to a left-semi join on the
+    distinct (order, supplier) pairs and the correlated NOT EXISTS to a
+    left-anti self-join of the late set — both keyed on l_orderkey, so
+    the late set shuffles once and every consumer reuses that exchange;
+    supplier is a broadcast dim. No driver-side logic anywhere."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    l2 = pairs.select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_suppkey").alias("p_suppkey"),
+    )
+    multi = late.join(
+        l2,
+        (F.col("l_orderkey") == F.col("p_orderkey"))
+        & (F.col("l_suppkey") != F.col("p_suppkey")),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+    )
+    sole = multi.join(
+        l3,
+        (F.col("l_orderkey") == F.col("a_orderkey"))
+        & (F.col("l_suppkey") != F.col("a_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supp), sole.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -1,0 +1,144 @@
+"""Context-window preparation queries: overlapping chunking, sequence
+packing, TF-IDF keyword extraction — the stages between corpus
+governance (plans/corpus_queries.py) and the training run.
+
+`doc_chunks_overlap` and `sequence_packing` register in the driver's
+correctness window (priority 100): each is the unique representative of
+an operator family no other query exercises (per-doc window explode;
+distributed prefix-sum). TF-IDF registers at 500 — its explode/agg/join
+machinery is in-window via word_count and the dedup family — and is
+hash-verified by tests/test_oracle_parity.py every CI run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators import packing as pk
+from hadoop_project_spark.operators import textstats as ts
+from hadoop_project_spark.operators.tfidf import TOP_TERMS, tfidf_top_terms
+from hadoop_project_spark.plans.registry import register
+from hadoop_project_spark.plans.text_pipeline import (
+    SQL_NORM,
+    SQL_NTOK,
+    SQL_TOKENS,
+)
+
+_W = pk.CHUNK_WINDOW
+_S = pk.CHUNK_STRIDE
+_B = pk.PACK_BUDGET
+
+
+@register(
+    "doc_chunks_overlap",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents
+    ),
+    st AS (
+      SELECT doc_id, toks, greatest(len(toks) - {_W - 1}, 1) AS last
+      FROM norm
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             CASE WHEN (last - 1) % {_S} = 0
+                  THEN [s for s in range(1, last + 1, {_S})]
+                  ELSE list_append([s for s in range(1, last + 1, {_S})], last)
+             END AS ss
+      FROM st
+    ),
+    ex AS (
+      SELECT doc_id, toks,
+             UNNEST([{{'cid': i - 1, 'cs': ss[i]}}
+                     for i in range(1, len(ss) + 1)]) AS u
+      FROM starts
+    )
+    SELECT doc_id,
+           CAST(u.cid AS INT) AS chunk_id,
+           CAST(u.cs AS INT) AS chunk_start,
+           CAST(len(toks[u.cs : u.cs + {_W - 1}]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[u.cs : u.cs + {_W - 1}], ' ')) AS chunk_md5
+    FROM ex
+    """,
+    tags=("packing", "chunking", "extension"),
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (window 32, stride 24): every
+    document explodes into the context windows covering it, tail window
+    clamped to end on the last token. Scan → project → explode, no
+    shuffle — scales with input splits only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pk.chunk_documents(docs, window=_W, stride=_S)
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, CAST({SQL_NTOK} AS BIGINT) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // {_B} AS BIGINT) AS bin_first,
+           CAST((start_offset + n_tokens - 1) // {_B} AS BIGINT) AS bin_last,
+           (start_offset // {_B}) <> ((start_offset + n_tokens - 1) // {_B})
+             AS spans_boundary
+    FROM c
+    """,
+    tags=("packing", "prefix-sum", "extension"),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-concat sequence packing: documents concatenated in
+    doc_id order and cut into 256-token context windows; each doc
+    reports its exact global token offset and the window span it
+    occupies. The offset is a distributed prefix-sum (range exchange +
+    per-partition running totals + O(#partitions) broadcast offsets) —
+    NOT a one-task global window; the oracle states the same semantics
+    as the naive SQL window."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", ts.token_count("text").alias("n_tokens")
+    )
+    return pk.pack_bins(with_counts, budget=_B)
+
+
+@register(
+    "tfidf_top_terms",
+    priority=500,
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, UNNEST({SQL_TOKENS}) AS term FROM documents)
+      GROUP BY doc_id, term
+    ),
+    dfr AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS term_df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.term_df,
+             round(CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                   / CAST(dfr.term_df AS DOUBLE), 9) AS tfidf
+      FROM tf JOIN dfr USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, term_df, tfidf, rnk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_TERMS}
+    """,
+    tags=("text", "tfidf", "extension"),
+)
+def tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by rational TF-IDF (idf = N/df — no
+    transcendentals, so both engines produce bit-identical doubles;
+    ranking rounds to 9 dp per the house determinism rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs)

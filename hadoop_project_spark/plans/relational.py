@@ -128,6 +128,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "top3_orders_per_customer",
+    # O2 secondary-sort window family's in-window rep is
+    # order_rank_stats; displaced for the chunking/packing family
+    priority=500,
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
     FROM (

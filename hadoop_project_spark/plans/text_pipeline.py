@@ -134,6 +134,9 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprints",
+    # fingerprint op's in-window rep is dedup_exact (same md5-of-
+    # normalized-text key); displaced for the chunking/packing family
+    priority=500,
     oracle=f"""
     SELECT doc_id,
            md5({SQL_NORM}) AS fp_exact,

@@ -43,6 +43,8 @@ MUST_VERIFY = {
     "csv_roundtrip_word_count",
     "partitioned_parquet_roundtrip",
     "bucketed_join_roundtrip",
+    "doc_chunks_overlap",
+    "sequence_packing",
 }
 
 
@@ -112,6 +114,15 @@ def test_exiled_queries_are_redundant_variants():
         "events_user_rollup_salted": "events_hourly_rollup",
         # dense-fill family; in-window A7 rep
         "events_timespine_gapfill": "priority_month_dense_counts",
+        # fingerprint op: dedup_exact keys on the same md5-of-normalized
+        "doc_fingerprints": "dedup_exact",
+        # O2 secondary-sort window family
+        "top3_orders_per_customer": "order_rank_stats",
+        # explode/agg/join machinery reps; oracle runs every CI pass
+        "tfidf_top_terms": "word_count",
+        "source_quality_cap": "corpus_quality_by_lang",
+        # correlated EXISTS/NOT-EXISTS family's in-window rep (Q4 shape)
+        "sole_late_supplier_orders": "orders_with_late_items",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
