@@ -209,3 +209,58 @@ def zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "incremental_rollup_roundtrip",
+    priority=500,
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("sink", "incremental", "rollup", "roundtrip"),
+)
+def incremental_rollup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance: the daily rollup for
+    the settled prefix (days before the cutoff) is materialized to
+    day-partitioned parquet and READ BACK, not recomputed; only the
+    unsettled suffix is re-aggregated from the raw events, with the
+    cutoff predicate pushed into the scan. The union must hash-match a
+    full recompute (the oracle) — certifying that maintaining the
+    rollup incrementally is indistinguishable from rebuilding it, which
+    is the property that lets a 100 TB pipeline aggregate each day once
+    instead of rescanning history every run. Decimal partials survive
+    the parquet roundtrip exactly (sums stay DECIMAL(18,2) on disk and
+    only cast to DOUBLE at the end), so associativity of the merge is
+    exact, not float-ordered."""
+    cutoff = "2024-01-20"
+    events = load_table(spark, sf_dir, "events")
+
+    def daily(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("dec_value"),
+        )
+
+    path = _roundtrip_dir(sf_dir, "events_daily_rollup")
+    settled = daily(events.where(F.col("ts") < F.lit(cutoff).cast("timestamp")))
+    write_partitioned(settled, path, partition_cols=["day"], sort_cols=["event_type"])
+    materialized = spark.read.parquet(path).select(
+        "day", "event_type", "n_events", "dec_value"
+    )
+    fresh = daily(events.where(F.col("ts") >= F.lit(cutoff).cast("timestamp")))
+    return (
+        materialized.unionByName(fresh)
+        .select(
+            "day",
+            "event_type",
+            "n_events",
+            F.col("dec_value").cast("double").alias("total_value"),
+        )
+    )

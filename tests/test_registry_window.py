@@ -123,6 +123,11 @@ def test_exiled_queries_are_redundant_variants():
         "source_quality_cap": "corpus_quality_by_lang",
         # correlated EXISTS/NOT-EXISTS family's in-window rep (Q4 shape)
         "sole_late_supplier_orders": "orders_with_late_items",
+        # SQL-text entry path plans identically to the DataFrame form;
+        # multi-way join+agg's in-window rep
+        "nation_trade_volume_sql": "regional_revenue",
+        # incremental merge vs full recompute; in-window sink rep
+        "incremental_rollup_roundtrip": "partitioned_parquet_roundtrip",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
