@@ -127,3 +127,37 @@ def test_approx_percentiles_within_tolerance(spark, sf_dir):
     assert len(rows) == 5
     for r in rows:
         assert r["p25_ok"] and r["p50_ok"] and r["p75_ok"], r
+
+
+def test_chunking_has_no_exchange(spark, sf_dir):
+    """doc_chunks_overlap is scan → project → explode: any Exchange in
+    the plan means the per-doc operator started shuffling the corpus."""
+    df = SPECS["doc_chunks_overlap"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_packing_offsets_stay_distributed(spark, sf_dir):
+    """sequence_packing's prefix-sum must keep parallelism: exactly the
+    range exchange (plus Arrow boundaries), a BROADCAST join for the
+    O(#partitions) offsets, and no single-partition global Window/Sort
+    (the naive SUM() OVER (ORDER BY) plan this operator exists to
+    avoid)."""
+    df = SPECS["sequence_packing"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_pii_redaction_stays_jvm_side(spark, sf_dir):
+    """Redaction + counting is regexp machinery inside codegen: no
+    Python eval nodes, no exchanges."""
+    from hadoop_project_spark.operators.pii import redact_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(redact_documents(docs))
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+        assert bad not in plan
