@@ -82,6 +82,41 @@ def salted_broadcast_left(
     return joined.drop("_salt")
 
 
+def key_skew_profile(df: DataFrame, keys: list[str]) -> DataFrame:
+    """The diagnostic that DECIDES when the salting operators above are
+    worth their cost: one-row distribution profile of the per-key row
+    counts.
+
+    Output: n_keys, n_rows, max_key_rows, avg_key_rows, p50/p99 key
+    rows, max_share (hottest key's fraction of all rows) and skew_ratio
+    (max/avg — the straggler multiplier a plain shuffle would suffer).
+    Two keyed aggregations: per-key counts (map-side combined), then a
+    global fold of one row per key — the profile itself never collects
+    more than one row to the driver. Exact percentiles over integer
+    counts are engine-portable (Spark `percentile` ≡ DuckDB
+    `percentile_cont` interpolation, bit-for-bit).
+    """
+    per_key = df.groupBy(*keys).agg(F.count("*").alias("cnt"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        (F.sum("cnt").cast("double") / F.count("*").cast("double")).alias(
+            "avg_key_rows"
+        ),
+        F.expr("percentile(cnt, 0.5)").alias("p50_key_rows"),
+        F.expr("percentile(cnt, 0.99)").alias("p99_key_rows"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias(
+            "max_share"
+        ),
+        (
+            F.max("cnt").cast("double")
+            * F.count("*").cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
 def repartition_by(
     df: DataFrame, cols: list[str], n: int | None = None
 ) -> DataFrame:

@@ -128,6 +128,10 @@ def test_exiled_queries_are_redundant_variants():
         "nation_trade_volume_sql": "regional_revenue",
         # incremental merge vs full recompute; in-window sink rep
         "incremental_rollup_roundtrip": "partitioned_parquet_roundtrip",
+        # distribution-agg machinery's in-window rep
+        "events_key_skew_profile": "price_percentiles_by_priority",
+        # keyed join+agg machinery's in-window rep
+        "orders_snapshot_diff": "supplier_nation_balance",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
