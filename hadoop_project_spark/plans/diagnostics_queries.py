@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators.profile import (
+    column_profile,
+    sql_column_profile,
+)
 from hadoop_project_spark.operators.skew import key_skew_profile
 from hadoop_project_spark.operators.snapshot import (
     diff_summary,
@@ -112,3 +116,21 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, new, ["o_orderkey"], ["o_totalprice", "o_orderpriority"]
     )
     return diff_summary(diff)
+
+
+_PROF_NUM = ["l_quantity", "l_extendedprice", "l_discount"]
+_PROF_STR = ["l_returnflag", "l_linestatus"]
+
+
+@register(
+    "lineitem_column_profile",
+    priority=500,
+    oracle=sql_column_profile("lineitem", _PROF_NUM, _PROF_STR),
+    tags=("diagnostics", "analyze", "stats", "extension"),
+)
+def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column stats for five lineitem columns off ONE
+    scan (a single wide aggregate unpivoted with stack): null counts,
+    exact distinct counts, numeric min/max, string length bounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return column_profile(li, _PROF_NUM, _PROF_STR)

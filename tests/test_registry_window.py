@@ -132,6 +132,8 @@ def test_exiled_queries_are_redundant_variants():
         "events_key_skew_profile": "price_percentiles_by_priority",
         # keyed join+agg machinery's in-window rep
         "orders_snapshot_diff": "supplier_nation_balance",
+        # global min/max + distinct-count machinery's in-window reps
+        "lineitem_column_profile": "lineitem_global_minmax",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,

@@ -65,3 +65,19 @@ def test_skew_profile_math(spark):
     assert r.p50_key_rows == 1.0
     assert r.max_share == 0.6
     assert r.skew_ratio == 3.0
+
+
+def test_column_profile_nulls_and_bounds(spark):
+    from hadoop_project_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1.0, "ab"), (2.5, None), (None, "wxyz"), (2.5, "ab")],
+        "x double, s string",
+    )
+    rows = {r.column_name: r for r in column_profile(df, ["x"], ["s"]).collect()}
+    x, s = rows["x"], rows["s"]
+    assert (x.n_rows, x.n_nulls, x.n_distinct) == (4, 1, 2)
+    assert (x.min_num, x.max_num) == (1.0, 2.5)
+    assert x.min_len is None and x.max_len is None
+    assert (s.n_nulls, s.n_distinct, s.min_len, s.max_len) == (1, 2, 2, 4)
+    assert s.min_num is None
