@@ -48,6 +48,16 @@ QUERIES = [
     "partitioned_parquet_roundtrip",
     "bucketed_join_roundtrip",
     "zorder_roundtrip",
+    "doc_chunks_overlap",
+    "sequence_packing",
+    "tfidf_top_terms",
+    "source_quality_cap",
+    "sole_late_supplier_orders",
+    "nation_trade_volume_sql",
+    "incremental_rollup_roundtrip",
+    "events_key_skew_profile",
+    "orders_snapshot_diff",
+    "lineitem_column_profile",
 ]
 
 
