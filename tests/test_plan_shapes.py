@@ -161,3 +161,40 @@ def test_pii_redaction_stays_jvm_side(spark, sf_dir):
     plan = _plan(redact_documents(docs))
     for bad in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
         assert bad not in plan
+
+
+def test_no_scale_killers_anywhere(spark, sf_dir):
+    """Global sweep over EVERY registered query's physical plan:
+
+    * no CartesianProduct — candidate generation and joins must stay
+      keyed (broadcast-nested-loop over a 1-row literal side is fine
+      and shows up as BroadcastNestedLoopJoin, not CartesianProduct);
+    * no Window fed by an Exchange SinglePartition — the global-window
+      parallelism collapse the ranking/packing operators exist to
+      avoid. Single-partition FINAL aggregates (1-row global results
+      after partial aggregation) are legitimate and not flagged.
+
+    Plans are built (not executed) for every query; eager-write
+    builders do their writes, which the parity suite exercises anyway.
+    """
+    bad: list[str] = []
+    for name, spec in SPECS.items():
+        df = spec.build(spark, sf_dir)
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            indent = len(line) - len(line.lstrip(" :+-*("))
+            for j in range(i - 1, -1, -1):
+                pindent = len(lines[j]) - len(lines[j].lstrip(" :+-*("))
+                if pindent < indent and any(
+                    op in lines[j] for op in ("Window", "WindowExec")
+                ):
+                    bad.append(f"{name}: single-partition Window")
+                    break
+                if pindent < indent:
+                    break
+    assert not bad, bad
