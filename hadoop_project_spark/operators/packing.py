@@ -41,7 +41,10 @@ def chunk_starts(toks: Column, window: int, stride: int) -> Column:
 
     Regular starts 1, 1+stride, … up to L = max(n-window+1, 1), plus a
     final start at L when the strides don't land on it exactly — so the
-    last window always ends on the last token and no token is dropped.
+    last window always ends on the last token. With stride ≤ window
+    (the overlap regime) every token is covered; stride > window is the
+    gappy sampled-windows regime (valid for sketching long docs) and
+    skips tokens between windows by construction.
     Built without array_distinct (its output order is unspecified in
     some engines); the list is constructed duplicate-free so both Spark
     and the SQL oracle agree on element ORDER, which defines chunk_id.

@@ -110,3 +110,101 @@ def test_shingle_shape(spark, toks, k):
     )
     # slice past the end takes what exists (SQL slice semantics)
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    lens=st.lists(st.integers(1, 40), min_size=1, max_size=12),
+    window=st.integers(2, 10),
+    stride=st.integers(1, 8),
+)
+def test_chunking_covers_and_bounds(spark, lens, window, stride):
+    """Chunk sizes are ≤ window; chunk_ids are dense from 0 in start
+    order; the last token is always covered. Full coverage of every
+    token additionally holds whenever stride ≤ window (stride > window
+    is the gappy sampled-windows regime — see chunk_starts)."""
+    from hadoop_project_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, window=window, stride=stride).collect()
+    for doc_id, n in enumerate(lens):
+        mine = sorted(
+            (r for r in rows if r.doc_id == doc_id), key=lambda r: r.chunk_id
+        )
+        covered = set()
+        prev_start = 0
+        for r in mine:
+            assert 1 <= r.n_chunk_tokens <= window
+            assert r.chunk_start > prev_start or r.chunk_id == 0
+            prev_start = r.chunk_start
+            covered.update(range(r.chunk_start, r.chunk_start + r.n_chunk_tokens))
+        assert [r.chunk_id for r in mine] == list(range(len(mine)))
+        assert n in covered  # tail window always reaches the last token
+        if stride <= window:
+            assert covered == set(range(1, n + 1))
+        else:
+            assert covered <= set(range(1, n + 1))
+
+
+@settings(**_SETTINGS)
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(2, 64),
+)
+def test_packing_offsets_are_exact_cumsum(spark, weights, budget):
+    """Distributed prefix-sum == pure-Python cumulative sum, and bin
+    spans follow by integer division."""
+    from hadoop_project_spark.operators.packing import pack_bins
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, n_tokens long"
+    )
+    rows = {r.doc_id: r for r in pack_bins(df, budget=budget).collect()}
+    acc = 0
+    for i, w in enumerate(weights):
+        r = rows[i]
+        assert r.start_offset == acc
+        assert r.bin_first == acc // budget
+        assert r.bin_last == (acc + w - 1) // budget
+        assert r.spans_boundary == (r.bin_first != r.bin_last)
+        acc += w
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 3)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    mutations=st.lists(st.integers(0, 30), max_size=10),
+)
+def test_snapshot_diff_matches_dict_model(spark, rows, mutations):
+    """snapshot_diff == a pure-Python dict comparison for arbitrary
+    mutations (value bumps create 'changed', new keys 'added')."""
+    from hadoop_project_spark.operators.snapshot import snapshot_diff
+
+    old = dict(rows)
+    new = dict(old)
+    for k in mutations:
+        new[k] = new.get(k, -1) + 1  # bump existing or add new key
+    expected = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expected[k] = "added"
+        elif k not in new:
+            expected[k] = "removed"
+        else:
+            expected[k] = "unchanged" if old[k] == new[k] else "changed"
+
+    old_df = spark.createDataFrame(list(old.items()), "k long, v long")
+    new_df = spark.createDataFrame(list(new.items()), "k long, v long")
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(old_df, new_df, ["k"], ["v"]).collect()
+    }
+    assert got == expected
