@@ -56,6 +56,18 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     li.join(F.broadcast(na), li.l_suppkey % 25 == na.n_nationkey) \
         .agg(F.count("*")).write.format("noop").mode("overwrite").save()
+    # window + explode codegen templates and the Arrow/Python worker
+    # pool (paid once per JVM; would otherwise land on the first
+    # measured window/explode/mapInPandas query)
+    from pyspark.sql import Window
+
+    na.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+    ).write.format("noop").mode("overwrite").save()
+    na.select(F.explode(F.split("n_name", "_"))).write.format("noop") \
+        .mode("overwrite").save()
+    na.mapInPandas(lambda it: it, schema=na.schema) \
+        .write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
