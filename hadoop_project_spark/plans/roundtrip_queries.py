@@ -264,3 +264,47 @@ def incremental_rollup_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dec_value").cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "schema_evolution_roundtrip",
+    priority=500,
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "schema-evolution", "roundtrip"),
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: batch 1 (even order
+    keys) is written WITHOUT the `flagged` column — the old producer —
+    and batch 2 (odd keys) WITH it; the reader merges schemas
+    (mergeSchema) and treats the missing column as NULL, which the
+    aggregation coalesces. Hash-matching an oracle computed on the
+    un-evolved original proves an added column is backfill-safe: old
+    files keep working, new files carry the new field, and no rows or
+    values drift during the transition — the property a long-lived
+    100 TB dataset depends on every time its schema grows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = _roundtrip_dir(sf_dir, "orders_evolving")
+    old_batch = orders.where(F.col("o_orderkey") % 2 == 0)
+    new_batch = orders.where(F.col("o_orderkey") % 2 == 1).withColumn(
+        "flagged", F.lit(False)
+    )
+    old_batch.write.mode("overwrite").parquet(os.path.join(path, "b=1"))
+    new_batch.write.mode("overwrite").parquet(os.path.join(path, "b=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "b=1"), os.path.join(path, "b=2")
+    )
+    # old files: flagged is NULL -> "was written before the column
+    # existed" -> counts as flagged=true here (even keys)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("flagged").isNull().cast("long")).alias("n_flagged"),
+    )

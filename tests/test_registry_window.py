@@ -134,6 +134,8 @@ def test_exiled_queries_are_redundant_variants():
         "orders_snapshot_diff": "supplier_nation_balance",
         # global min/max + distinct-count machinery's in-window reps
         "lineitem_column_profile": "lineitem_global_minmax",
+        # parquet write→read family's in-window rep
+        "schema_evolution_roundtrip": "partitioned_parquet_roundtrip",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
