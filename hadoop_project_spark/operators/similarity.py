@@ -440,3 +440,51 @@ def brute_force_topk_pandas(
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     return global_topk(scored, k).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+def quantize_profile(
+    emb: DataFrame, vec_col: str = "embedding", levels: int = 256
+) -> DataFrame:
+    """Per-dimension int8 quantization profile — the storage/bandwidth
+    stage of an ANN index build (float32 → 1 byte/dim is 4× less scan
+    at query time; IVF/LSH recall is typically unharmed).
+
+    For each dimension: global min/max, and the SUM of every vector's
+    quantized code in that dimension. The code sum is an integer
+    checksum over all n_vectors × dim quantization DECISIONS — if any
+    single code differed between engines the sum would differ — while
+    keeping the output at `dim` rows.
+
+    Determinism: code = floor((v - min) / scale) clamped to
+    levels-1, with scale = (max - min) / levels. floor over
+    correctly-rounded IEEE division is bit-deterministic on any
+    engine (unlike round(), whose half-boundary tie rule varies);
+    degenerate dimensions (max == min) map to code 0.
+
+    Shape: one posexplode (no shuffle) feeding a groupBy(dim) — the
+    per-dim min/max aggregate partially combines map-side, then the
+    same exchange serves the join back for code assignment; the second
+    pass re-scans rather than caching n_vectors × dim exploded rows.
+    """
+    exploded = emb.select(
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "v")
+    ).select("dim_idx", F.col("v").cast("double").alias("v"))
+    bounds = exploded.groupBy("dim_idx").agg(
+        F.min("v").alias("min_v"), F.max("v").alias("max_v")
+    )
+    scale = (F.col("max_v") - F.col("min_v")) / F.lit(float(levels))
+    code = F.when(F.col("max_v") == F.col("min_v"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("v") - F.col("min_v")) / scale), F.lit(levels - 1)
+        )
+    )
+    return (
+        exploded.join(bounds, "dim_idx")
+        .groupBy("dim_idx")
+        .agg(
+            F.min("min_v").alias("min_v"),
+            F.min("max_v").alias("max_v"),
+            F.sum(code).cast("bigint").alias("sum_codes"),
+            F.count("*").cast("bigint").alias("n_values"),
+        )
+    )

@@ -299,3 +299,37 @@ def ann_topk_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(
         emb, queries, k=K, n_planes=8, dim=DIM, seed=42, cosine_round=9
     )
+
+
+@register(
+    "embedding_quantize_profile",
+    priority=500,
+    oracle=f"""
+    WITH ex AS (
+      SELECT u.i AS dim_idx, CAST(embedding[u.i + 1] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT UNNEST(range(0, {DIM})) AS i) u
+    ),
+    bounds AS (
+      SELECT dim_idx, MIN(v) AS min_v, MAX(v) AS max_v
+      FROM ex GROUP BY dim_idx
+    )
+    SELECT ex.dim_idx, MIN(b.min_v) AS min_v, MIN(b.max_v) AS max_v,
+           CAST(SUM(CASE WHEN b.max_v = b.min_v THEN 0
+                ELSE least(floor((ex.v - b.min_v)
+                                 / ((b.max_v - b.min_v) / 256.0)), 255)
+                END) AS BIGINT) AS sum_codes,
+           CAST(COUNT(*) AS BIGINT) AS n_values
+    FROM ex JOIN bounds b USING (dim_idx)
+    GROUP BY ex.dim_idx
+    """,
+    tags=("similarity", "quantization", "extension"),
+)
+def embedding_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization profile of the embeddings table: per-dim
+    min/max plus the integer sum of all quantized codes — a checksum
+    over every quantization decision (floor over IEEE division; no
+    round() tie hazards), hash-matched against DuckDB re-deriving the
+    identical codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.quantize_profile(emb)

@@ -136,6 +136,8 @@ def test_exiled_queries_are_redundant_variants():
         "lineitem_column_profile": "lineitem_global_minmax",
         # parquet write→read family's in-window rep
         "schema_evolution_roundtrip": "partitioned_parquet_roundtrip",
+        # embedding-column machinery's in-window rep
+        "embedding_quantize_profile": "ann_topk_lsh_verified",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
