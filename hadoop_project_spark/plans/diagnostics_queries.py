@@ -134,3 +134,72 @@ def lineitem_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct counts, numeric min/max, string length bounds."""
     li = load_table(spark, sf_dir, "lineitem")
     return column_profile(li, _PROF_NUM, _PROF_STR)
+
+
+@register(
+    "user_state_history_scd2",
+    priority=500,
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM seq
+    ),
+    runs AS (
+      SELECT user_id, grp, event_type,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM isl GROUP BY user_id, grp, event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current
+    FROM runs
+    """,
+    tags=("diagnostics", "scd2", "gaps-and-islands", "extension"),
+)
+def user_state_history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style state history from the event log: consecutive equal
+    event_type runs per user collapse into validity intervals
+    [valid_from, valid_to) with the open current row flagged — the
+    gaps-and-islands shape (change-flag → running island id → per-island
+    aggregate → lead for interval close). All windows partition by
+    user_id: per-user state only, no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0)
+    )
+    isl = events.select(
+        "user_id", "event_id", "ts", "event_type", chg.alias("chg")
+    ).withColumn(
+        "grp",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = isl.groupBy("user_id", "grp", "event_type").agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -138,6 +138,8 @@ def test_exiled_queries_are_redundant_variants():
         "schema_evolution_roundtrip": "partitioned_parquet_roundtrip",
         # embedding-column machinery's in-window rep
         "embedding_quantize_profile": "ann_topk_lsh_verified",
+        # per-user lag/lead window machinery's in-window rep
+        "user_state_history_scd2": "events_sessionization_batch",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
