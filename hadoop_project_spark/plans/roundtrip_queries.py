@@ -308,3 +308,50 @@ def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("flagged").isNull().cast("long")).alias("n_flagged"),
     )
+
+
+@register(
+    "dpp_partitioned_join_roundtrip",
+    priority=500,
+    oracle="""
+    WITH dim(flag, label) AS (VALUES ('A', 'keep'), ('N', 'x'), ('R', 'x'))
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem JOIN dim ON l_returnflag = dim.flag
+    WHERE dim.label = 'keep'
+    GROUP BY l_returnflag
+    """,
+    tags=("source", "dpp", "partition-pruning", "roundtrip"),
+)
+def dpp_partitioned_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning end-to-end: lineitem rewritten
+    partitioned by l_returnflag, then joined against a filtered dim on
+    the partition column — Catalyst injects a dynamicpruning subquery
+    into the fact scan's PartitionFilters (asserted in
+    tests/test_plan_shapes.py), so at 100 TB the scan reads ONLY the
+    partitions the dim filter selects, discovered at runtime rather
+    than hand-written into the query. The direct-scan oracle hash
+    proves pruning changed I/O, not results."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    fact_path = _roundtrip_dir(sf_dir, "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(fact_path)
+    dim_path = _roundtrip_dir(sf_dir, "flag_dim")
+    spark.createDataFrame(
+        [("A", "keep"), ("N", "x"), ("R", "x")], "flag string, label string"
+    ).write.mode("overwrite").parquet(dim_path)
+    back = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("label") == "keep")
+    return (
+        back.join(dim, back.l_returnflag == dim.flag)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_qty"),
+        )
+    )

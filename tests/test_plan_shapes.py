@@ -198,3 +198,12 @@ def test_no_scale_killers_anywhere(spark, sf_dir):
                 if pindent < indent:
                     break
     assert not bad, bad
+
+
+def test_dpp_subquery_reaches_partition_filters(spark, sf_dir):
+    """The DPP roundtrip's fact scan must carry a dynamicpruning
+    expression in its PartitionFilters — runtime partition selection
+    from the dim filter, the property that makes the partitioned join
+    read 1/3 of the partitions instead of all of them."""
+    df = SPECS["dpp_partitioned_join_roundtrip"].build(spark, sf_dir)
+    assert "dynamicpruning" in _plan(df).lower()

@@ -140,6 +140,9 @@ def test_exiled_queries_are_redundant_variants():
         "embedding_quantize_profile": "ann_topk_lsh_verified",
         # per-user lag/lead window machinery's in-window rep
         "user_state_history_scd2": "events_sessionization_batch",
+        # partitioned write→read family's in-window rep; the DPP plan
+        # property itself is gated in test_plan_shapes.py
+        "dpp_partitioned_join_roundtrip": "partitioned_parquet_roundtrip",
         # oracle-less by design:
         "ann_topk_lsh": None,
         "kmeans_centroids": None,
