@@ -78,3 +78,48 @@ def test_salt_range(spark, sf_dir):
     l = with_salt(load_table(spark, sf_dir, "lineitem"), 16)
     rng = l.agg(F.min("_salt"), F.max("_salt")).first()
     assert rng[0] >= 0 and rng[1] <= 15
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's first line of defense against hot keys (SCALING.md)
+    must actually fire: a join with one key holding ~1/3 of all rows,
+    executed under AQE with test-scale thresholds, finishes with
+    SortMergeJoin(skew=true) in the final adaptive plan — runtime
+    partition splitting, no salting needed. The salting operators in
+    operators/skew.py cover the cases AQE can't (hot GROUP BY state,
+    per-key broadcast)."""
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200000).select(
+            (F.col("id") % 1000).alias("k"), F.col("id").alias("payload")
+        ).unionByName(
+            spark.range(0, 100000).select(
+                F.lit(7).alias("k"), F.col("id").alias("payload")
+            )
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        j = left.join(right, "k").agg(F.count("*").alias("n"))
+        [row] = j.collect()
+        assert row.n == 300000  # semantics unchanged by the split
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -58,6 +58,10 @@ QUERIES = [
     "events_key_skew_profile",
     "orders_snapshot_diff",
     "lineitem_column_profile",
+    "schema_evolution_roundtrip",
+    "embedding_quantize_profile",
+    "user_state_history_scd2",
+    "dpp_partitioned_join_roundtrip",
 ]
 
 
