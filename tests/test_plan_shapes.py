@@ -207,3 +207,47 @@ def test_dpp_subquery_reaches_partition_filters(spark, sf_dir):
     read 1/3 of the partitions instead of all of them."""
     df = SPECS["dpp_partitioned_join_roundtrip"].build(spark, sf_dir)
     assert "dynamicpruning" in _plan(df).lower()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Row-level runtime filtering — the non-partition-column complement
+    of dynamic partition pruning: a selective dim join must inject a
+    bloom_filter_agg on the build side and a might_contain probe into
+    the fact scan side, so at scale most fact rows die before the
+    shuffle. Semantics must be unchanged (count equals the direct
+    join's)."""
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        [row] = j.collect()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    direct = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            load_table(spark, sf_dir, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert row.n == direct
