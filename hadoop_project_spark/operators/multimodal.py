@@ -126,3 +126,37 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 400, hop_ms: int = 250
+) -> DataFrame:
+    """Audio analysis-window plumbing (the STFT/feature-window prep):
+    expand each audio row into overlapping windows from metadata alone
+    — (media_id, window_start_ms, n_samples) with the tail window
+    clamped to the clip end. Pure JVM sequence/explode + integer
+    arithmetic, no shuffle; the real PCM decode would plug into
+    extract_features over these rows exactly as frames do for video.
+
+    n_samples = (clamped window length in ms) × sample_rate / 1000,
+    computed as exact integer floor-division so the plan is
+    engine-deterministic.
+    """
+    from pyspark.sql import functions as F
+
+    audio = media.filter(F.col("kind") == "audio")
+    dur = F.col("meta.duration_ms")
+    start = F.explode(
+        F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(hop_ms))
+    ).alias("window_start_ms")
+    exploded = audio.select(
+        "media_id", dur.alias("_dur"), F.col("meta.sample_rate").alias("_sr"), start
+    )
+    win_len = F.least(
+        F.col("window_start_ms") + F.lit(window_ms), F.col("_dur")
+    ) - F.col("window_start_ms")
+    return exploded.select(
+        "media_id",
+        F.col("window_start_ms").cast("long").alias("window_start_ms"),
+        F.floor(win_len * F.col("_sr") / F.lit(1000)).cast("long").alias("n_samples"),
+    )

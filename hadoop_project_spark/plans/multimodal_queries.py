@@ -95,3 +95,44 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_N_BYTES_CHECKED)
     ]
     return feats.select("media_id", "feat_dim", *byte_cols)
+
+
+@register(
+    "multimodal_audio_windows",
+    priority=500,
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(s AS BIGINT) AS window_start_ms,
+           CAST((least(s + 400, n_chars * 10) - s) * 16000 // 1000 AS BIGINT)
+             AS n_samples
+    FROM (
+      SELECT doc_id, n_chars,
+             unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 250))
+               AS s
+      FROM documents
+    )
+    """,
+    tags=("multimodal", "audio", "windowing", "extension"),
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio analysis-window plumbing (operators/multimodal.
+    audio_window_plan): synthetic audio rows from documents
+    (duration_ms = n_chars × 10, sample_rate = 16 kHz) expanded into
+    overlapping 400 ms windows at 250 ms hop — pure JVM
+    sequence/explode with exact integer sample counts, the plan the
+    real PCM featurizer would run on."""
+    from hadoop_project_spark.operators.multimodal import audio_window_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.lit("fake").alias("format"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return audio_window_plan(media, window_ms=400, hop_ms=250)

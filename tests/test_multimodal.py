@@ -51,3 +51,32 @@ def test_frame_sample_plan(media_df):
     frames = frame_sample_plan(media_df, every_ms=1000).collect()
     got = sorted((r["media_id"], r["frame_ts_ms"]) for r in frames)
     assert got == [(4, 0), (4, 1000), (4, 2000), (4, 3000)]
+
+
+def test_audio_windows_tail_clamped(spark):
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.operators.multimodal import audio_window_plan
+
+    media = spark.createDataFrame(
+        [(1, "audio", 1000, 16000), (2, "audio", 300, 8000), (3, "video", 1000, 16000)],
+        "media_id long, kind string, duration_ms int, sample_rate int",
+    ).select(
+        "media_id", "kind",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("sample_rate"),
+            F.col("duration_ms"),
+        ).alias("meta"),
+    )
+    rows = audio_window_plan(media, window_ms=400, hop_ms=250).collect()
+    by_key = {(r.media_id, r.window_start_ms): r.n_samples for r in rows}
+    # clip 1: starts 0,250,500,750; tails clamp to 1000ms end
+    assert by_key[(1, 0)] == 400 * 16  # full window
+    assert by_key[(1, 750)] == 250 * 16  # clamped to 1000
+    # clip 2: starts 0,250; 8kHz
+    assert by_key[(2, 0)] == 300 * 8  # whole clip shorter than window
+    assert by_key[(2, 250)] == 50 * 8
+    # video rows excluded
+    assert not any(k[0] == 3 for k in by_key)

@@ -88,6 +88,7 @@ def test_exiled_queries_are_redundant_variants():
         # window budget); oracle runs in every CI pass
         "training_data_mix": "corpus_quality_by_lang",
         "multimodal_frame_samples": "multimodal_features",
+        "multimodal_audio_windows": "multimodal_features",
         # reshape family; the in-window pivot rep is priority_month_matrix
         "lineitem_measures_unpivot": "priority_month_matrix",
         # argmin-per-group; in-window argmax rep + Q17/Q20 correlated reps
