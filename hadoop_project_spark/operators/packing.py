@@ -123,7 +123,15 @@ def with_global_offset(
             acc = int(ends.iloc[-1]) if len(pdf) else acc
             yield pdf
 
-    local = arranged.mapInPandas(running, schema=out_schema)
+    # Eager localCheckpoint BEFORE the totals pass: both actions (the
+    # collect below and the returned DataFrame) must read ONE
+    # materialized range partitioning. repartitionByRange samples its
+    # bounds, and with partial samples (the at-scale regime) two
+    # executions can disagree on row→_pid placement, corrupting the
+    # broadcast offsets. A lost block raises instead of re-sampling.
+    local = arranged.mapInPandas(running, schema=out_schema).localCheckpoint(
+        eager=True
+    )
     totals = {
         r["_pid"]: r["tot"]
         for r in local.groupBy("_pid")

@@ -35,6 +35,14 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 
 # ipv4/ssn/ccn anchor on a non-member char (RE2 has no lookbehind), so
 # the replacement must re-emit the captured boundary chars around the tag.
+# Because the match CONSUMES that boundary char, two PII spans separated
+# by a single char (e.g. "111-22-3333 444-55-6666") leave the second span
+# boundary-less on the first scan — so these kinds count and replace in
+# TWO passes: pass 1's replacement re-emits the boundary and inserts a
+# "]" (itself boundary-eligible) next to any skipped neighbor, which
+# pass 2 then matches. Two passes are sufficient for arbitrarily long
+# adjacent chains: after pass 1 every unmatched span borders either its
+# re-emitted separator or a placeholder tag.
 _BOUNDARY_KINDS = {"ipv4": (1, 5), "ssn": (1, 2), "ccn": (1, 2)}
 
 
@@ -52,8 +60,12 @@ def pii_counts(col: str | Column) -> dict[str, Column]:
     c = F.col(col) if isinstance(col, str) else col
     out: dict[str, Column] = {}
     for kind, pat in PII_PATTERNS:
-        out[kind] = F.regexp_count(c, F.lit(pat)).cast("long")
+        n = F.regexp_count(c, F.lit(pat))
         c = F.regexp_replace(c, pat, _replacement(kind))
+        if kind in _BOUNDARY_KINDS:  # second pass for adjacent spans
+            n = n + F.regexp_count(c, F.lit(pat))
+            c = F.regexp_replace(c, pat, _replacement(kind))
+        out[kind] = n.cast("long")
     return out
 
 
@@ -62,6 +74,8 @@ def redact(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     for kind, pat in PII_PATTERNS:
         c = F.regexp_replace(c, pat, _replacement(kind))
+        if kind in _BOUNDARY_KINDS:  # second pass for adjacent spans
+            c = F.regexp_replace(c, pat, _replacement(kind))
     return c
 
 

@@ -83,9 +83,16 @@ def global_distribution_ranks(
     by ``order_cols`` (must be unique — append a key column).
 
     Two actions: the counts pass collects O(#partitions) longs to the
-    driver; the ranked pass is the returned DataFrame.
+    driver; the ranked pass is the returned DataFrame. The ranked
+    DataFrame is localCheckpoint-ed (eager) BEFORE the counts pass so
+    both actions read the SAME materialized range partitioning:
+    ``repartitionByRange`` draws its bounds by reservoir sampling, and
+    when the sample is partial (exactly the large-data regime) two
+    independent executions can place rows in different `_pid`s, making
+    the broadcast offsets wrong. Checkpointing pins one placement —
+    a lost block raises instead of silently re-sampling.
     """
-    ranked = _with_local_ranks(df, order_cols)
+    ranked = _with_local_ranks(df, order_cols).localCheckpoint(eager=True)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

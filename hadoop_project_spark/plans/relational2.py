@@ -281,11 +281,14 @@ def events_timespine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_hi = ev.agg(
         F.min("ts").alias("lo_ts"), F.max("ts").alias("hi_ts")
     ).select(
+        # floor, not cast-truncation: cast('long') truncates toward zero,
+        # which for pre-1970 (negative-epoch) timestamps would round the
+        # bucket start UP, disagreeing with window()/time_bucket flooring.
         F.timestamp_seconds(
-            (F.unix_timestamp("lo_ts") / 900).cast("long") * 900
+            F.floor(F.unix_timestamp("lo_ts") / 900).cast("long") * 900
         ).alias("lo"),
         F.timestamp_seconds(
-            (F.unix_timestamp("hi_ts") / 900).cast("long") * 900
+            F.floor(F.unix_timestamp("hi_ts") / 900).cast("long") * 900
         ).alias("hi"),
     )
     spine = lo_hi.select(

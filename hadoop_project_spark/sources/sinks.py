@@ -69,18 +69,33 @@ def write_bucketed(
     table's files can survive from a previous session while the (in-
     memory) catalog forgets the table, in which case saveAsTable fails
     with LOCATION_ALREADY_EXISTS — drop the entry and clear the leftover
-    location first.
+    location first. The stale-file sweep only applies to `file:`-scheme
+    warehouses (os.path can't see hdfs:// or s3a:// paths — there the
+    DROP TABLE is the whole cleanup), and maps a db-qualified name to
+    the managed layout `<warehouse>/<db>.db/<tbl>`, not a literal join.
     """
     if mode == "overwrite":
         import os
         import shutil
+        from urllib.parse import urlparse
 
         spark = df.sparkSession
+        # If the catalog still knows the table, this drop also removes a
+        # managed table's files regardless of filesystem scheme.
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        loc = os.path.join(wh.removeprefix("file:"), table.lower())
-        if os.path.exists(loc):
-            shutil.rmtree(loc, ignore_errors=True)
+        parsed = urlparse(wh)
+        if parsed.scheme in ("", "file"):
+            root = parsed.path or wh
+            parts = table.lower().split(".")
+            rel = (
+                parts[-1]
+                if len(parts) == 1
+                else os.path.join(f"{parts[-2]}.db", parts[-1])
+            )
+            loc = os.path.join(root, rel)
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
