@@ -69,26 +69,43 @@ def main() -> None:
     na.mapInPandas(lambda it: it, schema=na.schema) \
         .write.format("noop").mode("overwrite").save()
 
+    # Per-query fault isolation: one broken query must never abort the
+    # run before the JSON line prints (the r3 failure mode — a single
+    # AnalysisException produced a bench artifact with ZERO numbers).
+    # Errors are recorded per query; timings keep accumulating.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = specs[name].build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = specs[name].build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_ok": len(timings),
+        "n_err": len(errors),
+    }
+    if errors:
+        result["errors"] = errors
+    # Full per-query map also lands on disk so downstream consumers
+    # aren't at the mercy of stdout tail-truncation.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_results.json"), "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    print(json.dumps(result))
     spark.stop()
 
 

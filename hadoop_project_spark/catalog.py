@@ -36,18 +36,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes storage quirks so downstream plans
     see clean types.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; with ``spark.sql.legacy.parquet.nanosAsLong``
-    it arrives as nanoseconds-since-epoch (bigint) and is truncated to
-    microseconds here — the same floor-truncation DuckDB applies when it
-    reads NANOS into its microsecond TIMESTAMP, so oracle comparisons agree.
+    ``events.ts`` has shipped in two physical encodings across driver
+    regenerations: parquet TIMESTAMP(NANOS) (read as bigint nanoseconds
+    under ``spark.sql.legacy.parquet.nanosAsLong``, truncated to
+    microseconds here — the same floor-truncation DuckDB applies), and
+    microsecond TIMESTAMP_NTZ (pyspark 4.x reads it as ``timestamp_ntz``,
+    which Spark 4 refuses to cast to BIGINT or feed to ``unix_micros``).
+    The catalog owns type normalization — every consumer sees a plain
+    session-zone ``timestamp``; the session zone is pinned to UTC
+    (session.py) so NTZ→LTZ is a value-preserving relabel and the DuckDB
+    oracle (which reads the same file as naive TIMESTAMP) agrees.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

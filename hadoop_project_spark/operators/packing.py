@@ -14,11 +14,12 @@ standard stages of a pretraining data pipeline:
   order and assign every document its global token offset, from which
   the fixed-length context windows ("bins") it lands in follow by
   integer division. The global offset is an exact distributed
-  prefix-sum, NOT a single-task ``Window.orderBy``: range-partition on
-  the order key, Arrow-batched running sum per partition, then
-  O(#partitions) driver-held partial sums broadcast back as offsets —
-  the same two-pass shape as operators/ranking.py, parallelism
-  preserved end to end.
+  prefix-sum, NOT a single-task ``Window.orderBy``: a deterministic
+  literal-bounds bucket id over the order key (operators/bounds.py),
+  Arrow-batched running sum per bucket, then O(#buckets) driver-held
+  partial sums broadcast back as offsets — the same shape as
+  operators/ranking.py, parallelism preserved end to end and nothing
+  checkpointed (lineage recovery intact at 100 TB).
 """
 
 from __future__ import annotations
@@ -30,6 +31,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
 from hadoop_project_spark.functions.text import normalize_text
+from hadoop_project_spark.operators.bounds import (
+    bucket_id,
+    collect_split_points,
+    default_buckets,
+)
 
 CHUNK_WINDOW = 32
 CHUNK_STRIDE = 24
@@ -96,17 +102,31 @@ def with_global_offset(
 
     Equivalent to ``SUM(w) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING AND
     1 PRECEDING)`` but distributed: the naive window is one task holding
-    the whole corpus. Here partition i of the range exchange holds keys
-    strictly below partition i+1, a running counter computes the local
-    prefix within each partition, and the per-partition totals (
-    O(#partitions) longs, driver-held like the K-Means centroid state)
-    become broadcast offsets. Two passes over the one range exchange —
-    the price of exactness, parallelism = #partitions throughout.
+    the whole corpus. Here ``_pid`` is a deterministic bucket id from
+    literal split points over the order key (operators/bounds.py) —
+    collected once on the driver, so the totals pass (computed straight
+    off the source relation) and the offset pass agree by construction.
+    A running counter computes the local prefix within each bucket
+    (resetting on ``_pid`` change, so correctness survives any physical
+    placement), and the per-bucket totals (O(#buckets) longs,
+    driver-held like the K-Means centroid state) become broadcast
+    offsets. Nothing is checkpointed — lineage recovery stays intact,
+    unlike round 3's eager localCheckpoint which materialized the full
+    relation to executor disk.
     """
-    arranged = (
-        df.repartitionByRange(F.col(order_col))
-        .sortWithinPartitions(order_col)
-        .withColumn("_pid", F.spark_partition_id())
+    bounds, as_double = collect_split_points(
+        df, F.col(order_col), default_buckets(df)
+    )
+    pid = bucket_id(F.col(order_col), bounds, as_double)
+    assigned = df.withColumn("_pid", pid)
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in assigned.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("tot"))
+        .collect()
+    }
+    arranged = assigned.repartitionByRange(F.col("_pid")).sortWithinPartitions(
+        "_pid", order_col
     )
     out_schema = T.StructType(
         list(arranged.schema.fields)
@@ -114,30 +134,25 @@ def with_global_offset(
     )
 
     def running(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc = 0
+        # Buckets are contiguous in the sorted partition stream;
+        # vectorized per-batch bucket cumsum + a carry for the bucket
+        # straddling the batch boundary.
+        last_pid, carry = None, 0
         for pdf in batches:
-            pdf = pdf.copy()
+            if not len(pdf):
+                yield pdf.assign(_local_before=pd.Series([], dtype="int64"))
+                continue
             w = pdf[weight_col].astype("int64")
-            ends = w.cumsum() + acc
-            pdf["_local_before"] = ends - w
-            acc = int(ends.iloc[-1]) if len(pdf) else acc
+            ends = w.groupby(pdf["_pid"], sort=False).cumsum()
+            if last_pid is not None:
+                lead = (pdf["_pid"] == last_pid).astype("int64")
+                ends = ends + lead * carry
+            pdf = pdf.assign(_local_before=(ends - w).astype("int64"))
+            last_pid = pdf["_pid"].iloc[-1]
+            carry = int(ends.iloc[-1])
             yield pdf
 
-    # Eager localCheckpoint BEFORE the totals pass: both actions (the
-    # collect below and the returned DataFrame) must read ONE
-    # materialized range partitioning. repartitionByRange samples its
-    # bounds, and with partial samples (the at-scale regime) two
-    # executions can disagree on row→_pid placement, corrupting the
-    # broadcast offsets. A lost block raises instead of re-sampling.
-    local = arranged.mapInPandas(running, schema=out_schema).localCheckpoint(
-        eager=True
-    )
-    totals = {
-        r["_pid"]: r["tot"]
-        for r in local.groupBy("_pid")
-        .agg(F.sum(weight_col).alias("tot"))
-        .collect()
-    }
+    local = arranged.mapInPandas(running, schema=out_schema)
     offsets, acc = [], 0
     for pid in sorted(totals):
         offsets.append((pid, acc))

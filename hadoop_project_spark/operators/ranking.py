@@ -6,26 +6,32 @@ dataset into ONE task — the same scale-killer the brute-force ANN
 ranking had before its two-stage fix (see operators/similarity.py). The
 classic distributed answer, implemented here:
 
-1. ``repartitionByRange`` on the order key — one shuffle, parallelism
-   preserved, partition i holds keys strictly below partition i+1;
-2. ``sortWithinPartitions`` + an Arrow-batched ``mapInPandas`` running
-   counter for partition-local ranks (per-partition imperative logic is
-   exactly the mapInPandas case — no extra shuffle, order preserved);
-3. per-partition row counts → prefix-sum offsets. The counts are
-   O(#partitions) driver-held metadata (like the K-Means centroid
-   state), broadcast-joined back; global rank = local rank + offset.
+1. a deterministic bucket id ``_pid`` from literal split points over the
+   leading order key (operators/bounds.py) — collected once on the
+   driver, so every pass agrees on row→bucket by construction (no
+   execution-time resampling race, nothing to checkpoint);
+2. ``repartitionByRange`` on ``_pid`` + in-partition sort + an
+   Arrow-batched ``mapInPandas`` running counter for bucket-local ranks
+   (per-partition imperative logic is exactly the mapInPandas case — no
+   extra shuffle, order preserved); the counter resets on ``_pid``
+   change, so correctness survives any physical bucket placement;
+3. per-bucket row counts → prefix-sum offsets, computed straight off the
+   source relation by the same ``_pid`` expression. The counts are
+   O(#buckets) driver-held metadata (like the K-Means centroid state),
+   broadcast-joined back; global rank = local rank + offset.
 
 Distribution stats then derive from the rank by exact integer formulas
 (SQL-standard semantics under a TOTAL order — callers must append a
 tie-breaker column; with a unique ORDER BY, percent_rank/cume_dist have
 no peer groups and ntile is a pure function of (rank, n, k)).
 
-Cost: two passes over the range exchange (counts pass + ranked pass) —
-the price of exactness; at 100 TB both passes are scan+shuffle-local
-with parallelism = #partitions throughout, vs the naive window's
-parallelism of 1. (AQE note: advisory partition coalescing can merge
-range partitions, but ranks only depend on partition ORDER, not
-boundaries, so the result is plan-stable.)
+Cost: one lightweight bounds pass + counts pass + ranked pass — the
+price of exactness; at 100 TB each pass is scan+shuffle-local with
+parallelism = #buckets throughout, vs the naive window's parallelism
+of 1, and lineage recovery stays intact (round 3's eager
+localCheckpoint pinned placement by materializing the full relation to
+executor disk — a lost block failed the job; the literal bounds remove
+both the race AND the pin).
 """
 
 from __future__ import annotations
@@ -36,14 +42,19 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
+from hadoop_project_spark.operators.bounds import (
+    bucket_id,
+    collect_split_points,
+    default_buckets,
+)
+
 
 def _with_local_ranks(df: DataFrame, order_cols: list[Column]) -> DataFrame:
-    """Range-partition + in-partition sort + running-counter local rank.
-    Adds `_pid` (physical partition id) and `_local_rank` (1-based)."""
-    arranged = (
-        df.repartitionByRange(*order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
+    """Deterministic-bucket partition + in-partition sort + running-counter
+    local rank. Adds `_pid` (literal-derived bucket id) and `_local_rank`
+    (1-based within bucket). ``df`` must already carry `_pid`."""
+    arranged = df.repartitionByRange(F.col("_pid")).sortWithinPartitions(
+        F.col("_pid"), *order_cols
     )
     out_schema = T.StructType(
         list(arranged.schema.fields)
@@ -51,11 +62,21 @@ def _with_local_ranks(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     )
 
     def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
+        # Buckets are contiguous within the sorted partition stream;
+        # vectorized per-batch cumcount + a carry for the bucket that
+        # straddles the batch boundary.
+        last_pid, last_rank = None, 0
         for pdf in batches:
-            pdf = pdf.copy()
-            pdf["_local_rank"] = range(seen + 1, seen + 1 + len(pdf))
-            seen += len(pdf)
+            if not len(pdf):
+                yield pdf.assign(_local_rank=pd.Series([], dtype="int64"))
+                continue
+            ranks = pdf.groupby("_pid", sort=False).cumcount() + 1
+            if last_pid is not None:
+                lead = pdf["_pid"] == last_pid
+                ranks = ranks + lead.astype("int64") * last_rank
+            pdf = pdf.assign(_local_rank=ranks.astype("int64"))
+            last_pid = pdf["_pid"].iloc[-1]
+            last_rank = int(pdf["_local_rank"].iloc[-1])
             yield pdf
 
     return arranged.mapInPandas(number, schema=out_schema)
@@ -82,28 +103,28 @@ def global_distribution_ranks(
     `cume`, and `bucket` (NTILE(ntile_k)) under the total order given
     by ``order_cols`` (must be unique — append a key column).
 
-    Two actions: the counts pass collects O(#partitions) longs to the
-    driver; the ranked pass is the returned DataFrame. The ranked
-    DataFrame is localCheckpoint-ed (eager) BEFORE the counts pass so
-    both actions read the SAME materialized range partitioning:
-    ``repartitionByRange`` draws its bounds by reservoir sampling, and
-    when the sample is partial (exactly the large-data regime) two
-    independent executions can place rows in different `_pid`s, making
-    the broadcast offsets wrong. Checkpointing pins one placement —
-    a lost block raises instead of silently re-sampling.
-    """
-    ranked = _with_local_ranks(df, order_cols).localCheckpoint(eager=True)
+    Three actions: the bounds pass (approxQuantile over the leading
+    order key), the counts pass (per-bucket counts off the SOURCE
+    relation via the same literal ``_pid`` expression — placement-free,
+    so it cannot disagree with the ranked pass), and the ranked pass
+    (the returned DataFrame). O(#buckets) longs on the driver."""
+    bounds, as_double = collect_split_points(
+        df, order_cols[0], default_buckets(df)
+    )
+    pid = bucket_id(order_cols[0], bounds, as_double)
+    assigned = df.withColumn("_pid", pid)
     counts = {
         r["_pid"]: r["cnt"]
-        for r in ranked.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in assigned.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
     n = sum(counts.values())
     offsets, acc = [], 0
-    for pid in sorted(counts):
-        offsets.append((pid, acc))
-        acc += counts[pid]
+    for pid_val in sorted(counts):
+        offsets.append((pid_val, acc))
+        acc += counts[pid_val]
     spark = df.sparkSession
     off_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    ranked = _with_local_ranks(assigned, order_cols)
     rank = F.col("_local_rank") + F.col("_offset")
     return (
         ranked.join(F.broadcast(off_df), "_pid")

@@ -179,8 +179,15 @@ def test_no_scale_killers_anywhere(spark, sf_dir):
     """
     bad: list[str] = []
     for name, spec in SPECS.items():
-        df = spec.build(spark, sf_dir)
-        plan = _plan(df)
+        # A query that fails to BUILD is itself a finding — collect it
+        # and keep sweeping, so one AnalysisException can't blind the
+        # sweep to every query ordered after it (the r3 failure mode).
+        try:
+            df = spec.build(spark, sf_dir)
+            plan = _plan(df)
+        except Exception as exc:  # noqa: BLE001
+            bad.append(f"{name}: build error: {type(exc).__name__}: {exc}")
+            continue
         if "CartesianProduct" in plan:
             bad.append(f"{name}: CartesianProduct")
         lines = plan.splitlines()
