@@ -1,0 +1,166 @@
+"""Driver-verifiable PII redaction query.
+
+The synthetic `documents` corpus is digit-free, so running the PII
+operator on raw `text` would be a vacuous always-zero query. Instead the
+query derives a deterministic PII-bearing column from `doc_id` (same
+integer arithmetic on both engines), runs the real redaction operator
+(operators/pii.py — ordered regexp chain, two-pass boundary kinds), and
+aggregates per-kind counts plus an md5 checksum of the REDACTED text —
+so the hash comparison proves the full replace chain, not just the
+counts. The oracle's CTE chain is GENERATED from the same
+``PII_PATTERNS`` tuple the operator uses, so a pattern edit cannot
+silently diverge the two sides (Java regex vs RE2 stay compatible
+because the patterns are written lookbehind-free — see operators/pii.py
+docstring).
+
+Scale shape: scan → project (codegen regexp chain) → hash agg on a
+4-value key. No joins, no Python, one tiny shuffle — redaction runs at
+scan speed on any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators.pii import (
+    _BOUNDARY_KINDS,
+    PII_PATTERNS,
+    _replacement,
+    redact_documents,
+)
+from hadoop_project_spark.plans.registry import register
+
+# ---------------------------------------------------------------------------
+# Deterministic PII synthesis — one SQL fragment per engine, same values.
+# Buckets (doc_id % 4) vary which kinds appear so per-bucket sums differ.
+# ---------------------------------------------------------------------------
+
+
+def _synth_sql() -> str:
+    """Engine-neutral SQL expression (valid in Spark SQL and DuckDB)
+    building the synthetic PII-bearing text from doc_id."""
+
+    def lp(expr: str, n: int) -> str:
+        return f"lpad(CAST({expr} AS STRING), {n}, '0')"
+
+    ip = (
+        "CAST(doc_id % 256 AS STRING) || '.' || "
+        "CAST((doc_id * 7) % 256 AS STRING) || '.' || "
+        "CAST((doc_id * 13) % 256 AS STRING) || '.' || "
+        "CAST((doc_id * 31) % 256 AS STRING)"
+    )
+    ssn1 = (
+        f"{lp('doc_id % 900 + 100', 3)} || '-' || "
+        f"{lp('doc_id % 90 + 10', 2)} || '-' || "
+        f"{lp('doc_id % 9000 + 1000', 4)}"
+    )
+    ssn2 = (
+        f"{lp('(doc_id * 3) % 900 + 100', 3)} || '-' || "
+        f"{lp('(doc_id * 7) % 90 + 10', 2)} || '-' || "
+        f"{lp('(doc_id * 11) % 9000 + 1000', 4)}"
+    )
+    ccn = f"'4' || {lp('doc_id % 1000000000', 15)}"
+    phone = (
+        f"'(' || {lp('doc_id % 800 + 100', 3)} || ') ' || "
+        f"{lp('(doc_id * 3) % 900 + 100', 3)} || '-' || "
+        f"{lp('(doc_id * 5) % 9000 + 1000', 4)}"
+    )
+    return (
+        "'contact user' || CAST(doc_id AS STRING) || '@example.com'"
+        f" || CASE WHEN doc_id % 4 IN (0, 1) THEN ' from ' || {ip} ELSE ' from home' END"
+        # adjacent SSN pair: exercises the two-pass boundary logic
+        f" || CASE WHEN doc_id % 4 IN (1, 2) THEN ' ssn ' || {ssn1} || ' ' || {ssn2} ELSE '' END"
+        f" || CASE WHEN doc_id % 4 = 3 THEN ' card ' || {ccn} ELSE '' END"
+        f" || CASE WHEN doc_id % 4 IN (2, 3) THEN ' call ' || {phone} ELSE '' END"
+        " || ' end'"
+    )
+
+
+def _duck_oracle() -> str:
+    """CTE chain mirroring operators/pii.pii_counts exactly: per kind,
+    count on the progressively-redacted text then replace; boundary
+    kinds count+replace twice. Generated from PII_PATTERNS so the
+    oracle tracks the operator."""
+
+    def duck_repl(kind: str) -> str:
+        return _replacement(kind).replace("$", "\\")
+
+    # DuckDB reads STRING as VARCHAR? No — normalize the synth fragment.
+    synth = _synth_sql().replace("AS STRING", "AS VARCHAR")
+    ctes = [f"s0 AS (SELECT doc_id, {synth} AS t FROM documents)"]
+    prev = "s0"
+    carried: list[str] = []
+    for kind, pat in PII_PATTERNS:
+        cnt = f"len(regexp_extract_all(t, '{pat}'))"
+        rep = f"regexp_replace(t, '{pat}', '{duck_repl(kind)}', 'g')"
+        if kind in _BOUNDARY_KINDS:
+            stage_a = f"{prev}_{kind}a"
+            cols = ", ".join(["doc_id"] + carried)
+            ctes.append(
+                f"{stage_a} AS (SELECT {cols}, {cnt} AS n_{kind}_p1, {rep} AS t FROM {prev})"
+            )
+            carried.append(f"n_{kind}_p1")
+            stage_b = f"{prev}_{kind}b"
+            cols = ", ".join(["doc_id"] + [c for c in carried if c != f"n_{kind}_p1"])
+            ctes.append(
+                f"{stage_b} AS (SELECT {cols}, n_{kind}_p1 + {cnt} AS n_{kind}, {rep} AS t FROM {stage_a})"
+            )
+            carried.remove(f"n_{kind}_p1")
+            carried.append(f"n_{kind}")
+            prev = stage_b
+        else:
+            stage = f"{prev}_{kind}"
+            cols = ", ".join(["doc_id"] + carried)
+            ctes.append(
+                f"{stage} AS (SELECT {cols}, {cnt} AS n_{kind}, {rep} AS t FROM {prev})"
+            )
+            carried.append(f"n_{kind}")
+            prev = stage
+    kind_sums = ", ".join(
+        f"CAST(SUM(n_{kind}) AS BIGINT) AS sum_{kind}" for kind, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{kind}" for kind, _ in PII_PATTERNS)
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT doc_id % 4 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {kind_sums},
+           CAST(SUM({total}) AS BIGINT) AS sum_pii,
+           CAST(SUM(length(t)) AS BIGINT) AS redacted_len,
+           MIN(md5(t)) AS redacted_md5_min
+    FROM {prev}
+    GROUP BY doc_id % 4
+    """
+
+
+@register(
+    "pii_redaction_counts",
+    priority=10,
+    oracle=_duck_oracle(),
+    tags=("pii", "redaction", "extension"),
+)
+def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket PII redaction audit over a deterministic synthetic
+    PII-bearing corpus: per-kind span counts, total spans, and an md5
+    checksum of the redacted text (proves the replacement chain, not
+    just detection). Exercises the two-pass adjacent-span logic via an
+    SSN pair separated by a single space."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_synth_sql()).alias("text")
+    )
+    red = redact_documents(docs)
+    kind_sums = [
+        F.sum(f"n_{kind}").cast("long").alias(f"sum_{kind}")
+        for kind, _ in PII_PATTERNS
+    ]
+    return (
+        red.groupBy((F.col("doc_id") % 4).alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *kind_sums,
+            F.sum("n_pii").cast("long").alias("sum_pii"),
+            F.sum(F.length("text")).cast("long").alias("redacted_len"),
+            F.min(F.md5(F.col("text").cast("binary"))).alias("redacted_md5_min"),
+        )
+    )

@@ -209,6 +209,64 @@ def priority_month_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return renamed.fillna(0, subset=[f"m{m}" for m in range(1, 13)])
 
 
+@register(
+    "priority_month_matrix_formatted",
+    priority=10,
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority AS p, MONTH(o_orderdate) AS m,
+             CAST(CEIL(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*)) AS BIGINT) AS a
+      FROM orders
+      GROUP BY o_orderpriority, MONTH(o_orderdate)
+    ),
+    dense AS (
+      SELECT ps.p, ms.m, COALESCE(per.a, 0) AS a
+      FROM (SELECT DISTINCT p FROM per) ps
+      CROSS JOIN (SELECT CAST(range AS INT) AS m FROM range(1, 13)) ms
+      LEFT JOIN per ON per.p = ps.p AND per.m = ms.m
+    )
+    SELECT p || ',' ||
+           string_agg('(' || CAST(m AS VARCHAR) || ',' || CAST(a AS VARCHAR) || ')',
+                      ',' ORDER BY m) AS line
+    FROM dense
+    GROUP BY p
+    """,
+    tags=("agg", "A8", "O1", "format"),
+)
+def priority_month_matrix_formatted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A8 output grammar end-to-end: one line per priority,
+    `<priority>,(1,<avg>),...,(12,<avg>)` — byte-parity with the
+    reference reducer's emitted strings (HCompute.java:148-177),
+    including dense month fill and the framework's key ordering (O1).
+    Reuses workloads/airline_delay.format_delay_matrix so the
+    driver-hashed grammar is the exact code path the golden-replay
+    tests exercise."""
+    from hadoop_project_spark.workloads.airline_delay import format_delay_matrix
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_month = orders.groupBy(
+        F.col("o_orderpriority").alias("airline"),
+        F.month("o_orderdate").cast("int").alias("month"),
+    ).agg(
+        F.ceil(F.sum(dec2("o_totalprice")).cast("double") / F.count("*"))
+        .cast("long")
+        .alias("avg_delay")
+    )
+    priorities = per_month.select("airline").distinct()
+    months = spark.range(1, 13).select(F.col("id").cast("int").alias("month"))
+    dense = (
+        priorities.crossJoin(F.broadcast(months))
+        .join(per_month, ["airline", "month"], "left")
+        .select(
+            "airline",
+            "month",
+            F.coalesce("avg_delay", F.lit(0)).alias("avg_delay"),
+        )
+    )
+    return format_delay_matrix(dense)
+
+
 # ---------------------------------------------------------------------------
 # Dense-domain fill via small cross join (A7 standalone): every
 # (priority, month) slot even when no orders exist. The dense side is

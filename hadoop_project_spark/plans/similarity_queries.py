@@ -82,20 +82,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.global_topk(scored, K)
 
 
-@register(
-    "ann_topk_lsh",
-    priority=900,
-    oracle=None,  # approximate scale path; recall vs brute force is
-    # asserted in tests/test_similarity.py instead of a SQL oracle
-    tags=("similarity", "ann", "lsh", "extension"),
-)
-def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH top-k (multi-probe): the 100-TB path —
-    bucket the corpus by 8 sign bits, probe query bucket + hamming-1
-    neighbors, exact cosine only on candidates."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return sim.lsh_topk(emb, queries, k=K, n_planes=8, dim=DIM, seed=42)
+# (The former oracle-less `ann_topk_lsh` single-table query is retired:
+# the multiprobe machinery is fully oracle-verified by
+# `ann_topk_lsh_verified` below, and the approximate-recall property of
+# sim.lsh_topk stays asserted vs brute force in tests/test_similarity.py.
+# An oracle-less registry twin added no verification surface.)
 
 
 @register(

@@ -93,7 +93,7 @@ def test_flagship_agg_is_codegen(spark, sf_dir):
 def test_no_cartesian_in_lsh(spark, sf_dir):
     """The LSH ANN path must join on (tbl, bucket) — never a cartesian
     product of corpus × queries."""
-    df = SPECS["ann_topk_lsh"].build(spark, sf_dir)
+    df = SPECS["ann_topk_lsh_verified"].build(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
 

@@ -91,7 +91,6 @@ def test_exiled_oracle_less_queries_are_by_design():
     the known oracle-less-by-design iterative/approximate queries, each
     covered by its own local test suite."""
     ORACLE_LESS_BY_DESIGN = {
-        "ann_topk_lsh",  # recall-property-tested vs brute force
         "kmeans_centroids",  # iterative; NumPy-Lloyd twin tests
         "kmeans_cluster_sizes",
         "kmeans_silhouette",
