@@ -42,89 +42,73 @@ _ORDER: dict[str, int] = {}
 # — tests/test_registry_window.py enforces "driver-green in a prior
 # round's CORRECTNESS_r*.json OR in the current window".
 #
-# Round 4: promote the 26 oracle-bearing queries that have never had a
-# driver row (corpus governance, IVF/quantization, TF-IDF, distributed
-# ranking, the four layout roundtrips, diagnostics, SQL-text entry,
-# unpivot/gap-fill/salted rollup, multimodal frame/audio, correlated
-# variants) plus this round's new queries; keep 22 anchors that are
-# regression-sensitive to round-4 changes (events/NTZ normalization,
-# the deterministic-bounds ranking/packing rewrite) or headline perf
-# queries; demote everything else that went green in r1-r3 (still
-# oracle-tested every CI run by tests/test_oracle_parity.py).
+# Round 5: promote the queries that still have no driver row —
+# pii_redaction_counts (parked in r4 by the _effective_priority bug
+# fixed below) and this round's new kmeans-anchor queries — plus
+# regression anchors for round-5 code changes (the simhash signature
+# rewrite, the bounds.py default-bucket hardening behind ranking/
+# packing) and the standing headline set; demote the 30 queries that
+# went green in r4 (still oracle-tested every CI run by
+# tests/test_oracle_parity.py).
 PRIORITY_OVERRIDES: dict[str, int] = {
     # --- never driver-checked, oracle-bearing: promote (prio 10) ---
     **{
         name: 10
         for name in (
-            "events_timespine_gapfill",
-            "lineitem_measures_unpivot",
-            "events_user_rollup_salted",
-            "customer_value_deciles",
-            "cheapest_supplier_per_part",
-            "sole_late_supplier_orders",
-            "training_data_mix",
-            "decontaminate_ngram",
-            "doc_repetition_stats",
-            "docs_hash_sample",
-            "source_overlap_matrix",
-            "source_quality_cap",
-            "ann_topk_ivf",
-            "embedding_quantize_profile",
-            "multimodal_frame_samples",
-            "multimodal_audio_windows",
-            "zorder_roundtrip",
-            "incremental_rollup_roundtrip",
-            "schema_evolution_roundtrip",
-            "dpp_partitioned_join_roundtrip",
-            "tfidf_top_terms",
-            "nation_trade_volume_sql",
-            "events_key_skew_profile",
-            "orders_snapshot_diff",
-            "lineitem_column_profile",
-            "user_state_history_scd2",
+            "pii_redaction_counts",
+            "kmeans_assign_step",
+            "nearest_two_centroids",
         )
     },
-    # --- round-4 regression anchors: keep in-window (prio 20) ---
+    # --- round-5 regression anchors: keep in-window (prio 20) ---
     **{
         name: 20
         for name in (
+            # headline anchors (every round)
             "word_count",
             "pricing_summary",
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            "priority_month_dense_counts",
+            # events/NTZ family (r4 catalog normalization)
             "events_hourly_rollup",
             "events_sessionization_batch",
             "events_session_window_batch",
             "user_event_gaps",
             "latest_event_per_user",
+            # deterministic-bounds rewrite + this round's bounds.py edits
             "sequence_packing",
-            "doc_chunks_overlap",
-            "dedup_exact",
-            "dedup_minhash_lsh",
-            "ann_topk_bruteforce",
-            "multimodal_features",
-            "big_spender_segments",
-            "csv_roundtrip_word_count",
-            "shipping_priority_topk",
-            "order_rank_stats",
+            "customer_value_deciles",
+            # this round's simhash rewrite MUST be re-certified
+            "dedup_simhash_signatures",
+            "dedup_simhash_pairs",
+            # re-measured perf-weak queries from VERDICT r4
+            "dpp_partitioned_join_roundtrip",
+            "source_overlap_matrix",
         )
     },
-    # --- green in r1-r3, still CI-oracle-tested: demote (prio 500) ---
-    # (anything not listed keeps its registered priority; oracle-less
-    # iterative queries stay at 900.)
+    # --- green in r1-r4, still CI-oracle-tested: demote (prio 500) ---
+    # (anything not listed: see _effective_priority.)
 }
 _DEMOTE_DEFAULT = 500
+_DEFAULT_PRIORITY = 100
 
 
 def _effective_priority(name: str) -> int:
     if name in PRIORITY_OVERRIDES:
         return PRIORITY_OVERRIDES[name]
     spec = _REGISTRY[name]
-    # Un-listed oracle-bearing queries were all green in earlier rounds:
-    # push them behind the promoted set but ahead of oracle-less ones.
     if spec.oracle is not None:
+        # Honor an EXPLICIT promotion at registration time (priority
+        # strictly below the 100 default) so a brand-new query enters
+        # its first window without needing a PRIORITY_OVERRIDES edit —
+        # r4 lesson: pii_redaction_counts registered priority=10 was
+        # silently demoted to 500 here and missed its window. Un-listed
+        # default-priority oracle-bearing queries were all green in
+        # earlier rounds: push them behind the promoted set but ahead
+        # of oracle-less ones.
+        if spec.priority < _DEFAULT_PRIORITY:
+            return spec.priority
         return _DEMOTE_DEFAULT
     return max(spec.priority, _DEMOTE_DEFAULT + 1)
 

@@ -24,11 +24,11 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 4's code changes (events/NTZ catalog
-# normalization, deterministic-bounds ranking/packing rewrite) and the
-# headline bench queries — must be re-proven green THIS round.
+# Regression anchors for round 5's code changes (simhash signature
+# rewrite, bounds.py default-bucket hardening) and the headline bench
+# queries — must be re-proven green THIS round.
 MUST_VERIFY = {
-    "events_sessionization_batch",  # r3's one red row (NTZ cast)
+    "events_sessionization_batch",  # NTZ family regression anchor
     "user_event_gaps",  # unix_micros on normalized ts
     "events_hourly_rollup",
     "events_session_window_batch",
@@ -40,6 +40,9 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
+    "dedup_simhash_signatures",  # round-5 rewrite
+    "dedup_simhash_pairs",  # round-5 rewrite
+    "pii_redaction_counts",  # r4's parked query — first driver row
 }
 
 
