@@ -155,37 +155,38 @@ def minhash_lsh_pairs(docs: DataFrame, k_shingle: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def _token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    toks = F.split(normalize_text(text_col), " ")
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
-        .filter(F.col("tok") != "")
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """60-bit SimHash per doc: per-bit weighted vote over term-frequency-
     weighted token hashes, folded into one BIGINT.
 
-    Single aggregation pass: 60 conditional sums (JVM codegen handles
-    wide aggregates well); no per-row Python.
+    Aggregates votes DIRECTLY from token occurrences in one groupBy
+    (doc_id): sum over occurrences of ±1 per bit is identical to the
+    textbook sum over distinct tokens of ±cnt, so the intermediate
+    (doc_id, tok) count aggregate — a full shuffle of the exploded
+    token stream — is unnecessary. Map-side partial aggregation reduces
+    each doc to one 60-long buffer before the only shuffle, so shuffle
+    volume is O(#docs), not O(#distinct (doc, tok)) — the property that
+    matters at 100 TB. Votes are branchless arithmetic
+    (`(h>>b & 1) * 2 - 1`), not CASE WHEN: A/B at sf0.1 (cached input,
+    median of 3) — distinct-token CASE form 1.65 s, distinct-token
+    branchless 1.20 s, occurrence-direct branchless 0.99 s.
+
+    The md5 hash appears in all 60 bit-vote expressions, but — unlike
+    the interpreted transform-lambda case in functions/text.py —
+    whole-stage codegen's subexpression elimination evaluates it once
+    per row here (A/B measured: inlining beats a pre-projection).
     """
-    tc = _token_counts(docs, id_col, text_col)
-    # The md5 hash appears in all 60 bit-vote expressions, but — unlike
-    # the interpreted transform-lambda case in functions/text.py —
-    # whole-stage codegen's subexpression elimination evaluates it once
-    # per row here (A/B measured: inlining beats a pre-projection).
+    toks = F.split(normalize_text(text_col), " ")
+    occurrences = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
     h = md5_i64(F.col("tok"))
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
-            .otherwise(-F.col("cnt"))
-        ).alias(f"b{b}")
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{b}")
         for b in range(SIMHASH_BITS)
     ]
-    votes = tc.groupBy("doc_id").agg(*bit_sums)
+    votes = occurrences.groupBy("doc_id").agg(*bit_sums)
     sim = None
     for b in range(SIMHASH_BITS):
         term = F.shiftleft(
