@@ -55,6 +55,14 @@ def collect_split_points(
     O(1/err) driver memory). Non-numeric (string/date) keys fall back to
     a seeded ``takeSample`` — still collected once, so both downstream
     passes see identical literals regardless of how the sample fell.
+
+    Caveat: approxQuantile only accepts doubles, so integral/decimal
+    keys are compared on a double cast. Distinct keys above 2**53
+    collapse to the same double — correctness holds (both passes use
+    identical literals; ties just share a bucket) but an extreme-
+    magnitude key domain can skew bucket sizes. If such a domain ever
+    matters, derive bounds from a seeded sample in the key's native
+    type instead.
     """
     if num_buckets <= 1:
         return [], False
@@ -107,5 +115,11 @@ def with_deterministic_pid(
 
 def default_buckets(df: DataFrame) -> int:
     """Bucket count = session shuffle parallelism (32 locally; a cluster
-    submit sets it to ~2-3x total cores)."""
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    submit sets it to ~2-3x total cores). Platforms with auto-optimized
+    shuffle report the non-numeric value ``'auto'`` — fall back to the
+    relation's own partition count there instead of crashing."""
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    try:
+        return int(raw)
+    except ValueError:
+        return max(df.rdd.getNumPartitions(), 1)

@@ -83,8 +83,14 @@ def _duck_oracle() -> str:
     kinds count+replace twice. Generated from PII_PATTERNS so the
     oracle tracks the operator."""
 
+    def sq(s: str) -> str:
+        # Pattern/replacement strings land inside single-quoted SQL
+        # literals; escape ' as '' so a future PII_PATTERNS entry
+        # containing a quote can't silently corrupt the oracle.
+        return s.replace("'", "''")
+
     def duck_repl(kind: str) -> str:
-        return _replacement(kind).replace("$", "\\")
+        return sq(_replacement(kind).replace("$", "\\"))
 
     # DuckDB reads STRING as VARCHAR? No — normalize the synth fragment.
     synth = _synth_sql().replace("AS STRING", "AS VARCHAR")
@@ -92,8 +98,8 @@ def _duck_oracle() -> str:
     prev = "s0"
     carried: list[str] = []
     for kind, pat in PII_PATTERNS:
-        cnt = f"len(regexp_extract_all(t, '{pat}'))"
-        rep = f"regexp_replace(t, '{pat}', '{duck_repl(kind)}', 'g')"
+        cnt = f"len(regexp_extract_all(t, '{sq(pat)}'))"
+        rep = f"regexp_replace(t, '{sq(pat)}', '{duck_repl(kind)}', 'g')"
         if kind in _BOUNDARY_KINDS:
             stage_a = f"{prev}_{kind}a"
             cols = ", ".join(["doc_id"] + carried)
