@@ -9,12 +9,23 @@ Timing methodology: one warm-up action to JIT/own the session, then each
 query timed as plan-build + execution to a count/collect-free sink
 (``df.write.format("noop")``) so we measure the engine, not result
 transfer to the driver.
+
+Noise control (round 5): each query runs SPARK_GRAFT_BENCH_RUNS times
+(default 3) and reports the per-query MEDIAN — single-run local[32]
+timings drift ±2x on contended queries (r4's dpp/overlap "regressions"
+were exactly this). Build and execution are timed separately: roundtrip
+queries do their parquet (re)writes eagerly inside build(), so the
+build-phase median isolates write amplification from the read-side
+query a DPP/layout regression would actually show up in. Phase medians
+land in bench_results.json ("phases"); the stdout line keeps the
+per-query total-median map the driver records.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 HEADLINE = [
@@ -73,16 +84,33 @@ def main() -> None:
     # run before the JSON line prints (the r3 failure mode — a single
     # AnalysisException produced a bench artifact with ZERO numbers).
     # Errors are recorded per query; timings keep accumulating.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in names:
-        t0 = time.perf_counter()
+        build_s: list[float] = []
+        exec_s: list[float] = []
         try:
-            df = specs[name].build(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                df = specs[name].build(spark, sf_dir)
+                t1 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                t2 = time.perf_counter()
+                build_s.append(t1 - t0)
+                exec_s.append(t2 - t1)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        if build_s:  # partial runs still report (fault isolation)
+            totals = [b + e for b, e in zip(build_s, exec_s)]
+            timings[name] = round(statistics.median(totals), 4)
+            phases[name] = {
+                "build": round(statistics.median(build_s), 4),
+                "exec": round(statistics.median(exec_s), 4),
+            }
+            runs[name] = [round(t, 4) for t in totals]
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -94,15 +122,19 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_ok": len(timings),
         "n_err": len(errors),
+        "n_runs": n_runs,
+        "stat": "median",
     }
     if errors:
         result["errors"] = errors
-    # Full per-query map also lands on disk so downstream consumers
-    # aren't at the mercy of stdout tail-truncation.
+    # Full detail (per-run timings, build/exec phase medians) lands on
+    # disk only — the stdout line stays compact so tail-truncation of
+    # captured output can't eat the per-query map (r2 lesson).
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_results.json"), "w") as fh:
-            json.dump(result, fh, indent=1, sort_keys=True)
+            json.dump({**result, "phases": phases, "runs": runs},
+                      fh, indent=1, sort_keys=True)
     except OSError:
         pass
     print(json.dumps(result))
