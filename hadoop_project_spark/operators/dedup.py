@@ -122,7 +122,15 @@ def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
 def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     """Exact Jaccard on candidate pairs via set-intersection counting:
     |A∩B| from a join of the two shingle sets, |A∪B| = |A|+|B|-|A∩B|.
-    Cost is proportional to candidates × shared shingles, not n²."""
+    Cost is proportional to candidates × shared shingles, not n².
+
+    The shingle-side joins shuffle the full shingle relation once — a
+    LINEAR pass, acceptable by the no-all-pairs rule. A/B (sf0.1,
+    median of 3): pre-restricting shingles to candidate docs via a
+    union+distinct+leftsemi loses locally (ngram 5.0→5.4 s, minhash
+    2.7→3.4 s) because deriving the candidate-doc set re-runs the
+    candidate pipeline; at extreme scale, persist `pairs` first and
+    the semi-join restriction becomes the right call."""
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
