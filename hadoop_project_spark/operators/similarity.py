@@ -29,7 +29,11 @@ import random
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from hadoop_project_spark.functions.vector import dot, l2_norm
+from hadoop_project_spark.functions.vector import (
+    dot,
+    double_array_lit,
+    l2_norm,
+)
 
 
 def local_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -144,7 +148,7 @@ def lsh_bucket(vec_col: str, planes: list[list[float]]):
     for i, p in enumerate(planes):
         # one array<double> Literal node per plane, not dim individual
         # F.lit nodes (same plan-size fix as kmeans._centroid_array)
-        plane = F.lit([float(x) for x in p])
+        plane = double_array_lit(p)
         bit = F.when(
             F.round(dot(vec_col, plane), 9) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
@@ -269,7 +273,7 @@ def _cell_dists(vec_col: str, cents: list[list[float]]):
     decisions identical across engines — same strategy as lsh_bucket)."""
     from hadoop_project_spark.functions.vector import squared_l2_distance
 
-    carr = F.lit([[float(x) for x in c] for c in cents])
+    carr = double_array_lit(cents)
     return F.transform(carr, lambda c: F.round(squared_l2_distance(vec_col, c), 9))
 
 

@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
-from hadoop_project_spark.functions.vector import squared_l2_distance
+from hadoop_project_spark.functions.vector import (
+    double_array_lit,
+    squared_l2_distance,
+)
 from hadoop_project_spark.operators import similarity as sim
 from hadoop_project_spark.operators.kmeans import (
     assign_clusters,
@@ -150,7 +153,7 @@ def _step_dists(cents: list[list[float]]):
     """array<double> of 9dp-rounded squared L2 distances to each literal
     centroid — rounding makes argmin/sort decisions identical across
     engines (same strategy as the IVF cell assignment)."""
-    carr = F.lit([[float(x) for x in c] for c in cents])
+    carr = double_array_lit(cents)
     return F.transform(
         carr, lambda c: F.round(squared_l2_distance("embedding", c), 9)
     )
