@@ -82,6 +82,10 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             # this round's simhash rewrite MUST be re-certified
             "dedup_simhash_signatures",
             "dedup_simhash_pairs",
+            # this round's expr-string vector literals (double_array_lit)
+            "ann_topk_ivf",
+            "ann_topk_lsh_verified",
+            "embedding_neardup_pairs",
             # re-measured perf-weak queries from VERDICT r4
             "dpp_partitioned_join_roundtrip",
             "source_overlap_matrix",
