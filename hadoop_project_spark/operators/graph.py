@@ -32,14 +32,17 @@ def connected_components(
     singleton component); ``edges`` is undirected (each pair listed
     once, either orientation).
 
-    Each iteration references the previous labels relation TWICE (the
-    offers join and the changed-count join), so a cache-only loop grows
-    the logical plan 2^iterations — an 11-round chain OOMs the JVM just
-    materializing the plan tree. localCheckpoint(eager) truncates the
-    lineage every round: plan size stays O(1) in iteration count, which
-    is what makes this safe for deep graphs (and is the same fix
-    SURVEY.md §4 prescribes for iterative state: "localCheckpoint if
-    lineage grows").
+    A cache-only loop would grow the logical plan 2^iterations — an
+    11-round chain OOMs the JVM just materializing the plan tree.
+    localCheckpoint(eager) truncates the lineage every round: plan size
+    stays O(1) in iteration count, which is what makes this safe for
+    deep graphs (and is the same fix SURVEY.md §4 prescribes for
+    iterative state: "localCheckpoint if lineage grows").
+
+    The convergence test carries ``old_l`` INSIDE the checkpointed
+    relation, so the per-round changed-count is a scan of materialized
+    blocks — not a labels⋈labels join (A/B at sf0.1: 4.0 s → 3.1 s for
+    the full dedup_clusters pipeline, identical components).
     """
     bidir = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
@@ -59,21 +62,17 @@ def connected_components(
             .groupBy("n")
             .agg(F.min("l").alias("offer"))
         )
-        new_labels = (
+        staged = (
             labels.join(offers, "n", "left")
             .select(
                 "n",
-                F.least("l", F.coalesce("offer", F.col("l"))).alias("l"),
+                F.least("l", F.coalesce("offer", F.col("l"))).alias("new_l"),
+                F.col("l").alias("old_l"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("nw")
-            .join(labels.alias("old"), "n")
-            .filter(F.col("nw.l") != F.col("old.l"))
-            .count()
-        )
-        labels = new_labels
+        changed = staged.filter(F.col("new_l") != F.col("old_l")).count()
+        labels = staged.select("n", F.col("new_l").alias("l"))
         if changed == 0:
             break
     return labels.select(F.col("n"), F.col("l").alias("component"))

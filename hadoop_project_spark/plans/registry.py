@@ -86,6 +86,8 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "ann_topk_ivf",
             "ann_topk_lsh_verified",
             "embedding_neardup_pairs",
+            # this round's staged convergence check (operators/graph.py)
+            "dedup_clusters",
             # re-measured perf-weak queries from VERDICT r4
             "dpp_partitioned_join_roundtrip",
             "source_overlap_matrix",
