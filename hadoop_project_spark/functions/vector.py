@@ -45,6 +45,21 @@ def dot(a: str | Column, b: str | Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def dot_sql(vec_sql: str, values: list[float]) -> str:
+    """Spark-SQL text twin of ``dot(vec_sql, F.lit(values))`` — same
+    widen-then-multiply left-to-right aggregate, so the parsed
+    expression is float-identical to the Column form. Used by builders
+    that assemble many dot products (e.g. the LSH bucket keys: 8 planes
+    × 2 relations × 4 tables) where per-expression py4j lambda overhead
+    (~200 ms each) dominates plan construction."""
+    arr = "array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")"
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def l2_norm(a: str | Column) -> Column:
     sq = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
