@@ -355,3 +355,81 @@ def dpp_partitioned_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("total_qty"),
         )
     )
+
+
+@register(
+    "orc_roundtrip_order_priorities",
+    priority=10,
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(MIN(o_orderdate) AS DATE) AS first_order,
+           CAST(MAX(o_orderdate) AS DATE) AS last_order
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("source", "sink", "orc", "roundtrip", "extension"),
+)
+def orc_roundtrip_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC sink (partitioned by o_orderstatus) → ORC source
+    with a pushed-down partition filter → priority rollup. The oracle
+    aggregates the original parquet directly, so the hash match
+    certifies the ORC write→read path end-to-end: type preservation
+    (decimal totalprice, date orderdate), partition-directory layout,
+    and that the status filter prunes at the ORC scan exactly as it
+    would on parquet (sources/formats.py — ORC is the Hive/Trino-
+    centric columnar sibling with the same pushdown behavior)."""
+    from hadoop_project_spark.sources.formats import read_orc, write_orc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "o_orderdate",
+    )
+    path = _roundtrip_dir(sf_dir, "orders_orc")
+    write_orc(orders, path, partition_by=["o_orderstatus"])
+    back = read_orc(spark, path).filter(F.col("o_orderstatus") != "F")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+
+
+@register(
+    "json_roundtrip_source_stats",
+    priority=10,
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           MIN(md5(text)) AS text_md5_min
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("source", "sink", "json", "roundtrip", "extension"),
+)
+def json_roundtrip_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → NDJSON sink → JSON source with an EXPLICIT schema
+    (schema inference is a full extra pass at 100 TB and silently
+    widens types, so read_json requires one) → per-source stats. The
+    md5-of-text min in the hash proves JSON string escaping round-
+    trips every document byte-for-byte, not just the counts."""
+    from hadoop_project_spark.sources.formats import read_json, write_json
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    path = _roundtrip_dir(sf_dir, "docs_json")
+    write_json(docs, path)
+    back = read_json(spark, path, "doc_id bigint, source string, text string")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min(F.md5("text")).alias("text_md5_min"),
+    )
