@@ -25,3 +25,4 @@ from hadoop_project_spark.plans import packing_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import sql_api  # noqa: F401,E402
 from hadoop_project_spark.plans import diagnostics_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import pii_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import matching_queries  # noqa: F401,E402

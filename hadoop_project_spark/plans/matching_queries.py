@@ -1,0 +1,217 @@
+"""Round-6 capability queries: fuzzy string matching, bigram language-
+model statistics, and robust (median/MAD) outlier detection.
+
+Three operator families a large-scale training-data pipeline needs that
+were not yet first-class:
+
+* edit-distance fuzzy matching — the catalog-entity twin of the
+  document near-dup family (operators/dedup.py): blocked candidate
+  generation + `levenshtein` verification, never an all-pairs join.
+* count-based bigram LM — conditional next-token probabilities, the
+  classic cheap quality/perplexity signal over a corpus.
+* median/MAD robust outliers — data-quality gating for numeric event
+  streams where mean/stddev are skew-fragile.
+
+The reference has no analog for any of these (its text surface is the
+word-count family — WordCount1/src/main/java/WordCount.java); they
+extend SURVEY.md §2's P1/A1 tokenize-aggregate shape and the dedup
+blocking discipline to new verification surfaces. `levenshtein` and
+`percentile`/`percentile_cont` were primitive-checked for cross-engine
+parity before use (identical on test probes, both classic unit-cost
+edit distance / linearly-interpolated quantiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.functions.text import normalize_text
+from hadoop_project_spark.plans.registry import register
+from hadoop_project_spark.plans.text_pipeline import SQL_NORM
+
+# Fuzzy-match threshold: part names are "adjective noun" (~10 chars);
+# 4 edits catches adjective swaps within a (brand, type) block without
+# pairing everything.
+FUZZY_MAX_DIST = 4
+
+# 3 * 1.4826 (the normal-consistency constant for MAD): one literal so
+# both engines compute `mad * K`, never `3 * (1.4826 * mad)` — keeps the
+# float product association identical.
+MAD_K = 4.4478
+
+
+@register(
+    "part_name_fuzzy_pairs",
+    priority=15,
+    oracle=f"""
+    SELECT a.p_brand, a.p_type,
+           a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    tags=("matching", "levenshtein", "fuzzy", "dedup", "extension"),
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-matches between part names, blocked on
+    (p_brand, p_type).
+
+    Same scale discipline as every dedup operator: the self-join runs
+    only inside blocking-key groups (25 brands × 6 types here; an LSH or
+    q-gram bucket at 100 TB), so cost is Σ block² — never corpus². The
+    levenshtein verify touches only blocked candidates.
+    """
+    p = load_table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_name").alias("name_a"),
+        "p_brand", "p_type",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_name").alias("name_b"),
+        "p_brand", "p_type",
+    )
+    return (
+        a.join(b, ["p_brand", "p_type"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .select(
+            "p_brand", "p_type", "part_a", "part_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("lev_dist"),
+        )
+        .filter(F.col("lev_dist") <= FUZZY_MAX_DIST)
+    )
+
+
+@register(
+    "doc_bigram_lm_top",
+    priority=15,
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split({SQL_NORM}, ' ') AS l FROM documents
+    ),
+    pos AS (
+      SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+      FROM toks WHERE len(l) >= 2
+    ),
+    c AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS cnt
+      FROM pos GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY w1) AS DOUBLE) AS cond_p
+    FROM c
+    ORDER BY cnt DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text", "lm", "bigram", "extension"),
+)
+def doc_bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams with conditional probability p(w2 | w1).
+
+    Bigrams come from one zip_with over the shifted token array (JVM-side,
+    no position shuffle); the denominator count(w1) is a window sum over
+    the already-aggregated bigram counts — integer-exact, so the final
+    double division is bit-identical across engines. The global top-20 is
+    a TakeOrdered (sort-limit), not a single-task full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(normalize_text("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n = F.size("t") - F.lit(1)
+    big = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), n),
+                F.slice("t", F.lit(2), n),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    counts = big.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count("*").alias("cnt"))
+    w1_total = Window.partitionBy("w1")
+    return (
+        counts.select(
+            "w1", "w2", "cnt",
+            (F.col("cnt").cast("double")
+             / F.sum("cnt").over(w1_total).cast("double")).alias("cond_p"),
+        )
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "events_value_outliers",
+    priority=15,
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, med,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           m.med AS med, m.mad AS mad,
+           CAST(COUNT(*) FILTER (d.adev > m.mad * {MAD_K}) AS BIGINT)
+             AS n_outliers,
+           CAST(COUNT(*) FILTER (d.adev > m.mad * {MAD_K}) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS outlier_rate
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type, m.med, m.mad
+    """,
+    tags=("diagnostics", "outliers", "mad", "robust", "extension"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: |value − median| > K·MAD.
+
+    Median/MAD instead of mean/stddev so one corrupt batch can't drag
+    the gate. Two aggregate passes (median, then MAD over deviations),
+    each a groupBy on event_type; the per-type scalars ride broadcast
+    joins back onto the stream — no window over the full relation, no
+    driver collect. Exact interpolated percentiles on both engines
+    (same parity as price_percentiles_by_priority).
+    """
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    is_out = (F.col("adev") > F.col("mad") * F.lit(MAD_K)).cast("long")
+    return (
+        dev.select("event_type", "adev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(is_out).alias("n_outliers"),
+            (F.sum(is_out).cast("double") / F.count("*").cast("double")
+             ).alias("outlier_rate"),
+        )
+        .select(
+            "event_type", "n_events", "med", "mad", "n_outliers", "outlier_rate"
+        )
+    )
