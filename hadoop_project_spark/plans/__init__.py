@@ -26,3 +26,4 @@ from hadoop_project_spark.plans import sql_api  # noqa: F401,E402
 from hadoop_project_spark.plans import diagnostics_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import pii_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import matching_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import governance_queries  # noqa: F401,E402

@@ -1,0 +1,348 @@
+"""Round-5 governance queries: deterministic dataset splits, dedup
+survivor selection, winsorized robust stats, and a fixed-point PageRank
+step.
+
+Four capabilities a production training-data pipeline runs between
+"corpus assembled" and "corpus shipped" that were not yet first-class:
+
+* hash-based train/val/test assignment — every doc lands in exactly one
+  split, stable across runs and cluster sizes, with no RNG state to
+  coordinate (the md5-prefix trick: split by the lexicographic range of
+  the first two hex chars, so both engines decide from the same pure
+  string expression).
+* duplicate-group survivor selection — dedup_exact (dedup_queries.py)
+  *identifies* groups; shipping a corpus also needs the *keep policy*
+  (lowest doc_id wins) and the per-source yield accounting after drops.
+* winsorized statistics — mean/extremes after clamping to [p01, p99]:
+  the robust twin of lineitem_global_minmax for money columns where a
+  fat-fingered tail would poison a plain mean. Cross-row money sums ride
+  exact fixed-point cents (BIGINT), never order-dependent double sums
+  (see functions/numeric.py for the parity rationale).
+* one PageRank power-iteration step over the part co-purchase graph —
+  hash-anchors the iterative-graph family the same way kmeans_assign_step
+  (ml_queries.py) anchors Lloyd iteration: the full loop is driver-side
+  convergence (operators/graph.py), but a single step is pure relational
+  algebra both engines can agree on. Neighbor messages are quantized to
+  round(1e12/deg) BIGINT before summing — for deg ≤ 8192 the true
+  fractional part is never within 1/(2·deg) of .5 while double error is
+  ≤ 1 ulp (~1.3e-4), so HALF_UP (Spark) and half-away (DuckDB) agree,
+  and the BIGINT sum is order-independent where a double sum is not.
+  Fixed-point message passing is also the honest 100 TB design: exact,
+  associative, and skew/partition-order immune.
+
+The reference has no analog (its iterative surface is the K-Means
+driver loop, final/src/main/java/calc/KMeans.java); these extend
+SURVEY.md §2's A9 (group-as-dedup), A10 (global extremes), C2
+(convergence loop) rows to the governance surfaces a corpus release
+actually gates on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.functions.text import normalize_text
+from hadoop_project_spark.plans.registry import register
+from hadoop_project_spark.plans.text_pipeline import SQL_NORM
+
+# Split thresholds on the first two hex chars of md5(doc_id):
+# [00, c8) → train (200/256 ≈ 78.1%), [c8, e1) → val (25/256 ≈ 9.8%),
+# [e1, ff] → test (31/256 ≈ 12.1%). Two-char hex compares
+# lexicographically == numerically, so a plain string range works in
+# both engines with no hex→int parsing (which the engines spell
+# differently).
+_TRAIN_HI = "c8"
+_VAL_HI = "e1"
+
+# Fixed-point scale for PageRank neighbor messages (see module doc).
+_PR_SCALE = 1_000_000_000_000.0
+_PR_DAMP = 0.85
+_PR_BASE = 0.15
+
+
+@register(
+    "docs_split_assignment",
+    priority=15,
+    oracle=f"""
+    WITH h AS (
+      SELECT source, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN hx < '{_TRAIN_HI}' THEN 'train'
+                WHEN hx < '{_VAL_HI}' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM h
+    GROUP BY source, split
+    """,
+    tags=("governance", "split", "sampling", "extension"),
+)
+def docs_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split accounting per source.
+
+    The split is a pure function of doc_id (md5-prefix range), so it is
+    reproducible across runs, engines, and partitionings — no RNG seeds
+    to coordinate across 1000 executors, and a re-run after appending
+    new docs never reassigns an old one. One narrow projection + one
+    groupBy; the md5 stays inside whole-stage codegen.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(hx < _TRAIN_HI, "train")
+        .when(hx < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            "source", "n_chars", split.alias("split")
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars_total"),
+        )
+    )
+
+
+@register(
+    "dedup_survivors_by_source",
+    priority=15,
+    oracle=f"""
+    WITH g AS (
+      SELECT md5({SQL_NORM}) AS fp,
+             min_by(source, doc_id) AS keeper_source,
+             COUNT(*) AS n_copies
+      FROM documents
+      GROUP BY md5({SQL_NORM})
+    )
+    SELECT keeper_source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_survivors,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS n_dropped
+    FROM g
+    GROUP BY keeper_source
+    """,
+    tags=("governance", "dedup", "survivor", "extension"),
+)
+def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus yield after exact-dedup survivor selection.
+
+    Keep policy: within each normalized-text fingerprint group the
+    lowest doc_id survives; `min_by(source, doc_id)` carries the
+    survivor's source through the same aggregate, so the whole query is
+    two shuffles (fingerprint, then source) and never joins back to the
+    corpus. doc_id is unique, so min_by is deterministic on ties by
+    construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    groups = (
+        docs.select(
+            F.md5(normalize_text("text")).alias("fp"),
+            "doc_id",
+            "source",
+        )
+        .groupBy("fp")
+        .agg(
+            F.min_by("source", "doc_id").alias("keeper_source"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    return (
+        groups.groupBy(F.col("keeper_source").alias("source"))
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.sum(F.col("n_copies") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
+@register(
+    "lineitem_winsorized_stats",
+    priority=15,
+    oracle="""
+    WITH pct AS (
+      SELECT l_returnflag,
+             percentile_cont(0.01) WITHIN GROUP (ORDER BY l_extendedprice)
+               AS lo,
+             percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice)
+               AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           p.lo AS p01, p.hi AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(*) FILTER (l.l_extendedprice < p.lo) AS BIGINT)
+             AS n_clamped_low,
+           CAST(COUNT(*) FILTER (l.l_extendedprice > p.hi) AS BIGINT)
+             AS n_clamped_high,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS raw_avg,
+           CAST(SUM(CAST(round(least(greatest(l.l_extendedprice, p.lo),
+                                     p.hi) * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / CAST(COUNT(*) AS DOUBLE) AS winsorized_avg
+    FROM lineitem l JOIN pct p USING (l_returnflag)
+    GROUP BY l.l_returnflag, p.lo, p.hi
+    """,
+    tags=("governance", "robust", "winsorize", "extension"),
+)
+def lineitem_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price stats per return flag: clamp to [p01, p99],
+    then exact fixed-point mean.
+
+    Two aggregate passes — exact interpolated percentiles per flag
+    (primitive parity established for events_value_outliers), then the
+    per-flag scalars broadcast back onto the scan. Clamped values are
+    summed as round(x·100) BIGINT cents: untouched prices are 2-dp
+    exact so ·100 never lands near .5, and the clamp bounds are
+    identical doubles in both engines, so HALF_UP vs half-away cannot
+    diverge — giving an order-independent sum where a double sum would
+    hash-differ between Spark's partial aggregation and DuckDB's
+    sequential scan. raw_avg rides the usual DECIMAL(18,2) path
+    (functions/numeric.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    j = li.join(F.broadcast(pct), "l_returnflag")
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99")
+    )
+    cents = F.round(clamped * F.lit(100)).cast("long")
+    return (
+        j.groupBy("l_returnflag", "p01", "p99")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                (F.col("l_extendedprice") < F.col("p01")).cast("long")
+            ).alias("n_clamped_low"),
+            F.sum(
+                (F.col("l_extendedprice") > F.col("p99")).cast("long")
+            ).alias("n_clamped_high"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count("*").cast("double")
+            ).alias("raw_avg"),
+            (
+                F.sum(cents).cast("double")
+                / F.lit(100.0)
+                / F.count("*").cast("double")
+            ).alias("winsorized_avg"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("p01").alias("p01"),
+            F.col("p99").alias("p99"),
+            "n_items",
+            "n_clamped_low",
+            "n_clamped_high",
+            "raw_avg",
+            "winsorized_avg",
+        )
+    )
+
+
+@register(
+    "part_copurchase_rank_step",
+    priority=15,
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    nn AS (SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem),
+    contrib AS (
+      SELECT e.dst,
+             CAST(round({_PR_SCALE!r} / d.out_deg) AS BIGINT) AS c
+      FROM e JOIN deg d ON e.src = d.src
+    ),
+    agg AS (
+      SELECT dst, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_in
+      FROM contrib GROUP BY dst
+    ),
+    nodes AS (SELECT DISTINCT l_partkey AS part_id FROM lineitem)
+    SELECT CAST(nd.part_id AS BIGINT) AS part_id,
+           CAST(COALESCE(d.out_deg, 0) AS BIGINT) AS out_deg,
+           COALESCE(a.n_in, CAST(0 AS BIGINT)) AS n_in,
+           {_PR_BASE!r} / nn.n
+             + {_PR_DAMP!r} * COALESCE(a.s, CAST(0 AS BIGINT))
+               / {_PR_SCALE!r} / nn.n AS rank_score
+    FROM nodes nd
+    CROSS JOIN nn
+    LEFT JOIN deg d ON d.src = nd.part_id
+    LEFT JOIN agg a ON a.dst = nd.part_id
+    """,
+    tags=("graph", "pagerank", "iterative", "extension"),
+)
+def part_copurchase_rank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank power-iteration step over the part co-purchase
+    graph (parts sharing an order), from a uniform 1/N start.
+
+    Edge generation is an equi-join keyed on l_orderkey — per-order
+    fanout is bounded by order size (≤7 in TPC-H), so the join is
+    linear in lineitem at any scale, never all-pairs. Messages are
+    quantized BIGINTs (module doc: the round(1e12/deg) bound argument),
+    so the in-neighbor sum is exact and partition-order independent —
+    the property that lets the full driver loop (operators/graph.py
+    style) checkpoint and resume without float drift. Dangling parts
+    (single-item orders) stay in the output with base score only, as
+    the canonical formulation requires.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    n_nodes = li.select("l_partkey").distinct().agg(
+        F.count("*").alias("n")
+    )
+    contrib = edges.join(deg, "src").select(
+        "dst",
+        F.round(F.lit(_PR_SCALE) / F.col("out_deg")).cast("long").alias("c"),
+    )
+    agg = contrib.groupBy("dst").agg(
+        F.sum("c").alias("s"), F.count("*").alias("n_in")
+    )
+    nodes = li.select(F.col("l_partkey").alias("part_id")).distinct()
+    score = F.lit(_PR_BASE) / F.col("n") + F.lit(_PR_DAMP) * F.coalesce(
+        F.col("s"), F.lit(0).cast("long")
+    ) / F.lit(_PR_SCALE) / F.col("n")
+    return (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .join(deg.withColumnRenamed("src", "part_id"), "part_id", "left")
+        .join(agg.withColumnRenamed("dst", "part_id"), "part_id", "left")
+        .select(
+            F.col("part_id").cast("long").alias("part_id"),
+            F.coalesce(F.col("out_deg"), F.lit(0)).cast("long").alias(
+                "out_deg"
+            ),
+            F.coalesce(F.col("n_in"), F.lit(0).cast("long")).alias("n_in"),
+            score.alias("rank_score"),
+        )
+    )
