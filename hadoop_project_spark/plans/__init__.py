@@ -27,3 +27,4 @@ from hadoop_project_spark.plans import diagnostics_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import pii_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import matching_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import governance_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import tpch_extra  # noqa: F401,E402
