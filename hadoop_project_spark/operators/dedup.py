@@ -281,6 +281,13 @@ def ngram_jaccard_pairs(
     production dedup pipeline writes; it is O(corpus grams), spills under
     MEMORY_AND_DISK, and lineage stays recoverable (unlike the
     localCheckpoint pin removed in round 4).
+
+    Round-5 A/B (sf0.1, warm session, median of 3): replacing the
+    df-count groupBy + join-back with a single Window.partitionBy(sh)
+    count LOSES 2.03 → 4.46 s — the window's per-partition sort costs
+    more than the extra hash shuffle saves, and Spark already reuses the
+    gram exchange across the groupBy and the join. Keep the groupBy
+    form.
     """
     normed = docs.select(
         F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("nt")
