@@ -433,3 +433,93 @@ def json_roundtrip_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.min(F.md5("text")).alias("text_md5_min"),
     )
+
+
+@register(
+    "merge_upsert_roundtrip",
+    priority=15,
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+      FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+      GROUP BY o_custkey
+    ),
+    delta AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spent
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      GROUP BY o_custkey
+    ),
+    merged AS (
+      SELECT COALESCE(b.o_custkey, d.o_custkey) AS o_custkey,
+             COALESCE(b.n_orders, 0) + COALESCE(d.n_orders, 0) AS n_orders,
+             COALESCE(b.total_spent, CAST(0 AS DECIMAL(18,2)))
+               + COALESCE(d.total_spent, CAST(0 AS DECIMAL(18,2)))
+               AS total_spent,
+             CASE WHEN b.o_custkey IS NOT NULL AND d.o_custkey IS NOT NULL
+                    THEN 'updated'
+                  WHEN b.o_custkey IS NULL THEN 'inserted'
+                  ELSE 'unchanged' END AS row_status
+      FROM base b FULL OUTER JOIN delta d ON b.o_custkey = d.o_custkey
+    )
+    SELECT row_status,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+           CAST(SUM(total_spent) AS DOUBLE) AS total_spent
+    FROM merged
+    GROUP BY row_status
+    """,
+    tags=("sink", "merge", "upsert", "roundtrip", "extension"),
+)
+def merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO certification: a per-customer running aggregate table
+    (orders before 2000) upserted with a delta batch (orders from 2000
+    on) via operators/merge.py — additive update expressions, audit
+    status column — written through the partitioned sink keyed by
+    row_status and read back for the final rollup.
+
+    The oracle recomputes the merge relationally from the original
+    parquet, so the hash certifies the full-outer merge resolution
+    (matched=add, inserted=take-source, unchanged=keep-target), the
+    audit labeling, AND the sink roundtrip in one row. Merge keys are
+    the join keys of one co-partitioned shuffle — the same physical
+    plan a Delta/Iceberg merge lowers to at 100 TB.
+    """
+    from hadoop_project_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cut = F.lit("2000-01-01").cast("timestamp")
+
+    def per_cust(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_spent"
+            ),
+        )
+
+    base = per_cust(orders.filter(F.col("o_orderdate") < cut))
+    delta = per_cust(orders.filter(F.col("o_orderdate") >= cut))
+    merged = merge_upsert(
+        base,
+        delta,
+        keys=["o_custkey"],
+        updates={
+            "n_orders": lambda t, s: t + s,
+            "total_spent": lambda t, s: t + s,
+        },
+        status_col="row_status",
+    )
+    path = _roundtrip_dir(sf_dir, "cust_merge")
+    write_partitioned(merged, path, partition_cols=["row_status"])
+    back = spark.read.parquet(path)
+    return back.groupBy("row_status").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.sum("total_spent").cast("double").alias("total_spent"),
+    )
