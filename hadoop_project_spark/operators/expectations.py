@@ -26,6 +26,7 @@ expectation gates ships corrupt partitions silently.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
@@ -40,7 +41,9 @@ class Expectation:
     predicate ``metric <op> threshold``."""
 
     name: str
-    spark_metric: Column
+    # thunk, not a Column: classic-mode Columns need an active
+    # SparkSession, and specs are declared at module import time.
+    spark_metric: Callable[[], Column]
     sql_metric: str
     op: str
     threshold: float
@@ -65,7 +68,7 @@ def check_expectations(
     from a single scan."""
     wide = df.agg(
         *[
-            e.spark_metric.cast("double").alias(f"m_{i}")
+            e.spark_metric().cast("double").alias(f"m_{i}")
             for i, e in enumerate(expectations)
         ]
     )

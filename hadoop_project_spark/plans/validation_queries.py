@@ -28,28 +28,28 @@ from hadoop_project_spark.plans.registry import register
 ORDERS_EXPECTATIONS = [
     Expectation(
         "row_count_min",
-        F.count("*"),
+        lambda: F.count("*"),
         "COUNT(*)",
         ">=",
         1.0,
     ),
     Expectation(
         "orderkey_unique",
-        F.count("*") - F.countDistinct("o_orderkey"),
+        lambda: F.count("*") - F.countDistinct("o_orderkey"),
         "COUNT(*) - COUNT(DISTINCT o_orderkey)",
         "==",
         0.0,
     ),
     Expectation(
         "totalprice_nonnegative",
-        F.sum((F.col("o_totalprice") < 0).cast("long")),
+        lambda: F.sum((F.col("o_totalprice") < 0).cast("long")),
         "COUNT(*) FILTER (o_totalprice < 0)",
         "==",
         0.0,
     ),
     Expectation(
         "orderdate_null_frac",
-        F.sum(F.col("o_orderdate").isNull().cast("long"))
+        lambda: F.sum(F.col("o_orderdate").isNull().cast("long"))
         / F.count("*"),
         "CAST(COUNT(*) FILTER (o_orderdate IS NULL) AS DOUBLE) / COUNT(*)",
         "<=",
@@ -57,14 +57,14 @@ ORDERS_EXPECTATIONS = [
     ),
     Expectation(
         "status_domain",
-        F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")),
+        lambda: F.sum((~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")),
         "COUNT(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P'))",
         "==",
         0.0,
     ),
     Expectation(
         "priority_pattern",
-        F.sum((~F.col("o_orderpriority").rlike("^[1-5]-")).cast("long")),
+        lambda: F.sum((~F.col("o_orderpriority").rlike("^[1-5]-")).cast("long")),
         "COUNT(*) FILTER (NOT regexp_matches(o_orderpriority, '^[1-5]-'))",
         "==",
         0.0,
