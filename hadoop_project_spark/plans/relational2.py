@@ -136,8 +136,22 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec2("value")).cast("double").alias("total_value"),
         F.count("*").alias("n_events"),
     )
+    # dense_rank ≤ 20 ⟺ total_value among the top-20 DISTINCT totals, so
+    # derive that threshold with a distributed TakeOrdered (orderBy+limit
+    # never materializes a single-task sort) and pre-filter before the
+    # global window — the unpartitioned dense_rank then runs on O(20 +
+    # ties) rows instead of every user (the single-task-window scale
+    # killer WindowExec warns about at 100 TB).
+    top_vals = (
+        totals.select("total_value").distinct()
+        .orderBy(F.desc("total_value")).limit(20)
+    )
+    thresh = top_vals.agg(F.min("total_value").alias("_mv"))
+    cand = totals.crossJoin(F.broadcast(thresh)).filter(
+        F.col("total_value") >= F.col("_mv")
+    )
     w = Window.orderBy(F.col("total_value").desc(), F.col("user_id"))
-    return totals.select(
+    return cand.select(
         "user_id", "total_value", "n_events", F.dense_rank().over(w).alias("rnk")
     ).filter(F.col("rnk") <= 20)
 
