@@ -29,7 +29,7 @@ QUERIES = [
     "dedup_minhash_lsh",
     "dedup_clusters",
     "multimodal_features",
-    "ann_topk_lsh",
+    "ann_topk_lsh_verified",
     "events_sessionization_batch",
     "order_rank_stats",
     "ann_topk_bruteforce",
@@ -62,6 +62,16 @@ QUERIES = [
     "embedding_quantize_profile",
     "user_state_history_scd2",
     "dpp_partitioned_join_roundtrip",
+    "national_market_share",
+    "promo_revenue_share",
+    "merge_upsert_roundtrip",
+    "fk_integrity_report",
+    "orders_expectations",
+    "part_copurchase_rank_step",
+    "lineitem_winsorized_stats",
+    "docs_split_assignment",
+    "dedup_survivors_by_source",
+    "events_top_users",
 ]
 
 
