@@ -502,3 +502,74 @@ def events_user_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         n_salts=16,
     )
+
+
+@register(
+    "events_retention_cohorts",
+    priority=15,
+    oracle="""
+    WITH fa AS (
+      SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    counts AS (
+      SELECT f.cohort_day,
+             CAST(a.d - f.cohort_day AS BIGINT) AS day_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM fa f JOIN act a USING (user_id)
+      GROUP BY f.cohort_day, a.d - f.cohort_day
+    )
+    SELECT c.cohort_day, c.day_offset, c.n_users,
+           CAST(c.n_users AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+             AS retained_frac
+    FROM counts c
+    JOIN counts s
+      ON s.cohort_day = c.cohort_day AND s.day_offset = 0
+    """,
+    tags=("cohort", "retention", "analytics", "extension"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix at day grain (the testdata spans one
+    month): users grouped by first-activity day, counted on each later
+    active day, with the retained fraction against the cohort's day-0
+    size.
+
+    Window-free formulation — two aggregates (first activity per user,
+    distinct user-days) joined on user_id, so each stage is a plain
+    keyed shuffle that scales with distinct (user, day) pairs, never
+    with raw event volume past the first aggregate. Day arithmetic is
+    integer date subtraction (identical in both engines); cohort sizes
+    ride a broadcast self-join on the offset-0 rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    fa = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    act = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    counts = (
+        fa.join(act, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.col("d"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+    sizes = counts.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("n_users").alias("_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("_size").cast("double"))
+            .alias("retained_frac"),
+        )
+    )
