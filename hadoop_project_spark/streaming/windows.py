@@ -34,11 +34,18 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over an events directory (parquet files
     appear → micro-batches). Schema is explicit: streaming sources
-    never infer."""
-    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    never infer. ``max_files_per_trigger`` bounds each micro-batch —
+    the backpressure knob, and the way tests force a multi-batch run
+    over static input."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def hourly_rollup_stream(

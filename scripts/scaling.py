@@ -46,6 +46,14 @@ FAMILIES: dict[str, list[str]] = {
     "text analysis": ["doc_quality_scores", "tfidf_top_terms"],
     "prefix-sum (ranking/packing)": ["customer_value_deciles", "sequence_packing"],
     "relational": ["pricing_summary", "word_count", "two_leg_conversion"],
+    "graph / merge / governance": [
+        "part_copurchase_rank_step",
+        "merge_upsert_roundtrip",
+        "fk_integrity_report",
+        "dedup_survivors_by_source",
+        "national_market_share",
+        "events_retention_cohorts",
+    ],
     "ML single step": ["kmeans_assign_step"],
 }
 

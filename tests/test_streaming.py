@@ -289,3 +289,60 @@ def test_foreachbatch_idempotent_sink(spark, sf_dir, tmp_path):
     replayed = spark.read.parquet(f"{out}/batch_id={max_batch}")
     assert replayed.count() == 100
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_foreachbatch_merge_state_equals_batch(spark, sf_dir, tmp_path):
+    """CDC state maintenance: per-user running totals merged into a
+    parquet state table across MULTIPLE micro-batches (maxFilesPerTrigger
+    forces >1) must equal the one-shot batch aggregate."""
+    from hadoop_project_spark.streaming.merge import make_merge_sink
+    from hadoop_project_spark.streaming.windows import read_events_stream
+
+    src = str(tmp_path / "events_merge_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    state_dir = str(tmp_path / "user_totals_state")
+    seen_batches = []
+
+    def prepare(batch_df):
+        seen_batches.append(1)
+        return batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+
+    sink = make_merge_sink(
+        state_dir,
+        keys=["user_id"],
+        updates={
+            "n_events": lambda t, s: t + s,
+            "total_value": lambda t, s: t + s,
+        },
+        prepare=prepare,
+    )
+    q = (
+        read_events_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "merge_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(seen_batches) > 1, "expected multiple micro-batches"
+
+    got = {
+        r["user_id"]: (r["n_events"], float(r["total_value"]))
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], float(r["v"]))
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v"),
+        )
+        .collect()
+    }
+    assert got == exp
+    shutil.rmtree(src, ignore_errors=True)
