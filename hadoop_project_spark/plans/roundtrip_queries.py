@@ -523,3 +523,65 @@ def merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("n_orders"),
         F.sum("total_spent").cast("double").alias("total_spent"),
     )
+
+
+# Every 47th doc id gets its JSON line corrupted (trailing garbage) —
+# deterministic, so the oracle knows exactly which rows must land in
+# _corrupt_record.
+_CORRUPT_MOD = 47
+
+
+@register(
+    "json_corrupt_records_audit",
+    priority=15,
+    oracle=f"""
+    SELECT
+      CAST(COUNT(*) FILTER (doc_id % {_CORRUPT_MOD} <> 0) AS BIGINT)
+        AS n_good,
+      CAST(COUNT(*) FILTER (doc_id % {_CORRUPT_MOD} = 0) AS BIGINT)
+        AS n_corrupt,
+      CAST(SUM(n_chars) FILTER (doc_id % {_CORRUPT_MOD} <> 0) AS BIGINT)
+        AS chars_good,
+      CAST(SUM(doc_id) FILTER (doc_id % {_CORRUPT_MOD} <> 0) AS BIGINT)
+        AS id_sum_good
+    FROM documents
+    """,
+    tags=("source", "json", "permissive", "corrupt-records", "extension"),
+)
+def json_corrupt_records_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest audit: NDJSON with deterministically
+    injected corruption (truncation of every 47th line) read
+    back with an explicit schema + _corrupt_record column; the audit
+    counts good vs quarantined rows and checksums the surviving values.
+
+    The hash match proves Spark's PERMISSIVE parser quarantines exactly
+    the corrupted lines — none silently dropped, none half-parsed into
+    the good set (a corrupt line yields nulls for all data fields, so
+    the id/char checksums would shift on any leak). At 100 TB this is
+    the ingest-edge pattern: never fail the job on bad records, land
+    them in a quarantine column and count them against an expectation
+    gate (plans/validation_queries.py).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    line = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    # truncation, not trailing garbage: Jackson stops at the first
+    # complete object, so '{...}{' still parses — an unterminated object
+    # does not
+    corrupted = F.when(
+        F.col("doc_id") % _CORRUPT_MOD == 0,
+        F.substring(line, 1, 10),
+    ).otherwise(line)
+    path = _roundtrip_dir(sf_dir, "docs_json_corrupt")
+    docs.select(corrupted.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.schema(
+        "doc_id bigint, source string, n_chars bigint, _corrupt_record string"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(path)
+    good = F.col("_corrupt_record").isNull()
+    return back.agg(
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_chars"))).alias("chars_good"),
+        F.sum(F.when(good, F.col("doc_id"))).alias("id_sum_good"),
+    )
