@@ -346,3 +346,191 @@ def part_copurchase_rank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             score.alias("rank_score"),
         )
     )
+
+
+# Fixed-point scale for LM probability scoring (floor-quantized: floor
+# has no .5 tie, and both engines compute the identical correctly-
+# rounded double for p*SCALE, so the BIGINT landing is bit-equal).
+_LM_SCALE = 1_000_000_000_000.0
+
+# Temperature-mix target draw size and weight quantization. sqrt is
+# IEEE-correctly-rounded (unlike pow/log), so sqrt-weights (temperature
+# 0.5) are bit-identical across engines; quotas then ride exact integer
+# arithmetic (floor-scaled weights, integer division).
+_MIX_TARGET = 300
+_MIX_WSCALE = 1_000_000.0
+
+
+@register(
+    "doc_lm_avgprob",
+    priority=15,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS l FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+      FROM toks WHERE len(l) >= 2
+    ),
+    bg AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2 FROM pos),
+    lm_pair AS (SELECT w1, w2, COUNT(*) AS c_pair FROM bg GROUP BY w1, w2),
+    lm_uni AS (SELECT w1, COUNT(*) AS c_w1 FROM bg GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(FLOOR((CAST(p.c_pair AS DOUBLE) / CAST(u.c_w1 AS DOUBLE))
+                        * {_LM_SCALE!r}) AS BIGINT) AS p_scaled
+      FROM bg b
+      JOIN lm_pair p ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN lm_uni u ON b.w1 = u.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p_scaled) AS DOUBLE) / {_LM_SCALE!r}
+             / CAST(COUNT(*) AS DOUBLE) AS avg_cond_p
+    FROM scored
+    GROUP BY doc_id
+    """,
+    tags=("text", "lm", "quality", "extension"),
+)
+def doc_lm_avgprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram conditional probability under the
+    corpus's own bigram LM — the cheap fluency/quality score whose
+    LM-build half is certified by doc_bigram_lm_top.
+
+    Cross-row float sums are the hash gate's enemy (partial aggregation
+    vs sequential scan reorder them), so each p(w2|w1) is quantized to
+    floor(p·1e12) BIGINT before the per-doc sum: division and multiply
+    are IEEE-correctly-rounded (identical in both engines) and floor
+    has no tie case, so the integer sum is exact and order-free. The
+    bigram stream is persisted once and feeds the LM aggregates and the
+    scoring join.
+    """
+    from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
+    n = F.size("t") - F.lit(1)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), n),
+                F.slice("t", F.lit(2), n),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bg = bg.persist()
+    lm_pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
+    lm_uni = bg.groupBy("w1").agg(F.count("*").alias("c_w1"))
+    p = F.col("c_pair").cast("double") / F.col("c_w1").cast("double")
+    scored = (
+        bg.join(lm_pair, ["w1", "w2"])
+        .join(lm_uni, "w1")
+        .select(
+            "doc_id",
+            F.floor(p * F.lit(_LM_SCALE)).alias("p_scaled"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum("p_scaled").cast("double")
+            / F.lit(_LM_SCALE)
+            / F.count("*").cast("double")
+        ).alias("avg_cond_p"),
+    )
+
+
+@register(
+    "training_mix_temperature",
+    priority=15,
+    oracle=f"""
+    WITH stats AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(FLOOR(sqrt(CAST(COUNT(*) AS DOUBLE)) * {_MIX_WSCALE!r})
+                  AS BIGINT) AS w_scaled
+      FROM documents GROUP BY source
+    ),
+    denom AS (SELECT SUM(w_scaled) AS d FROM stats),
+    quota AS (
+      SELECT s.source, s.n_docs,
+             ({_MIX_TARGET} * s.w_scaled) // d.d AS quota
+      FROM stats s CROSS JOIN denom d
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT q.source,
+           CAST(q.n_docs AS BIGINT) AS n_docs,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(COUNT(r.doc_id) AS BIGINT) AS n_selected,
+           CAST(COALESCE(SUM(r.n_chars), 0) AS BIGINT) AS chars_selected
+    FROM quota q
+    LEFT JOIN ranked r ON r.source = q.source AND r.rn <= q.quota
+    GROUP BY q.source, q.n_docs, q.quota
+    """,
+    tags=("corpus", "sampling", "temperature", "mix", "extension"),
+)
+def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 source mixing: per-source draw quotas ∝ √n_i
+    (the standard up-weighting of small sources), filled by
+    deterministic md5-order selection.
+
+    The quota math never touches an engine-divergent operation: sqrt is
+    IEEE-correctly-rounded (pow/log are NOT — which is why the exponent
+    is 0.5), weights are floor-quantized to BIGINT, and the quota is
+    exact integer division of integer products. Selection reuses the
+    md5-rank trick of docs_hash_sample — reproducible under any
+    partitioning, no RNG state. The per-source rank window is
+    partitioned (never global), and quotas broadcast onto the ranked
+    stream.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.floor(
+            F.sqrt(F.count("*").cast("double")) * F.lit(_MIX_WSCALE)
+        ).alias("w_scaled"),
+    )
+    denom = stats.agg(F.sum("w_scaled").alias("d"))
+    quota = stats.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({_MIX_TARGET} * w_scaled) div d").alias("quota"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    sel = ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rn") <= F.col("quota")
+    )
+    picked = sel.groupBy("source").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_chars").alias("chars_selected"),
+    )
+    return (
+        quota.join(picked, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "quota",
+            F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+            F.coalesce(F.col("chars_selected"), F.lit(0)).alias(
+                "chars_selected"
+            ),
+        )
+    )
