@@ -258,3 +258,26 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         .count()
     )
     assert row.n == direct
+
+
+def test_market_share_snowflake_broadcasts_all_dims(spark, sf_dir):
+    """national_market_share (Q8 shape): every dimension side must ride
+    a BroadcastHashJoin and the selective filters must reach the scans
+    — the 8-relation join tree degenerates into shuffle storms at scale
+    if any dim falls back to sort-merge."""
+    df = SPECS["national_market_share"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    fmt = _formatted(df)
+    pushed = [seg[:200] for seg in fmt.split("PushedFilters")[1:]]
+    assert any("p_type" in seg for seg in pushed), fmt
+    assert any("r_name" in seg for seg in pushed), fmt
+
+
+def test_top_users_threshold_is_take_ordered(spark, sf_dir):
+    """events_top_users derives its rank-20 threshold via TakeOrdered
+    (distributed sort-limit), so the only unpartitioned Window runs on
+    the pre-filtered candidate set, never the full user relation."""
+    df = SPECS["events_top_users"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrdered" in plan, plan
