@@ -208,3 +208,36 @@ def test_snapshot_diff_matches_dict_model(spark, rows, mutations):
         for r in snapshot_diff(old_df, new_df, ["k"], ["v"]).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    target=st.dictionaries(st.integers(0, 9), st.integers(-100, 100), max_size=8),
+    source=st.dictionaries(st.integers(0, 9), st.integers(-100, 100), max_size=8),
+)
+def test_merge_upsert_matches_dict_model(spark, target, source):
+    """merge_upsert with additive updates must agree with the obvious
+    Python dict model on arbitrary key overlaps, including empty
+    sides."""
+    from hadoop_project_spark.operators.merge import merge_upsert
+
+    t_df = spark.createDataFrame(
+        [(k, v) for k, v in target.items()] or [], "k int, v int"
+    )
+    s_df = spark.createDataFrame(
+        [(k, v) for k, v in source.items()] or [], "k int, v int"
+    )
+    out = merge_upsert(
+        t_df, s_df, keys=["k"], updates={"v": lambda t, s: t + s},
+        status_col="st",
+    )
+    got = {r["k"]: (r["v"], r["st"]) for r in out.collect()}
+    exp = {}
+    for k, v in target.items():
+        exp[k] = (v, "unchanged")
+    for k, v in source.items():
+        if k in target:
+            exp[k] = (target[k] + v, "updated")
+        else:
+            exp[k] = (v, "inserted")
+    assert got == exp
