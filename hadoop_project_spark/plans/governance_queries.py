@@ -534,3 +534,89 @@ def training_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ab_test_value_zscore",
+    priority=15,
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT variant,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) AS BIGINT) AS s2
+      FROM assigned GROUP BY variant
+    ),
+    stats AS (
+      SELECT variant, n,
+             CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean_value,
+             (CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+               / 10000.0 / CAST(n - 1 AS DOUBLE) AS var_value
+      FROM m
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           a.mean_value AS mean_a, b.mean_value AS mean_b,
+           (a.mean_value - b.mean_value)
+             / sqrt(a.var_value / CAST(a.n AS DOUBLE)
+                    + b.var_value / CAST(b.n AS DOUBLE)) AS z_score
+    FROM (SELECT * FROM stats WHERE variant = 'A') a
+    CROSS JOIN (SELECT * FROM stats WHERE variant = 'B') b
+    """,
+    tags=("experiment", "abtest", "stats", "extension"),
+)
+def ab_test_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch z-score for purchase value between hash-assigned
+    experiment variants (md5 first hex char: [0,8) → A, [8,f] → B).
+
+    Experiment analysis as a one-pass aggregate: per-variant count and
+    first/second moments in exact fixed-point cents (value is 2-dp, so
+    round(value·100) BIGINT is tie-free and the moment sums are
+    order-independent integers), then mean/variance/z computed with
+    IEEE-correctly-rounded double expressions spelled identically in
+    both engines — the full statistic sits under the driver hash gate,
+    not just the counts. Variant assignment is the same no-RNG-state
+    md5 discipline as docs_split_assignment.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    variant = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8", "A"
+    ).otherwise("B")
+    cents = F.round(F.col("value") * F.lit(100)).cast("long")
+    assigned = ev.select(variant.alias("variant"), cents.alias("cents"))
+    m = assigned.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.lit(100.0) / F.col("n").cast("double")
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1").cast("double")
+        / F.col("n").cast("double")
+    ) / F.lit(10000.0) / (F.col("n") - F.lit(1)).cast("double")
+    stats = m.select(
+        "variant", "n", mean.alias("mean_value"), var.alias("var_value")
+    )
+    a = stats.filter(F.col("variant") == "A").alias("a")
+    b = stats.filter(F.col("variant") == "B").alias("b")
+    z = (F.col("a.mean_value") - F.col("b.mean_value")) / F.sqrt(
+        F.col("a.var_value") / F.col("a.n").cast("double")
+        + F.col("b.var_value") / F.col("b.n").cast("double")
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean_value").alias("mean_a"),
+        F.col("b.mean_value").alias("mean_b"),
+        z.alias("z_score"),
+    )
