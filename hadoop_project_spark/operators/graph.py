@@ -76,3 +76,51 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("n"), F.col("l").alias("component"))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count via degree-ordered edge orientation.
+
+    ``edges`` is an undirected, deduplicated edge list with columns
+    (a, b), a < b. The naive wedge join explodes on hub nodes (a degree-
+    d node contributes d² wedges); orienting every edge from its lower-
+    (degree, id) endpoint to the higher one first — the classic
+    compact-forward trick — bounds the per-node wedge fan-out by the
+    node's ORIENTED out-degree, which is O(√|E|) for any graph, making
+    the wedge join shuffle-safe at 100 TB where the unoriented join is
+    not. Wedge closure is one more keyed join back to the oriented edge
+    list; every triangle is counted exactly once because orientation is
+    a total order.
+    """
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b"))
+    with_deg = edges.join(da, "a").join(db, "b")
+    fwd = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    oriented = with_deg.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    w1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    w2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = w1.join(w2, "u").filter(F.col("x") < F.col("y"))
+    # canonical id-ordered pair form for the closure probe (orientation
+    # is by (deg, id), so re-canonicalize by id alone)
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.select(
+        F.least("x", "y").alias("x"), F.greatest("x", "y").alias("y")
+    ).join(closing, ["x", "y"]).agg(F.count("*").alias("n_triangles"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"))
+    )

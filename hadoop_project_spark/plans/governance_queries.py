@@ -620,3 +620,61 @@ def ab_test_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.mean_value").alias("mean_b"),
         z.alias("z_score"),
     )
+
+
+@register(
+    "part_copurchase_triangles",
+    priority=15,
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                      GREATEST(a.l_partkey, b.l_partkey) AS b
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (SELECT a AS n FROM e UNION SELECT b FROM e),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles
+    FROM tri t
+    """,
+    tags=("graph", "triangles", "extension"),
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph via the degree-
+    oriented wedge join (operators/graph.py triangle_count).
+
+    The oracle enumerates id-ordered triples directly — fine for DuckDB
+    at test scale; the Spark side uses compact-forward orientation so
+    per-node wedge fan-out is bounded by oriented out-degree (O(√|E|)),
+    the property that keeps the wedge shuffle linear-ish on 100 TB hub-
+    heavy graphs where the naive triple join is quadratic. Note the
+    node set here is nodes WITH at least one edge (triangle semantics
+    need no isolated parts).
+    """
+    from hadoop_project_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.least(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("a"),
+            F.greatest(F.col("a.l_partkey"), F.col("b.l_partkey")).alias("b"),
+        )
+        .distinct()
+    )
+    return triangle_count(edges)

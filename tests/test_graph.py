@@ -48,3 +48,34 @@ def test_edge_orientation_irrelevant(spark):
 def test_no_edges_all_singletons(spark):
     comp = _cc(spark, 5, [])
     assert comp == {i: i for i in range(5)}
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Degree-oriented count vs pure-Python enumeration on a graph with
+    a hub, two disjoint triangles, a 4-clique, and isolated chains."""
+    import itertools
+
+    from hadoop_project_spark.operators.graph import triangle_count
+
+    raw = (
+        [(0, 1), (1, 2), (0, 2)]          # triangle
+        + [(3, 4), (4, 5), (3, 5)]        # triangle
+        + [(6, 7), (7, 8)]                # chain, no triangle
+        + list(itertools.combinations([10, 11, 12, 13], 2))  # 4-clique: 4 triangles
+        + [(0, 9), (1, 9)]                # extra triangle via 9
+    )
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(edges, "a int, b int")
+    row = triangle_count(df).collect()[0]
+    assert row["n_triangles"] == expected == 7
+    assert row["n_nodes"] == len(adj)
+    assert row["n_edges"] == len(edges)
