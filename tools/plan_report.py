@@ -72,6 +72,12 @@ QUERIES = [
     "docs_split_assignment",
     "dedup_survivors_by_source",
     "events_top_users",
+    "events_retention_cohorts",
+    "json_corrupt_records_audit",
+    "doc_lm_avgprob",
+    "training_mix_temperature",
+    "ab_test_value_zscore",
+    "part_copurchase_triangles",
 ]
 
 
