@@ -573,3 +573,144 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("retained_frac"),
         )
     )
+
+
+@register(
+    "events_dau_wau_stickiness",
+    priority=15,
+    oracle="""
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+    ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS ed FROM events),
+    dau AS (
+      SELECT ed AS d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY ed
+    ),
+    wau AS (
+      SELECT days.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM days JOIN ud u
+        ON u.ed BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+    tags=("analytics", "dau", "wau", "range-join", "extension"),
+)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: daily actives over trailing-7-day
+    actives — the windowed-DISTINCT aggregate no plain window frame can
+    express (distinct doesn't decompose), solved as a day-spine range
+    join.
+
+    The distinct (user, day) relation is built ONCE (one shuffle,
+    cardinality ≤ users×days, far below raw events); the 7-day range
+    join fans each user-day to at most 7 spine days — bounded
+    amplification, and the spine side broadcasts at any scale. The
+    trailing-distinct count then shuffles on the spine day.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("ed")
+    )
+    ud = ev.distinct()
+    days = ud.select(F.col("ed").alias("d")).distinct()
+    dau = ud.groupBy(F.col("ed").alias("d")).agg(F.count("*").alias("dau"))
+    wau = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("ed") <= F.col("d"))
+            & (F.col("ed") >= F.date_sub(F.col("d"), 6)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "d").select(
+        "d", "dau", "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double"))
+        .alias("stickiness"),
+    )
+
+
+@register(
+    "events_session_concurrency",
+    priority=15,
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, session_id,
+             DATE_TRUNC('hour', MIN(ts)) AS h_start,
+             DATE_TRUNC('hour', MAX(ts)) AS h_end
+      FROM numbered GROUP BY user_id, session_id
+    ),
+    deltas AS (
+      SELECT h_start AS h, 1 AS delta FROM sessions
+      UNION ALL
+      SELECT h_end + INTERVAL 1 HOUR, -1 FROM sessions
+    ),
+    hourly AS (
+      SELECT h, CAST(SUM(delta) AS BIGINT) AS d FROM deltas GROUP BY h
+    )
+    SELECT CAST(h AS TIMESTAMP) AS hour,
+           CAST(SUM(d) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_active
+    FROM hourly
+    """,
+    tags=("analytics", "sweep-line", "concurrency", "extension"),
+)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session curve by hour via sweep-line: +1 at each
+    session's first hour, −1 one hour past its last, cumulative-summed
+    over the hour axis.
+
+    Sessionization is the certified lag+running-sum plan
+    (events_sessionization_batch); the sweep-line then reduces every
+    interval to two delta rows, aggregates them per hour (bounded by
+    the time axis, not by session count), and the final running sum
+    runs over that bounded hourly domain — the same bounded-global-
+    window argument as daily_revenue_rolling_7d, with all heavy
+    per-user work partitioned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h_start"),
+        F.date_trunc("hour", F.max("ts")).alias("h_end"),
+    )
+    deltas = sessions.select(
+        F.col("h_start").alias("h"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            (F.col("h_end") + F.expr("INTERVAL 1 HOUR")).alias("h"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    hourly = deltas.groupBy("h").agg(F.sum("delta").alias("d"))
+    wh = Window.orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        F.col("h").alias("hour"),
+        F.sum("d").over(wh).alias("n_active"),
+    )
