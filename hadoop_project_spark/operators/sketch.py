@@ -1,0 +1,130 @@
+"""Count-min sketch heavy hitters: sketch pass -> candidate set ->
+exact verify pass.
+
+The classic two-pass frequent-items shape for streams/corpora too large
+to hold exact per-key counts (Cormode & Muthukrishnan, J. Algorithms
+2005): pass 1 aggregates the stream into a D x W counter grid (here
+D=4 rows, W=2048 columns — a few KiB of state regardless of input
+size); every key's estimate min_r(cell[r, h_r(key)]) over-counts but
+NEVER under-counts, so thresholding estimates yields a candidate
+superset of the true heavy hitters with zero false negatives. Pass 2
+re-scans the stream restricted to the (small, broadcastable) candidate
+set and keeps exact counts that really clear the threshold.
+
+That no-false-negative property is what the DuckDB oracle certifies:
+the oracle computes plain exact heavy hitters — if the sketch path
+dropped a true hitter or admitted a light key, the hash would diverge.
+
+Hashing is md5-based (functions/text.py module doc: engine-portable,
+unlike F.hash/xxhash64), row-salted as ``md5(r || ':' || key)``.
+
+Scale shape (100 TB): pass 1 is one partial-aggregated groupBy over
+(row, col) — 8192 groups total, so the combiner collapses everything
+map-side and the shuffle is O(partitions * 8192) regardless of key
+cardinality. Pass 2 is a broadcast semi-join (candidate set is bounded
+by W/threshold-headroom) followed by one exact groupBy over candidates
+only. Driver state: none. The reference's word-count-with-combiner
+(WordCount1/src/main/java/WordCount.java:24, SURVEY.md §2 A1) is the
+exact-count special case; this is its bounded-memory scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hadoop_project_spark.operators.corpus import hash_uniform32
+
+CM_DEPTH = 4
+CM_WIDTH = 2048
+
+
+def _cm_col(key: Column, row: int, width: int = CM_WIDTH) -> Column:
+    """Column index of ``key`` in sketch row ``row``: md5-derived 32-bit
+    uniform of the row-salted key, mod width."""
+    return hash_uniform32(F.concat(F.lit(f"{row}:"), key)) % F.lit(width)
+
+
+def cm_sketch(keys: DataFrame, key_col: str = "key") -> DataFrame:
+    """Build the D x W sketch from a key stream (one input row = one
+    occurrence) -> (r, col, cnt) with D*W rows at most."""
+    cells = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cm_col(F.col(key_col), r).alias("col"),
+                    )
+                    for r in range(CM_DEPTH)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.r", "cell.col")
+    return cells.groupBy("r", "col").agg(F.count("*").alias("cnt"))
+
+
+def cm_heavy_hitters(
+    keys: DataFrame,
+    key_col: str,
+    threshold_num: int,
+    threshold_den: int,
+) -> DataFrame:
+    """Exact keys whose count clears the relative threshold
+    ``cnt * n_distinct * threshold_den >= threshold_num * total`` (i.e.
+    count >= (threshold_num/threshold_den) x the mean per-key count),
+    found via sketch-then-verify.
+
+    Output: (key, cnt, est) — ``est`` is the sketch estimate, always
+    >= cnt; both certified by the oracle's from-scratch recomputation.
+    """
+    keys = keys.persist()
+    sketch = cm_sketch(keys, key_col)
+    distinct_keys = keys.select(F.col(key_col).alias("key")).distinct()
+    # totals for the relative threshold: one tiny global agg each
+    totals = keys.agg(F.count("*").alias("total")).crossJoin(
+        distinct_keys.agg(F.count("*").alias("n_distinct"))
+    )
+    key_cells = distinct_keys.select(
+        "key",
+        *[
+            _cm_col(F.col("key"), r).alias(f"c{r}")
+            for r in range(CM_DEPTH)
+        ],
+    )
+    est = key_cells
+    for r in range(CM_DEPTH):
+        row_counts = sketch.where(F.col("r") == r).select(
+            F.col("col").alias(f"c{r}"), F.col("cnt").alias(f"cnt{r}")
+        )
+        est = est.join(F.broadcast(row_counts), f"c{r}")
+    est = est.select(
+        "key",
+        F.least(*[F.col(f"cnt{r}") for r in range(CM_DEPTH)]).alias("est"),
+    )
+    candidates = (
+        est.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("est") * F.col("n_distinct") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * F.col("total")
+        )
+        .select("key", "est")
+    )
+    exact = (
+        keys.join(
+            F.broadcast(candidates), F.col(key_col) == F.col("key"), "inner"
+        )
+        .groupBy("key", "est")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("cnt") * F.col("n_distinct") * F.lit(threshold_den)
+            >= F.lit(threshold_num) * F.col("total")
+        )
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("est").cast("long").alias("est"),
+        )
+    )

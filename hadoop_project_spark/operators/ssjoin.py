@@ -1,0 +1,176 @@
+"""Exact set-similarity join via prefix filtering (AllPairs/PPJoin
+family) and cross-document duplicate-span statistics.
+
+Two further members of the dedup/blocking discipline established in
+operators/dedup.py — same contract (candidate generation is never
+all-pairs; verification touches candidates only), different guarantee:
+
+* ``prefix_filtered_jaccard_pairs`` is EXACT — unlike MinHash-LSH
+  (probabilistic recall) or the df-capped rare-gram blocker (drops
+  grams above a df cap), the prefix filter provably produces a
+  candidate superset of every pair with Jaccard >= tau, so the verified
+  output is the complete answer. The technique is the canonical
+  AllPairs prefix principle (Bayardo, Ma, Srikant, WWW'07; Xiao et al.
+  PPJoin, WWW'08): order each document's shingle set by ascending
+  global document frequency; two sets with overlap >= o must share an
+  element within their first (n - o + 1) elements under ANY common
+  total order, and J(a,b) >= tau implies overlap >= ceil(tau * |a|).
+  Rare-shingles-first ordering makes the prefixes the most selective
+  possible, so candidate volume tracks true-pair volume, not corpus^2.
+
+* ``duplicate_span_stats`` is the corpus-hygiene twin: for every
+  document, the fraction of its distinct k-word spans that also occur
+  in at least one OTHER document — the span-level duplication signal
+  (RefinedWeb/C4-style) that sits between exact-dedup (whole doc) and
+  near-dedup (pairwise) in a training-data pipeline.
+
+Scale shape (100 TB): one shuffle keyed by shingle (df count), one
+partitioned window per doc (never a global window), a candidate join
+keyed by prefix shingle, and an O(candidates) verify. Driver state is
+zero. The reference has no set-similarity surface (its text op is
+word count — WordCount1/src/main/java/WordCount.java:24); this extends
+SURVEY.md §2 P1/A1 tokenize-aggregate shapes to exact similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from hadoop_project_spark.functions.text import normalize_text, shingles_from_tokens
+
+# Jaccard threshold as an exact rational p/q so the verify comparison is
+# integer-only on both engines: J >= 1/2  <=>  2*inter >= union.
+SSJOIN_TAU_NUM = 1
+SSJOIN_TAU_DEN = 2
+
+# k-word spans for both operators (3 matches the dedup family's shingle
+# size, so signals are comparable across operators).
+SPAN_K = 3
+
+# duplicate_span_stats flag threshold: >= 30% of spans shared.
+DUP_SPAN_FLAG_NUM = 3
+DUP_SPAN_FLAG_DEN = 10
+
+
+def _doc_shingles(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Distinct (doc_id, sh) pairs of k-word shingles over normalized
+    text. Shingling runs on a MATERIALIZED token array (see
+    functions/text.py:shingles_from_tokens for the 6x re-evaluation
+    pitfall this avoids)."""
+    toks = docs.select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("t")
+    )
+    return (
+        toks.select(
+            "doc_id", F.explode(shingles_from_tokens(F.col("t"), k)).alias("sh")
+        )
+        .distinct()
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    tau_num: int = SSJOIN_TAU_NUM,
+    tau_den: int = SSJOIN_TAU_DEN,
+    k: int = SPAN_K,
+) -> DataFrame:
+    """All pairs of documents with shingle-set Jaccard >= tau — exact,
+    via df-ordered prefix filtering.
+
+    Plan: (1) distinct (doc, sh); (2) shingle df — one agg keyed by sh;
+    (3) per-doc rank of its own shingles by (df, sh) — a PARTITIONED
+    window over doc_id, never a global sort; (4) prefix rows where
+    rn <= n - ceil(tau*n) + 1; (5) candidates = prefix self-join on sh
+    (a.doc < b.doc, distinct); (6) verify with array_intersect over the
+    per-doc sorted shingle arrays, integer threshold test.
+
+    ceil(tau*n) is computed as (tau_num*n + tau_den - 1) div tau_den —
+    pure integer arithmetic, bit-identical in any engine.
+    """
+    dsh = _doc_shingles(docs, k).persist()
+    df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = (
+        dsh.join(df_counts, "sh")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "sh")
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    ceil_tau_n = F.floor(
+        (F.lit(tau_num) * F.col("n") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    )
+    prefix = ranked.where(
+        F.col("rn") <= F.col("n") - ceil_tau_n + F.lit(1)
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sets = dsh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("sh")).alias("shs"),
+        F.count("*").alias("n"),
+    )
+    inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
+    union = F.col("sa.n") + F.col("sb.n") - inter
+    return (
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .where(inter * F.lit(tau_den) >= F.lit(tau_num) * union)
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            inter.cast("long").alias("n_inter"),
+            union.cast("long").alias("n_union"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    flag_num: int = DUP_SPAN_FLAG_NUM,
+    flag_den: int = DUP_SPAN_FLAG_DEN,
+) -> DataFrame:
+    """Per-document cross-corpus duplicate-span ratio: of the document's
+    distinct k-word spans, how many occur in >= 2 documents.
+
+    Two shuffles, both linear: (doc, sh) -> df keyed by sh, then a
+    per-doc aggregate keyed by doc. The flag comparison is integer-only
+    (n_dup * flag_den >= flag_num * n_spans); the ratio itself is a
+    single correctly-rounded division, identical on every engine.
+    """
+    dsh = _doc_shingles(docs, k)
+    df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        dsh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        (
+            F.col("n_dup_spans").cast("double")
+            / F.col("n_spans").cast("double")
+        ).alias("dup_ratio"),
+        (
+            F.col("n_dup_spans") * F.lit(flag_den)
+            >= F.lit(flag_num) * F.col("n_spans")
+        ).alias("flagged"),
+    )

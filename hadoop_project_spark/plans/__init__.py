@@ -29,3 +29,6 @@ from hadoop_project_spark.plans import matching_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import governance_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import tpch_extra  # noqa: F401,E402
 from hadoop_project_spark.plans import validation_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import ssjoin_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import sketch_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import sampling_queries  # noqa: F401,E402
