@@ -77,11 +77,14 @@ def cm_heavy_hitters(
     Output: (key, cnt, est) — ``est`` is the sketch estimate, always
     >= cnt; both certified by the oracle's from-scratch recomputation.
     """
-    keys = keys.persist()
-    sketch = cm_sketch(keys, key_col)
-    distinct_keys = keys.select(F.col(key_col).alias("key")).distinct()
+    # internal alias sidesteps ambiguity when the caller's column is
+    # itself named "key" (the verify join below compares input vs
+    # candidate columns by name)
+    stream = keys.select(F.col(key_col).alias("__cm_key")).persist()
+    sketch = cm_sketch(stream, "__cm_key")
+    distinct_keys = stream.select(F.col("__cm_key").alias("key")).distinct()
     # totals for the relative threshold: one tiny global agg each
-    totals = keys.agg(F.count("*").alias("total")).crossJoin(
+    totals = stream.agg(F.count("*").alias("total")).crossJoin(
         distinct_keys.agg(F.count("*").alias("n_distinct"))
     )
     key_cells = distinct_keys.select(
@@ -110,8 +113,10 @@ def cm_heavy_hitters(
         .select("key", "est")
     )
     exact = (
-        keys.join(
-            F.broadcast(candidates), F.col(key_col) == F.col("key"), "inner"
+        stream.join(
+            F.broadcast(candidates),
+            F.col("__cm_key") == F.col("key"),
+            "inner",
         )
         .groupBy("key", "est")
         .agg(F.count("*").alias("cnt"))

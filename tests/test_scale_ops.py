@@ -1,0 +1,160 @@
+"""Unit/property tests for the round-5 scale-pattern operators:
+prefix-filtered ssjoin (operators/ssjoin.py), count-min heavy hitters
+(operators/sketch.py), and PPS/HT sampling (operators/sampling.py).
+
+Each operator's end-to-end cross-engine certification is the DuckDB
+hash-match in tests/test_oracle_parity.py; these tests pin the
+ALGORITHMIC guarantees the oracle alone can't isolate — exactness vs a
+brute-force twin, the sketch's no-under-count property, and the
+estimator's unbiasedness mechanics — on inputs where the answer is
+checkable by hand or by a naive reference.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Row, functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators import sampling as sp
+from hadoop_project_spark.operators import sketch as sk
+from hadoop_project_spark.operators import ssjoin as sj
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows],
+        "doc_id long, text string",
+    )
+
+
+# ---------------------------------------------------------------- ssjoin
+
+
+def _brute_force_pairs(rows, tau_num, tau_den, k):
+    """Naive all-pairs Jaccard over k-word shingle sets (whole text as
+    the single shingle for short docs — mirrors shingles_from_tokens)."""
+
+    def shingle_set(text):
+        toks = text.lower().split()
+        if len(toks) <= k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {i: shingle_set(t) for i, t in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * tau_den >= tau_num * union:
+            out.add((a, b))
+    return out
+
+
+def test_ssjoin_exact_vs_brute_force_on_fixture_docs(spark):
+    """The prefix filter must lose NOTHING: the verified pair set equals
+    the naive all-pairs answer on the real sf0.001 documents table."""
+    docs = load_table(spark, SF, "documents")
+    rows = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    expect = _brute_force_pairs(rows, sj.SSJOIN_TAU_NUM, sj.SSJOIN_TAU_DEN, sj.SPAN_K)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in sj.prefix_filtered_jaccard_pairs(docs).collect()
+    }
+    assert got == expect
+    assert len(got) > 0  # fixture plants near-dups; empty would be weak
+
+
+def test_ssjoin_prefix_actually_filters(spark):
+    """Candidate volume must be below all-pairs on the fixture corpus —
+    the point of the prefix: unrelated docs never meet."""
+    docs = load_table(spark, SF, "documents")
+    n = docs.count()
+    pairs = sj.prefix_filtered_jaccard_pairs(docs)
+    # the output is tiny relative to n*(n-1)/2; the stronger structural
+    # assertion (no cartesian in the plan) lives in test_plan_shapes'
+    # global sweep.
+    assert pairs.count() < n * (n - 1) // 20
+
+
+def test_duplicate_span_stats_hand_checked(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e"),          # spans: abc bcd cde
+            (2, "a b c x y"),          # spans: abc bcx cxy
+            (3, "p q r s t"),          # spans: pqr qrs rst (unique)
+        ],
+    )
+    rows = {r.doc_id: r for r in sj.duplicate_span_stats(docs).collect()}
+    assert rows[1].n_spans == 3 and rows[1].n_dup_spans == 1
+    assert rows[2].n_spans == 3 and rows[2].n_dup_spans == 1
+    assert rows[3].n_spans == 3 and rows[3].n_dup_spans == 0
+    assert bool(rows[1].flagged) is True   # 1/3 >= 0.3
+    assert bool(rows[3].flagged) is False
+    assert rows[1].dup_ratio == 1 / 3
+
+
+# ---------------------------------------------------------------- sketch
+
+
+def test_cm_estimate_never_undercounts(spark):
+    """est >= true count for every key — the CM invariant that makes
+    threshold-on-estimate a candidate SUPERSET (zero false negatives)."""
+    words = (
+        ["hot"] * 50 + ["warm"] * 10 + [f"cold{i}" for i in range(200)]
+    )
+    keys = spark.createDataFrame([Row(key=w) for w in words])
+    truth = {}
+    for w in words:
+        truth[w] = truth.get(w, 0) + 1
+    # full-population estimates: threshold 0 keeps everything
+    out = sk.cm_heavy_hitters(keys, "key", threshold_num=0, threshold_den=1)
+    got = {r.key: r for r in out.collect()}
+    assert set(got) == set(truth)
+    for w, r in got.items():
+        assert r.cnt == truth[w]
+        assert r.est >= r.cnt
+
+
+def test_cm_heavy_hitters_exact_set(spark):
+    words = ["hot"] * 50 + ["warm"] * 10 + [f"cold{i}" for i in range(40)]
+    keys = spark.createDataFrame([Row(key=w) for w in words])
+    # mean count = 100/42; threshold 5x mean ~ 11.9 -> {hot} only
+    out = sk.cm_heavy_hitters(keys, "key", threshold_num=5, threshold_den=1)
+    rows = out.collect()
+    assert {(r.key, r.cnt) for r in rows} == {("hot", 50)}
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_pps_selection_deterministic_and_weight_monotone(spark):
+    docs = load_table(spark, SF, "documents")
+    a = sp.pps_select(docs, F.col("n_chars"), "source", "doc_id")
+    b = sp.pps_select(docs, F.col("n_chars"), "source", "doc_id")
+    sel_a = {r.doc_id for r in a.where("selected").collect()}
+    sel_b = {r.doc_id for r in b.where("selected").collect()}
+    assert sel_a == sel_b and len(sel_a) > 0
+    # expected size: K per stratum; allow wide Poisson slack
+    n_strata = docs.select("source").distinct().count()
+    assert 0 < len(sel_a) < 4 * sp.PPS_TARGET_K * n_strata
+
+
+def test_pps_pi_and_ht_mechanics_single_stratum(spark):
+    # two docs, weights 30 / 10, k=1: pi = .75 / .25
+    rows = spark.createDataFrame(
+        [Row(doc_id=1, source="s", n_chars=30),
+         Row(doc_id=2, source="s", n_chars=10)]
+    )
+    sel = sp.pps_select(rows, F.col("n_chars"), "source", "doc_id", k=1)
+    got = {r.doc_id: r for r in sel.collect()}
+    assert got[1].pi == 0.75 and got[2].pi == 0.25
+    ht = sp.ht_stratum_totals(sel, "source").collect()[0]
+    assert ht.n_docs == 2 and ht.w_true_total == 40
+    # every possible sample's HT contribution is w/pi = 40 exactly, so
+    # whatever was selected, ht_total is n_sel * 40
+    assert ht.ht_total == ht.n_sel * 40.0
