@@ -215,3 +215,57 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n_events", "med", "mad", "n_outliers", "outlier_rate"
         )
     )
+
+
+@register(
+    "part_entity_clusters",
+    priority=15,
+    oracle=f"""
+    WITH RECURSIVE fp AS (
+      SELECT a.p_partkey AS pa, b.p_partkey AS pb
+      FROM part a
+      JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    ),
+    bidir(x, y) AS (
+      SELECT pa, pb FROM fp UNION SELECT pb, pa FROM fp
+    ),
+    walk(n, l) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION
+      SELECT e.y, w.l FROM walk w JOIN bidir e ON e.x = w.n
+    )
+    SELECT CAST(n AS BIGINT) AS p_partkey,
+           CAST(MIN(l) AS BIGINT) AS entity_id
+    FROM walk GROUP BY n
+    """,
+    tags=("matching", "entity-resolution", "graph", "C2", "extension"),
+)
+def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (part_name_fuzzy_pairs) -> undirected match graph -> connected
+    components -> every part labeled with its entity id (min partkey of
+    its component; unmatched parts are their own entity).
+
+    Spark side is the iterative min-label-propagation loop
+    (operators/graph.py, checkpoint-truncated lineage); the oracle is a
+    recursive CTE over the same blocked-levenshtein edge set — like
+    dedup_clusters, the driver hash certifies a whole iterative
+    pipeline, here composed with the fuzzy-match operator, not just one
+    projection.
+    """
+    from hadoop_project_spark.operators.graph import connected_components
+
+    parts = load_table(spark, sf_dir, "part")
+    edges = part_name_fuzzy_pairs(spark, sf_dir).select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    )
+    cc = connected_components(
+        parts.select(F.col("p_partkey").alias("n")), edges
+    )
+    return cc.select(
+        F.col("n").cast("long").alias("p_partkey"),
+        F.col("component").cast("long").alias("entity_id"),
+    )
