@@ -83,7 +83,9 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "dedup_simhash_signatures",
             "dedup_simhash_pairs",
             # this round's expr-string vector literals (double_array_lit)
-            "ann_topk_ivf",
+            # (ann_topk_ivf left the window mid-round-5: ann_recall_at_k
+            # joins the IVF output against the brute-force ground truth,
+            # so its hash transitively re-certifies the whole IVF path.)
             "ann_topk_lsh_verified",
             "embedding_neardup_pairs",
             # this round's staged convergence check (operators/graph.py)

@@ -34,9 +34,7 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
-@register(
-    "ann_topk_bruteforce",
-    oracle=f"""
+_SQL_BRUTEFORCE = f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv
       FROM embeddings WHERE vec_id < {N_QUERIES}
@@ -54,7 +52,12 @@ def _sql_cosine(a: str, b: str) -> str:
       FROM s
     )
     WHERE rn <= {K}
-    """,
+    """
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle=_SQL_BRUTEFORCE,
     tags=("similarity", "ann", "extension"),
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,3 +340,64 @@ def embedding_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical codes."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.quantize_profile(emb)
+
+
+@register(
+    "ann_recall_at_k",
+    priority=15,
+    oracle=f"""
+    WITH bf AS ({_SQL_BRUTEFORCE}),
+    iv AS ({_sql_ivf_oracle()}),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN iv
+        ON bf.query_id = iv.query_id
+       AND bf.neighbor_id = iv.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT CAST(b.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {K} AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM bf) b
+    LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("similarity", "ann", "evaluation", "extension"),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN retrieval-quality evaluation: per-query recall@10 of the IVF
+    index against the exact brute-force ground truth — the metric an
+    embedding-pipeline owner watches when tuning n_cells/n_probe.
+
+    Runs BOTH pipelines (sim.ivf_topk and the exact baseline) and joins
+    their neighbor sets, so this one driver hash transitively
+    re-certifies the whole IVF path (cell assignment, probes, re-rank)
+    and the two-stage exact top-k in the same round. At scale both
+    sides stay candidate-blocked; the evaluation join is K rows per
+    query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    bf = ann_topk_bruteforce(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    iv = sim.ivf_topk(
+        emb, queries, k=K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        dim=DIM, seed=IVF_SEED, cosine_round=9,
+    ).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(iv, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = bf.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(K))
+            ).alias("recall_at_k"),
+        )
+    )
