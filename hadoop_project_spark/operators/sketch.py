@@ -133,3 +133,63 @@ def cm_heavy_hitters(
             F.col("est").cast("long").alias("est"),
         )
     )
+
+
+# --------------------------------------------------------------- Bloom
+# Classic Bloom membership filter (Bloom, CACM 1970) as a DataFrame
+# primitive: the reference set folds into <= BLOOM_BITS distinct set-bit
+# rows (broadcastable at any corpus scale), the probe side tests
+# all-K-positions-set with one broadcast join + per-item count. False
+# positives possible (measured by the paired exact check), false
+# negatives impossible — same one-sided guarantee family as the
+# count-min sketch above, for membership instead of frequency.
+
+BLOOM_BITS = 8192
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(key: Column, j: int) -> Column:
+    """Bit position of ``key`` under hash j: row-salted md5 uniform mod
+    BLOOM_BITS (portable across engines, like _cm_col)."""
+    return hash_uniform32(F.concat(F.lit(f"{j}|"), key)) % F.lit(BLOOM_BITS)
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
+    """Distinct set-bit positions of the reference key set -> (bit)."""
+    return (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        _bloom_pos(F.col(key_col), j)
+                        for j in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(items: DataFrame, item_col: str, bits: DataFrame) -> DataFrame:
+    """Input rows that the Bloom filter reports as members: an item
+    passes iff ALL of its BLOOM_HASHES positions are set. The exploded
+    probe stream joins the broadcast bit set and an item survives when
+    every exploded row found its bit (duplicate positions both match or
+    both miss, so the count test stays exact)."""
+    probes = items.select(
+        "*",
+        F.explode(
+            F.array(
+                *[_bloom_pos(F.col(item_col), j) for j in range(BLOOM_HASHES)]
+            )
+        ).alias("bit"),
+    )
+    group_cols = [c for c in items.columns]
+    return (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("__nh"))
+        .where(F.col("__nh") == BLOOM_HASHES)
+        .drop("__nh")
+    )

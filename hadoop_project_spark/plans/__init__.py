@@ -32,3 +32,4 @@ from hadoop_project_spark.plans import validation_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import ssjoin_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import sketch_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import sampling_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import behavior_queries  # noqa: F401,E402

@@ -71,7 +71,9 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "two_leg_conversion",
             "priority_month_matrix",
             # events/NTZ family (r4 catalog normalization)
-            "events_hourly_rollup",
+            # (events_hourly_rollup parked mid-round-5: the NTZ catalog
+            # path it anchored is equally exercised by the five other
+            # in-window events queries; slot holds event_transition_matrix.)
             "events_sessionization_batch",
             "events_session_window_batch",
             "user_event_gaps",
@@ -80,7 +82,10 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "sequence_packing",
             "customer_value_deciles",
             # this round's simhash rewrite MUST be re-certified
-            "dedup_simhash_signatures",
+            # (dedup_simhash_signatures parked mid-round-5: _pairs
+            # consumes the full signature relation, so its hash
+            # re-certifies the rewritten aggregate transitively; slot
+            # holds bloom_decontaminate_fpr.)
             "dedup_simhash_pairs",
             # this round's expr-string vector literals (double_array_lit)
             # (ann_topk_ivf left the window mid-round-5: ann_recall_at_k

@@ -87,3 +87,121 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.cm_heavy_hitters(
         bigrams, "bigram", HH_THRESH_NUM, HH_THRESH_DEN
     )
+
+
+# ---------------------------------------------------------------- Bloom
+# Same benchmark split as decontaminate_ngram (doc_id % BENCH_MOD == 0)
+# so the exact-vs-bloom comparison is apples-to-apples with the exact
+# decontamination query.
+
+from hadoop_project_spark.operators import dedup as dd  # noqa: E402
+from hadoop_project_spark.plans.corpus_queries import BENCH_MOD  # noqa: E402
+from hadoop_project_spark.plans.dedup_queries import SQL_SHINGLES_CTE  # noqa: E402
+
+_SQL_BLOOM_POS = (
+    "CAST(('0x' || substr(md5(j || '|' || sh), 1, 8)) AS UBIGINT) % "
+    f"{sk.BLOOM_BITS}"
+)
+_SQL_JS = "(VALUES ('0'), ('1'), ('2')) js(j)"
+
+
+@register(
+    "bloom_decontaminate_fpr",
+    priority=15,
+    oracle=f"""
+    WITH {SQL_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {BENCH_MOD} = 0),
+    corp AS (SELECT doc_id, sh FROM sh WHERE doc_id % {BENCH_MOD} <> 0),
+    bits AS (
+      SELECT DISTINCT {_SQL_BLOOM_POS} AS bit
+      FROM bench CROSS JOIN {_SQL_JS}
+    ),
+    gb AS (
+      SELECT doc_id, sh, {_SQL_BLOOM_POS} AS bit
+      FROM corp CROSS JOIN {_SQL_JS}
+    ),
+    bloomdocs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT g.doc_id, g.sh, COUNT(*) AS nh
+        FROM gb g JOIN bits USING (bit)
+        GROUP BY g.doc_id, g.sh
+      ) WHERE nh = {sk.BLOOM_HASHES}
+    ),
+    exactdocs AS (
+      SELECT DISTINCT c.doc_id FROM corp c JOIN bench USING (sh)
+    ),
+    per AS (
+      SELECT d.source,
+             CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END AS bloom_hit,
+             CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+      FROM documents d
+      LEFT JOIN bloomdocs b ON b.doc_id = d.doc_id
+      LEFT JOIN exactdocs e ON e.doc_id = d.doc_id
+      WHERE d.doc_id % {BENCH_MOD} <> 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_flagged,
+           CAST(SUM(exact_hit) AS BIGINT) AS n_exact_flagged,
+           CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+             / greatest(COUNT(*) - SUM(exact_hit), 1) AS fp_rate
+    FROM per GROUP BY source
+    """,
+    tags=("sketch", "bloom", "decontamination", "extension"),
+)
+def bloom_decontaminate_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination with a measured false-positive rate:
+    build an 8192-bit/3-hash Bloom over the benchmark split's 3-gram
+    set, probe every training doc through it, and compare per source
+    against the exact gram semi-join (decontaminate_ngram's check).
+
+    This is the membership twin of the count-min query above: at 100 TB
+    the exact benchmark gram set may be too large to broadcast, but its
+    Bloom bits never are (<= BLOOM_BITS rows regardless of benchmark
+    size); the corpus pays one broadcast join, and the one-sided error
+    (no false negatives — a contaminated doc can never slip through) is
+    exactly what decontamination needs. The oracle recomputes the
+    filter AND the exact check, so the hash certifies the measured FP
+    rate itself.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = dd.doc_shingles(docs)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = grams.where(is_bench).select("sh").distinct()
+    corpus = grams.where(~is_bench)
+    bits = sk.bloom_build(bench, "sh")
+    bloom_docs = (
+        sk.bloom_probe(corpus, "sh", bits).select("doc_id").distinct()
+        .withColumn("bloom_hit", F.lit(1))
+    )
+    exact_docs = (
+        corpus.join(F.broadcast(bench), "sh").select("doc_id").distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    per = (
+        docs.where(~is_bench)
+        .select("doc_id", "source")
+        .join(bloom_docs, "doc_id", "left")
+        .join(exact_docs, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("bloom_hit", F.lit(0)).alias("bloom_hit"),
+            F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"),
+        )
+    )
+    fp = ((F.col("bloom_hit") == 1) & (F.col("exact_hit") == 0)).cast("long")
+    return per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_flagged"),
+        F.sum("exact_hit").cast("long").alias("n_exact_flagged"),
+        F.sum(fp).cast("long").alias("n_false_pos"),
+        (
+            F.sum(fp).cast("double")
+            / F.greatest(
+                F.count("*") - F.sum("exact_hit"), F.lit(1).cast("long")
+            )
+        ).alias("fp_rate"),
+    )

@@ -30,7 +30,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MUST_VERIFY = {
     "events_sessionization_batch",  # NTZ family regression anchor
     "user_event_gaps",  # unix_micros on normalized ts
-    "events_hourly_rollup",
+    # (events_hourly_rollup released mid-round-5 — the NTZ catalog path
+    # stays anchored by the four events queries above/below, and its
+    # slot holds the new event_transition_matrix, itself an events/NTZ
+    # window query.)
+    "event_transition_matrix",
     "events_session_window_batch",
     "latest_event_per_user",
     "sequence_packing",  # deterministic-bounds prefix sum
@@ -40,7 +44,9 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    "dedup_simhash_signatures",  # round-5 rewrite
+    # (dedup_simhash_signatures released mid-round-5: _pairs consumes
+    # the full signature relation — bucket keys AND hamming distances —
+    # so its hash re-certifies the rewritten aggregate transitively.)
     "dedup_simhash_pairs",  # round-5 rewrite
     "pii_redaction_counts",  # r4's parked query — first driver row
 }
