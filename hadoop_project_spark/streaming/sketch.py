@@ -1,0 +1,46 @@
+"""Incremental count-min sketch maintenance over a stream.
+
+The CM sketch is a pure additive monoid — cell counts add — so the
+streaming form is the CDC merge pattern (streaming/merge.py) with the
+sketch build as the per-batch reducer: each micro-batch folds into at
+most D x W delta rows (operators/sketch.cm_sketch), and foreachBatch
+merge-adds them into the parquet state table. State size is bounded by
+the grid (8 KiB of rows) no matter how much stream has passed — the
+property that makes sketch-backed monitoring (hot keys, frequency
+caps) viable on an unbounded 100 TB/day stream where exact per-key
+state would grow without bound.
+
+At-least-once replay safety comes from the same staging-dir swap as
+the CDC sink; a replayed batch re-merges its delta, so exactly-once
+accounting needs the upstream dedup (streaming/windows.dedup_stream)
+or a transactional table in production — documented at the sink.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+
+from hadoop_project_spark.operators.sketch import cm_sketch
+from hadoop_project_spark.streaming.merge import make_merge_sink
+
+
+def make_cm_sketch_sink(
+    state_dir: str, key_col: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function maintaining a CM sketch state table at
+    ``state_dir`` from a stream of key occurrences."""
+
+    def _prepare(batch: DataFrame) -> DataFrame:
+        return cm_sketch(batch, key_col)
+
+    def _add(old: Column, new: Column) -> Column:
+        return old + new
+
+    return make_merge_sink(
+        state_dir,
+        keys=["r", "col"],
+        updates={"cnt": _add},
+        prepare=_prepare,
+    )

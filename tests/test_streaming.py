@@ -346,3 +346,37 @@ def test_foreachbatch_merge_state_equals_batch(spark, sf_dir, tmp_path):
     }
     assert got == exp
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_cm_sketch_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental CM-sketch maintenance across multiple micro-batches
+    must equal the one-shot batch sketch (cell counts are an additive
+    monoid, so incremental == batch exactly)."""
+    from hadoop_project_spark.operators.sketch import cm_sketch
+    from hadoop_project_spark.streaming.sketch import make_cm_sketch_sink
+    from hadoop_project_spark.streaming.windows import read_events_stream
+
+    src = str(tmp_path / "events_sketch_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    state_dir = str(tmp_path / "cm_sketch_state")
+    sink = make_cm_sketch_sink(state_dir, key_col="event_type")
+    q = (
+        read_events_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sketch_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["r"], r["col"]): r["cnt"]
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    exp = {
+        (r["r"], r["col"]): r["cnt"]
+        for r in cm_sketch(ev, "event_type").collect()
+    }
+    assert got == exp and len(got) > 0
