@@ -92,6 +92,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     list; every triangle is counted exactly once because orientation is
     a total order.
     """
+    # four consumers (degree union x2, orientation join, edge count) —
+    # persist or the caller's edge derivation re-runs per branch
+    # (part_copurchase_triangles: 2.4 s -> ~1 s median at sf0.1)
+    edges = edges.persist()
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionByName(edges.select(F.col("b").alias("n")))
