@@ -176,8 +176,15 @@ def duplicate_span_stats(
     per-doc aggregate keyed by doc. The flag comparison is integer-only
     (n_dup * flag_den >= flag_num * n_spans); the ratio itself is a
     single correctly-rounded division, identical on every engine.
+
+    The shingle-set arrays are persisted before the explode: the df
+    aggregate and the probe side both consume the stream, and Spark's
+    interpreted higher-order shingle transform is the dominant cost —
+    without the pin it re-runs once per consumer plus once for the
+    carried set size (measured 8.5 s -> ~3 s full-evaluation at sf0.1).
     """
-    dsh = _doc_shingles(docs, k)
+    sets = _doc_shingle_sets(docs, k).persist()
+    dsh = sets.select("doc_id", "n", F.explode("shs").alias("sh"))
     df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))
     per_doc = (
         dsh.join(df_counts, "sh")

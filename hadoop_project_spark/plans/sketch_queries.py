@@ -168,7 +168,9 @@ def bloom_decontaminate_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate itself.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = dd.doc_shingles(docs)
+    # four consumers (bench set, bloom probe, exact check, doc base) —
+    # pin the gram relation or the shingle transform re-runs per branch
+    grams = dd.doc_shingles(docs).persist()
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = grams.where(is_bench).select("sh").distinct()
     corpus = grams.where(~is_bench)

@@ -55,6 +55,21 @@ FAMILIES: dict[str, list[str]] = {
         "events_retention_cohorts",
     ],
     "ML single step": ["kmeans_assign_step"],
+    "sketch / sampling": [
+        "heavy_hitter_bigrams",
+        "bloom_decontaminate_fpr",
+        "pps_weighted_sample",
+        "pps_ht_source_totals",
+    ],
+    "set-similarity / spans": [
+        "ssjoin_prefix_pairs",
+        "doc_duplicate_span_ratio",
+    ],
+    "entity / evaluation / behavior": [
+        "part_entity_clusters",
+        "ann_recall_at_k",
+        "event_transition_matrix",
+    ],
 }
 
 

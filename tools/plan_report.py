@@ -78,6 +78,15 @@ QUERIES = [
     "training_mix_temperature",
     "ab_test_value_zscore",
     "part_copurchase_triangles",
+    "ssjoin_prefix_pairs",
+    "doc_duplicate_span_ratio",
+    "heavy_hitter_bigrams",
+    "bloom_decontaminate_fpr",
+    "pps_weighted_sample",
+    "pps_ht_source_totals",
+    "part_entity_clusters",
+    "ann_recall_at_k",
+    "event_transition_matrix",
 ]
 
 
