@@ -159,8 +159,16 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, k_shingle: int = 3) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard)."""
-    sh = doc_shingles(docs, k=k_shingle)
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard).
+
+    The exploded shingle stream is pinned: the signature aggregate and
+    both verify-side probes consume it, and the interpreted shingle
+    transform re-runs per consumer otherwise (A/B at sf0.1, noop sink:
+    2.6 s -> 1.8 s warm; distinct from the losing array-table pin the
+    doc_shingles docstring records — the EXPLODED stream is what the
+    min-hash aggregate wants, it's only the transform we avoid redoing).
+    """
+    sh = doc_shingles(docs, k=k_shingle).persist()
     cands = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(sh)))
     return jaccard_verify(cands, sh)
 
