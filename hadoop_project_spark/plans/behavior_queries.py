@@ -75,3 +75,177 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p_trans"),
         )
     )
+
+
+# Fixed-point scale for the forecast-backtest float discipline: event
+# values and absolute errors are floor-quantized at 1e6 before any
+# cross-row sum, so every aggregate is an exact integer reduction.
+_BT_SCALE = 1_000_000.0
+
+
+@register(
+    "seasonal_baseline_wape",
+    priority=15,
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, value,
+             date_trunc('day', ts) AS d,
+             EXTRACT(hour FROM ts) AS h
+      FROM events
+    ),
+    last_day AS (SELECT MAX(d) AS d FROM ev),
+    train AS (
+      SELECT event_type, h,
+             CAST(SUM(CAST(FLOOR(value * {_BT_SCALE!r}) AS BIGINT))
+                  AS BIGINT) AS sum_vq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev, last_day WHERE ev.d < last_day.d
+      GROUP BY event_type, h
+    ),
+    test AS (
+      SELECT ev.event_type, ev.h, ev.value
+      FROM ev, last_day WHERE ev.d = last_day.d
+    ),
+    scored AS (
+      SELECT t.event_type,
+             CAST(FLOOR(ABS(t.value -
+               (CAST(tr.sum_vq AS DOUBLE) / {_BT_SCALE!r} / tr.n))
+               * {_BT_SCALE!r}) AS BIGINT) AS err_q,
+             CAST(FLOOR(ABS(t.value) * {_BT_SCALE!r}) AS BIGINT) AS av_q
+      FROM test t JOIN train tr
+        ON tr.event_type = t.event_type AND tr.h = t.h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(err_q) AS DOUBLE) / CAST(SUM(av_q) AS DOUBLE) AS wape
+    FROM scored GROUP BY event_type
+    """,
+    tags=("behavior", "forecast", "backtest", "extension"),
+)
+def seasonal_baseline_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each event's value on
+    the LAST day from the per-(event_type, hour-of-day) mean over all
+    earlier days, and report WAPE (sum |err| / sum |actual|) per type —
+    the standing health metric of a metrics-forecasting pipeline.
+
+    Deterministic float discipline: train means divide exact integer
+    fixed-point sums; per-event errors are floor-quantized before the
+    test-side sums, so both engines reduce identical BIGINTs in any
+    order, and WAPE is one final correctly-rounded division. The train
+    aggregate is type x 24 cells (broadcast back onto the test scan);
+    the last-day split derives from one tiny global MAX.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_trunc("day", "ts").alias("d"),
+        F.hour("ts").alias("h"),
+    )
+    last_day = ev.agg(F.max("d").alias("last_d"))
+    ev = ev.crossJoin(F.broadcast(last_day))
+    vq = F.floor(F.col("value") * F.lit(_BT_SCALE)).cast("long")
+    train = (
+        ev.where(F.col("d") < F.col("last_d"))
+        .groupBy("event_type", "h")
+        .agg(F.sum(vq).alias("sum_vq"), F.count("*").alias("n"))
+    )
+    baseline = (
+        F.col("sum_vq").cast("double") / F.lit(_BT_SCALE) / F.col("n")
+    )
+    test = ev.where(F.col("d") == F.col("last_d"))
+    scored = test.join(F.broadcast(train), ["event_type", "h"]).select(
+        "event_type",
+        F.floor(
+            F.abs(F.col("value") - baseline) * F.lit(_BT_SCALE)
+        ).cast("long").alias("err_q"),
+        F.floor(F.abs(F.col("value")) * F.lit(_BT_SCALE)).cast("long").alias(
+            "av_q"
+        ),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_scored"),
+        (
+            F.sum("err_q").cast("double") / F.sum("av_q").cast("double")
+        ).alias("wape"),
+    )
+
+
+@register(
+    "nation_revenue_gini",
+    priority=15,
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, rev_c,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY rev_c, o_custkey) AS rk
+      FROM rev
+    )
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev_c) AS BIGINT) AS total_rev_cents,
+           CAST(2 * SUM(rk * rev_c) - (COUNT(*) + 1) * SUM(rev_c)
+                AS DOUBLE)
+             / (COUNT(*) * CAST(SUM(rev_c) AS DOUBLE)) AS gini
+    FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("behavior", "concentration", "gini", "window", "extension"),
+)
+def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini coefficient per nation over purchasing
+    customers — the inequality metric a marketplace watches per region.
+
+    Exact integer path end to end: per-customer revenue in cents
+    (o_totalprice is 2-dp, so *100 is exact), rank by (rev, custkey)
+    inside a PARTITIONED window (per-nation, never global), and the
+    classic rank formulation gini = (2*Sum(i*x_i) - (n+1)*Sum(x)) /
+    (n*Sum(x)) reduces BIGINTs until the single final division.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            # o_totalprice is a 2-dp DOUBLE: *100 can land an ulp below
+            # the integer, so round (exact, no .5 case for 2-dp values)
+            # before the cast — truncation would drop a cent
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "rev_c"
+            )
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("rev_c", "o_custkey")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    agg = ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("rev_c").alias("total_rev_cents"),
+        F.sum(F.col("rk") * F.col("rev_c")).alias("sum_rk_rev"),
+    )
+    gini = (
+        (2 * F.col("sum_rk_rev") - (F.col("n_customers") + 1) * F.col("total_rev_cents"))
+        .cast("double")
+        / (F.col("n_customers") * F.col("total_rev_cents").cast("double"))
+    )
+    return agg.join(
+        F.broadcast(nation), agg.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("n_customers").cast("long").alias("n_customers"),
+        F.col("total_rev_cents").cast("long").alias("total_rev_cents"),
+        gini.alias("gini"),
+    )

@@ -77,7 +77,10 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "events_sessionization_batch",
             "events_session_window_batch",
             "user_event_gaps",
-            "latest_event_per_user",
+            # (latest_event_per_user parked mid-round-5: the argmax
+            # shape is r1-green and untouched; the events/NTZ family
+            # keeps five other in-window rows. Slot holds
+            # seasonal_baseline_wape.)
             # deterministic-bounds rewrite + this round's bounds.py edits
             "sequence_packing",
             "customer_value_deciles",
@@ -92,7 +95,10 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             # joins the IVF output against the brute-force ground truth,
             # so its hash transitively re-certifies the whole IVF path.)
             "ann_topk_lsh_verified",
-            "embedding_neardup_pairs",
+            # (embedding_neardup_pairs parked mid-round-5: the
+            # in-window ann_recall_at_k exercises the same dot/l2_norm
+            # data-vector path through its brute-force side. Slot holds
+            # nation_revenue_gini.)
             # this round's staged convergence check (operators/graph.py)
             "dedup_clusters",
             # NOTE: the r4 perf-weak re-measure pair

@@ -36,7 +36,9 @@ MUST_VERIFY = {
     # window query.)
     "event_transition_matrix",
     "events_session_window_batch",
-    "latest_event_per_user",
+    # (latest_event_per_user released mid-round-5 — argmax shape
+    # r1-green and untouched this round; five events/NTZ rows remain
+    # in-window.)
     "sequence_packing",  # deterministic-bounds prefix sum
     "customer_value_deciles",  # deterministic-bounds ranking
     "word_count",
