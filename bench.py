@@ -103,6 +103,13 @@ def main() -> None:
                 exec_s.append(t2 - t1)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        # release this query's persisted relations before the next one:
+        # several operators pin multi-consumer relations (shingle sets,
+        # edge lists); within a query's own n_runs the pin is reused via
+        # plan-cache matching, but across 134 queries the entries would
+        # otherwise accumulate until ContextCleaner got to them,
+        # pressuring executor memory and distorting later timings.
+        spark.catalog.clearCache()
         if build_s:  # partial runs still report (fault isolation)
             totals = [b + e for b, e in zip(build_s, exec_s)]
             timings[name] = round(statistics.median(totals), 4)

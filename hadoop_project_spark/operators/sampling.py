@@ -16,11 +16,12 @@ special case).
 
 Determinism contract: the uniform is hash_uniform32(doc_id) (md5-based,
 engine-portable) and the selection test is the exact integer comparison
-``u * W < k * w * 2^32`` carried in DECIMAL(38,0) on the Spark side and
-HUGEINT in the DuckDB oracle — no float ever decides membership, so the
-sampled set replays bit-identically at any scale (a 64-bit carry would
-overflow once W exceeds ~4.3e9 total weight; 128-bit lanes hold to
-1e19 x 2^32). The HT contributions are floor-quantized to 1e-6 before
+``u * W < k * w * 2^32`` carried in DECIMAL(38,0) on the Spark side —
+including the stratum weight SUM itself, so no intermediate ever
+touches a wrappable 64-bit lane — and HUGEINT in the DuckDB oracle.
+No float ever decides membership, so the sampled set replays
+bit-identically at any scale (u*W stays under 38 digits until total
+stratum weight passes ~1e28). The HT contributions are floor-quantized to 1e-6 before
 summing (the repo-wide cross-row float-sum discipline — see
 plans/governance_queries.py _LM_SCALE note), so the per-stratum sum is
 exact integer arithmetic and partition-order independent.
@@ -61,10 +62,16 @@ def pps_select(
     """
     w = weight.cast("long")
     with_w = rows.withColumn("w", w)
-    strata = with_w.groupBy(stratum).agg(F.sum("w").alias("w_total"))
+    # the stratum weight sum is carried in DECIMAL(38,0) from the start:
+    # a BIGINT sum would wrap silently once a stratum's total weight
+    # passes 2^63, flipping selection decisions (the DuckDB oracle sums
+    # into HUGEINT, which never wraps)
+    strata = with_w.groupBy(stratum).agg(
+        F.sum(F.col("w").cast(_DEC)).alias("w_total")
+    )
     u = hash_uniform32(F.col(key))
     lhs = u.cast(_DEC) * F.col("w_total").cast(_DEC)
-    rhs = (F.lit(k) * F.col("w")).cast(_DEC) * F.lit(SAMPLE_MOD).cast(_DEC)
+    rhs = F.lit(k).cast(_DEC) * F.col("w").cast(_DEC) * F.lit(SAMPLE_MOD).cast(_DEC)
     pi = F.least(
         F.lit(1.0),
         (F.lit(k) * F.col("w")).cast("double") / F.col("w_total").cast("double"),

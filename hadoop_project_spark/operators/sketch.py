@@ -79,8 +79,11 @@ def cm_heavy_hitters(
     """
     # internal alias sidesteps ambiguity when the caller's column is
     # itself named "key" (the verify join below compares input vs
-    # candidate columns by name)
-    stream = keys.select(F.col(key_col).alias("__cm_key")).persist()
+    # candidate columns by name). Deliberately NOT persisted: the
+    # occurrence stream is O(input) — pinning it would contradict the
+    # bounded-state story above; the verify pass re-scans the source,
+    # exactly as a second pass over a 100 TB corpus would.
+    stream = keys.select(F.col(key_col).alias("__cm_key"))
     sketch = cm_sketch(stream, "__cm_key")
     distinct_keys = stream.select(F.col("__cm_key").alias("key")).distinct()
     # totals for the relative threshold: one tiny global agg each

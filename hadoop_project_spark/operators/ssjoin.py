@@ -30,6 +30,14 @@ keyed by prefix shingle, and an O(candidates) verify. Driver state is
 zero. The reference has no set-similarity surface (its text op is
 word count — WordCount1/src/main/java/WordCount.java:24); this extends
 SURVEY.md §2 P1/A1 tokenize-aggregate shapes to exact similarity.
+
+Persist note: the per-doc shingle-set arrays are pinned because
+Spark's higher-order shingle transform is interpreted (not codegen)
+and would re-run once per consumer branch (measured 8.5 s -> 0.7 s
+for duplicate_span_stats at sf0.1). The pin is per-doc arrays —
+O(corpus tokens), the same footprint every dedup operator's shuffle
+already carries — and lives until Spark's ContextCleaner collects the
+plan (bench.py additionally clears the cache between queries).
 """
 
 from __future__ import annotations
@@ -71,36 +79,40 @@ def _doc_shingle_sets(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     ).withColumn("n", F.size("shs"))
 
 
-def _doc_shingles(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
-    """Distinct (doc_id, sh) rows (set-size n carried alongside),
-    derived from _doc_shingle_sets without a dedup shuffle."""
-    return _doc_shingle_sets(docs, k).select(
-        "doc_id", "n", F.explode("shs").alias("sh")
-    )
+def _shingle_tables(
+    docs: DataFrame, k: int, carry_n: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared base of both operators: (pinned per-doc set arrays,
+    exploded distinct (doc, sh) stream, per-shingle df counts).
+    ``carry_n`` widens the exploded stream with the set size — only the
+    prefix join needs it; the span-stats path keeps the stream narrow."""
+    sets = _doc_shingle_sets(docs, k).persist()
+    cols = ["doc_id", "n"] if carry_n else ["doc_id"]
+    dsh = sets.select(*cols, F.explode("shs").alias("sh"))
+    df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))
+    return sets, dsh, df_counts
 
 
-def prefix_filtered_jaccard_pairs(
-    docs: DataFrame,
+def prefix_candidates(
+    dsh: DataFrame,
+    df_counts: DataFrame,
     tau_num: int = SSJOIN_TAU_NUM,
     tau_den: int = SSJOIN_TAU_DEN,
-    k: int = SPAN_K,
 ) -> DataFrame:
-    """All pairs of documents with shingle-set Jaccard >= tau — exact,
-    via df-ordered prefix filtering.
+    """Candidate (doc_a, doc_b) pairs from the df-ordered prefix join
+    with the PPJoin length and positional prunes — a provable SUPERSET
+    of all pairs with Jaccard >= tau (exactness certified against a
+    naive all-pairs twin in tests/test_scale_ops.py, which also counts
+    THIS relation to pin the filtering itself).
 
-    Plan: (1) distinct (doc, sh); (2) shingle df — one agg keyed by sh;
-    (3) per-doc rank of its own shingles by (df, sh) — a PARTITIONED
-    window over doc_id, never a global sort; (4) prefix rows where
-    rn <= n - ceil(tau*n) + 1; (5) candidates = prefix self-join on sh
-    (a.doc < b.doc, distinct); (6) verify with array_intersect over the
-    per-doc sorted shingle arrays, integer threshold test.
-
-    ceil(tau*n) is computed as (tau_num*n + tau_den - 1) div tau_den —
-    pure integer arithmetic, bit-identical in any engine.
+    ceil(tau*n) is (tau_num*n + tau_den - 1) div tau_den — pure integer
+    arithmetic, bit-identical in any engine. Prunes:
+      * length: J >= tau forces tau * max(na, nb) <= min(na, nb)
+      * positional: a shared prefix token at positions (pa, pb) bounds
+        the overlap by 1 + min(na - pa, nb - pb), which must reach
+        minoverlap = ceil(tau/(1+tau) * (na + nb)).
+    Measured at sf0.1: candidates 409k -> 125k, verify 3.5s -> 1.5s.
     """
-    sets = _doc_shingle_sets(docs, k).persist()
-    dsh = sets.select("doc_id", "n", F.explode("shs").alias("sh"))
-    df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))
     # n rides along from the pre-explode array size, so the only window
     # here is the row_number (one shuffle on doc_id, one sort)
     ranked = dsh.join(df_counts, "sh").withColumn(
@@ -113,24 +125,13 @@ def prefix_filtered_jaccard_pairs(
     prefix = ranked.where(
         F.col("rn") <= F.col("n") - ceil_tau_n + F.lit(1)
     ).select("doc_id", "sh", "rn", "n")
-    # PPJoin candidate prunes — both exactness-preserving (they can only
-    # drop pairs verification would reject; certified against the naive
-    # all-pairs twin in tests/test_scale_ops.py):
-    #  * length filter: J >= tau forces tau * max(na, nb) <= min(na, nb)
-    #  * positional filter: a shared prefix token at positions (pa, pb)
-    #    bounds the overlap by 1 + min(na - pa, nb - pb), which must
-    #    reach minoverlap = ceil(tau/(1+tau) * (na + nb)).
-    # Measured at sf0.1: candidates 409k -> 125k, verify 3.5s -> 1.5s.
     na, nb = F.col("a.n"), F.col("b.n")
     pa, pb = F.col("a.rn"), F.col("b.rn")
     minoverlap = F.floor(
-        (
-            F.lit(tau_num) * (na + nb)
-            + F.lit(tau_num + tau_den - 1)
-        )
+        (F.lit(tau_num) * (na + nb) + F.lit(tau_num + tau_den - 1))
         / F.lit(tau_num + tau_den)
     )
-    cand = (
+    return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
@@ -147,6 +148,26 @@ def prefix_filtered_jaccard_pairs(
         )
         .distinct()
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    docs: DataFrame,
+    tau_num: int = SSJOIN_TAU_NUM,
+    tau_den: int = SSJOIN_TAU_DEN,
+    k: int = SPAN_K,
+) -> DataFrame:
+    """All pairs of documents with shingle-set Jaccard >= tau — exact,
+    via df-ordered prefix filtering.
+
+    Plan: (1) per-doc distinct shingle arrays (zero-shuffle dedup);
+    (2) shingle df — one agg keyed by sh; (3) per-doc rank of its own
+    shingles by (df, sh) — a PARTITIONED window over doc_id, never a
+    global sort; (4) prefix rows + PPJoin prunes -> candidates (see
+    prefix_candidates); (5) verify with array_intersect over the
+    per-doc sorted shingle arrays, integer threshold test.
+    """
+    sets, dsh, df_counts = _shingle_tables(docs, k, carry_n=True)
+    cand = prefix_candidates(dsh, df_counts, tau_num, tau_den)
     inter = F.size(F.array_intersect(F.col("sa.shs"), F.col("sb.shs")))
     union = F.col("sa.n") + F.col("sb.n") - inter
     return (
@@ -173,19 +194,13 @@ def duplicate_span_stats(
     distinct k-word spans, how many occur in >= 2 documents.
 
     Two shuffles, both linear: (doc, sh) -> df keyed by sh, then a
-    per-doc aggregate keyed by doc. The flag comparison is integer-only
-    (n_dup * flag_den >= flag_num * n_spans); the ratio itself is a
-    single correctly-rounded division, identical on every engine.
-
-    The shingle-set arrays are persisted before the explode: the df
-    aggregate and the probe side both consume the stream, and Spark's
-    interpreted higher-order shingle transform is the dominant cost —
-    without the pin it re-runs once per consumer plus once for the
-    carried set size (measured 8.5 s -> ~3 s full-evaluation at sf0.1).
+    per-doc aggregate keyed by doc (the exploded stream stays narrow —
+    no set size carried; n_spans falls out of the aggregate). The flag
+    comparison is integer-only (n_dup * flag_den >= flag_num *
+    n_spans); the ratio itself is a single correctly-rounded division,
+    identical on every engine.
     """
-    sets = _doc_shingle_sets(docs, k).persist()
-    dsh = sets.select("doc_id", "n", F.explode("shs").alias("sh"))
-    df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))
+    _sets, dsh, df_counts = _shingle_tables(docs, k, carry_n=False)
     per_doc = (
         dsh.join(df_counts, "sh")
         .groupBy("doc_id")

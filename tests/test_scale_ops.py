@@ -69,15 +69,16 @@ def test_ssjoin_exact_vs_brute_force_on_fixture_docs(spark):
 
 
 def test_ssjoin_prefix_actually_filters(spark):
-    """Candidate volume must be below all-pairs on the fixture corpus —
-    the point of the prefix: unrelated docs never meet."""
+    """CANDIDATE volume (not just the verified output) must be well
+    below all-pairs on the fixture corpus — this counts the pruned
+    candidate relation itself, so a regression that broke the prefix/
+    length/positional pruning (quadratic candidates) fails here even
+    though the verified output would stay correct."""
     docs = load_table(spark, SF, "documents")
     n = docs.count()
-    pairs = sj.prefix_filtered_jaccard_pairs(docs)
-    # the output is tiny relative to n*(n-1)/2; the stronger structural
-    # assertion (no cartesian in the plan) lives in test_plan_shapes'
-    # global sweep.
-    assert pairs.count() < n * (n - 1) // 20
+    _sets, dsh, dfc = sj._shingle_tables(docs, sj.SPAN_K, carry_n=True)
+    cand = sj.prefix_candidates(dsh, dfc)
+    assert cand.count() < n * (n - 1) // 20
 
 
 def test_duplicate_span_stats_hand_checked(spark):
@@ -142,6 +143,17 @@ def test_pps_selection_deterministic_and_weight_monotone(spark):
     # expected size: K per stratum; allow wide Poisson slack
     n_strata = docs.select("source").distinct().count()
     assert 0 < len(sel_a) < 4 * sp.PPS_TARGET_K * n_strata
+    # weight monotonicity: within a stratum, pi must be nondecreasing in
+    # the weight (a sign flip in the selection inequality's weight term
+    # would preserve determinism but break this)
+    rows = a.select("source", "w", "pi").collect()
+    by_stratum: dict[str, list[tuple[int, float]]] = {}
+    for r in rows:
+        by_stratum.setdefault(r.source, []).append((r.w, r.pi))
+    for pairs in by_stratum.values():
+        pairs.sort()
+        for (w1, p1), (w2, p2) in zip(pairs, pairs[1:]):
+            assert p1 <= p2, f"pi not monotone in weight: {w1}->{p1}, {w2}->{p2}"
 
 
 def test_pps_pi_and_ht_mechanics_single_stratum(spark):
