@@ -380,3 +380,67 @@ def test_streaming_cm_sketch_equals_batch(spark, sf_dir, tmp_path):
         for r in cm_sketch(ev, "event_type").collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_streaming_neardup_gate_equals_batch(spark, sf_dir, tmp_path):
+    """Ingest-time LSH gate across forced multi-batches: final state
+    equals the batch band keys, and the flagged set equals a post-hoc
+    recomputation (collides with an earlier batch, or with a lower
+    doc_id in the same batch)."""
+    from hadoop_project_spark.streaming.dedup_gate import (
+        batch_band_keys,
+        make_neardup_gate_sink,
+    )
+
+    src = str(tmp_path / "docs_gate_src")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    state_dir = str(tmp_path / "gate_state")
+    flags_dir = str(tmp_path / "gate_flags")
+    roster_dir = str(tmp_path / "gate_roster")
+    sink = make_neardup_gate_sink(state_dir, flags_dir, roster_dir)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "gate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    roster = {
+        r.doc_id: r.batch_id for r in spark.read.parquet(roster_dir).collect()
+    }
+    assert len(set(roster.values())) > 1, "expected multiple micro-batches"
+
+    # final state == batch band keys
+    got_state = {
+        (r.doc_id, r.band, r.key)
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    exp_state = {
+        (r.doc_id, r.band, r.key) for r in batch_band_keys(docs).collect()
+    }
+    assert got_state == exp_state
+
+    # flagged set == post-hoc recomputation from the roster
+    by_key: dict[tuple, list[int]] = {}
+    for doc, band, key in exp_state:
+        by_key.setdefault((band, key), []).append(doc)
+    expected_flagged = set()
+    for _, ds in by_key.items():
+        for d in ds:
+            for other in ds:
+                if other == d:
+                    continue
+                if roster[other] < roster[d] or (
+                    roster[other] == roster[d] and other < d
+                ):
+                    expected_flagged.add(d)
+    got_flagged = {
+        r.doc_id for r in spark.read.parquet(flags_dir).collect()
+    }
+    assert got_flagged == expected_flagged and len(got_flagged) > 0
