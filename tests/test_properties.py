@@ -241,3 +241,76 @@ def test_merge_upsert_matches_dict_model(spark, target, source):
         else:
             exp[k] = (v, "inserted")
     assert got == exp
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_ssjoin_matches_brute_force_on_random_docs(spark, docs):
+    """Prefix-filtered Jaccard join == naive all-pairs model on random
+    tiny-vocab documents (adversarial for the prefix filter: heavy
+    shingle overlap, degenerate one-word docs, duplicate texts)."""
+    from hadoop_project_spark.operators import ssjoin as sj
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def shingle_set(text):
+        toks = text.split()
+        if len(toks) <= sj.SPAN_K:
+            return {" ".join(toks)}
+        return {
+            " ".join(toks[i : i + sj.SPAN_K])
+            for i in range(len(toks) - sj.SPAN_K + 1)
+        }
+
+    sets = {i: shingle_set(t) for i, t in rows}
+    expect = set()
+    for a in sets:
+        for b in sets:
+            if a >= b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * sj.SSJOIN_TAU_DEN >= sj.SSJOIN_TAU_NUM * union:
+                expect.add((a, b, inter, union))
+    got = {
+        (r.doc_a, r.doc_b, r.n_inter, r.n_union)
+        for r in sj.prefix_filtered_jaccard_pairs(df).collect()
+    }
+    assert got == expect
+
+
+@settings(**_SETTINGS)
+@given(
+    weights=st.lists(st.integers(1, 10_000), min_size=1, max_size=20),
+    k=st.integers(1, 4),
+)
+def test_pps_pi_and_selection_match_integer_model(spark, weights, k):
+    """PPS selection and pi against a pure-Python integer model using
+    the same md5-derived uniforms — exercises clamped pi (w > W/k) and
+    single-row strata."""
+    import hashlib
+
+    from hadoop_project_spark.operators import sampling as sp
+
+    rows = [(i, "s", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    sel = sp.pps_select(df, F.col("n_chars"), "source", "doc_id", k=k)
+    got = {r.doc_id: (bool(r.selected), r.pi) for r in sel.collect()}
+
+    total = sum(weights)
+    for i, w in enumerate(weights):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        exp_sel = u * total < k * w * (1 << 32)
+        exp_pi = min(1.0, (k * w) / total)
+        assert got[i] == (exp_sel, exp_pi)
