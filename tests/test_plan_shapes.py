@@ -281,3 +281,33 @@ def test_top_users_threshold_is_take_ordered(spark, sf_dir):
     df = SPECS["events_top_users"].build(spark, sf_dir)
     plan = _plan(df)
     assert "TakeOrdered" in plan, plan
+
+
+def test_bloom_probe_broadcasts_bit_set(spark, sf_dir):
+    """The Bloom membership join must broadcast the bit set (<= 8192
+    rows regardless of benchmark size) — a shuffled probe would drag
+    the whole corpus gram stream through an exchange keyed by bit."""
+    df = SPECS["bloom_decontaminate_fpr"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pps_selection_is_scan_stage(spark, sf_dir):
+    """PPS selection must stay a scan-stage filter: the only aggregate
+    exchange is the tiny per-stratum weight sum (broadcast back); the
+    document side itself is never repartitioned."""
+    df = SPECS["pps_weighted_sample"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # one exchange for the strata aggregate, none for the probe side
+    assert plan.count("Exchange") <= 2
+
+
+def test_cm_sketch_partial_aggregates(spark, sf_dir):
+    """The sketch build is the A1 combiner shape on (r, col): partial +
+    final HashAggregate around its exchange, so the shuffle is
+    O(partitions x D x W) regardless of key cardinality."""
+    df = SPECS["heavy_hitter_bigrams"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
