@@ -69,6 +69,8 @@ FAMILIES: dict[str, list[str]] = {
         "part_entity_clusters",
         "ann_recall_at_k",
         "event_transition_matrix",
+        "seasonal_baseline_wape",
+        "nation_revenue_gini",
     ],
 }
 

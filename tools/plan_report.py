@@ -87,6 +87,8 @@ QUERIES = [
     "part_entity_clusters",
     "ann_recall_at_k",
     "event_transition_matrix",
+    "seasonal_baseline_wape",
+    "nation_revenue_gini",
 ]
 
 
