@@ -692,3 +692,57 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return triangle_count(edges)
+
+
+@register(
+    "weighted_price_quantiles",
+    priority=15,
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS g, l_extendedprice AS v,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey AS k1, l_linenumber AS k2
+      FROM lineitem
+    ),
+    tot AS (SELECT g, SUM(w) AS W FROM base GROUP BY g),
+    c AS (
+      SELECT g, v,
+             SUM(w) OVER (PARTITION BY g ORDER BY v, k1, k2) AS cum
+      FROM base
+    ),
+    qs(qn, qd) AS (VALUES (1, 4), (1, 2), (3, 4))
+    SELECT c.g AS l_returnflag,
+           CAST(qs.qn AS BIGINT) AS q_num,
+           CAST(qs.qd AS BIGINT) AS q_den,
+           MIN(c.v) AS wq_value
+    FROM c JOIN tot USING (g) CROSS JOIN qs
+    WHERE c.cum * qs.qd >= qs.qn * tot.W
+    GROUP BY 1, 2, 3
+    """,
+    tags=("stats", "weighted-quantile", "prefix-sum", "extension"),
+)
+def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-WEIGHTED price quartiles per return flag — the weighted
+    percentile Spark lacks, computed scale-safe by the two-pass
+    range-bucket machinery (operators/wquantile.py): per-(group, bucket)
+    weight sums -> driver walk -> windowed refine over ONLY each
+    quantile's target bucket. The oracle is the textbook cumulative-
+    weight window — fine for DuckDB at test scale, a one-task-per-group
+    collapse the Spark side exists to avoid. Integer threshold test, so
+    both engines pick the identical row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from hadoop_project_spark.operators.wquantile import weighted_quantiles
+
+    return weighted_quantiles(
+        li,
+        group_col="l_returnflag",
+        value_col="l_extendedprice",
+        weight=F.col("l_quantity"),
+        quantiles=[(1, 4), (1, 2), (3, 4)],
+        tiebreak=["l_orderkey", "l_linenumber"],
+    ).select(
+        "l_returnflag",
+        "q_num",
+        "q_den",
+        F.col("wq_value").alias("wq_value"),
+    )

@@ -99,8 +99,12 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             # in-window ann_recall_at_k exercises the same dot/l2_norm
             # data-vector path through its brute-force side. Slot holds
             # nation_revenue_gini.)
-            # this round's staged convergence check (operators/graph.py)
-            "dedup_clusters",
+            # (dedup_clusters parked mid-round-5: the staged-convergence
+            # CC loop it anchored is hash-certified in-window by
+            # part_entity_clusters — the identical connected_components
+            # path over a different edge set — and its minhash edge
+            # derivation is CI-oracle-tested every run. Slot holds
+            # weighted_price_quantiles.)
             # NOTE: the r4 perf-weak re-measure pair
             # (dpp_partitioned_join_roundtrip, source_overlap_matrix)
             # was parked back to 500 mid-round-5: bench.py re-measures

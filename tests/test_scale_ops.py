@@ -170,3 +170,38 @@ def test_pps_pi_and_ht_mechanics_single_stratum(spark):
     # every possible sample's HT contribution is w/pi = 40 exactly, so
     # whatever was selected, ht_total is n_sel * 40
     assert ht.ht_total == ht.n_sel * 40.0
+
+
+# ------------------------------------------------------------ wquantile
+
+
+def test_weighted_quantiles_match_python_model(spark):
+    """Two-pass weighted quantiles vs a pure-Python cumulative model on
+    crafted groups (heavy weight on one value, single-row group)."""
+    from hadoop_project_spark.operators.wquantile import weighted_quantiles
+
+    rows = [
+        # g, v, w, k
+        ("a", 1.0, 1, 1),
+        ("a", 2.0, 8, 2),   # median lands here
+        ("a", 3.0, 1, 3),
+        ("b", 5.0, 1, 4),   # single row: every quantile = 5.0
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w long, k long")
+    out = weighted_quantiles(
+        df, "g", "v", F.col("w"), [(1, 4), (1, 2), (3, 4)], ["k"]
+    )
+    got = {(r.g, r.q_num, r.q_den): r.wq_value for r in out.collect()}
+
+    def model(vals, qn, qd):
+        tot = sum(w for _, w in vals)
+        acc = 0
+        for v, w in sorted(vals):
+            acc += w
+            if acc * qd >= qn * tot:
+                return v
+
+    data = {"a": [(1.0, 1), (2.0, 8), (3.0, 1)], "b": [(5.0, 1)]}
+    for g, vals in data.items():
+        for qn, qd in [(1, 4), (1, 2), (3, 4)]:
+            assert got[(g, qn, qd)] == model(vals, qn, qd)
