@@ -56,13 +56,18 @@ def weighted_quantiles(
     quantile of ``value_col`` under integer weights, for each rational
     q = (q_num, q_den). ``tiebreak`` columns must make
     (value, *tiebreak) unique within a group so the cumulative order is
-    total on both engines."""
+    total on both engines. Null-weight rows are excluded; duplicate
+    quantiles are deduplicated."""
+    # duplicate quantiles would double-count weights in the shared
+    # refine window (duplicated candidate rows are exact window peers);
+    # null weights would poison the driver walk — both normalized here
+    quantiles = sorted(set(quantiles))
     base = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("v"),
         weight.cast("long").alias("w"),
         *tiebreak,
-    )
+    ).where(F.col("w").isNotNull())
     bounds, as_double = collect_split_points(
         base, F.col("v"), default_buckets(base)
     )

@@ -740,9 +740,4 @@ def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight=F.col("l_quantity"),
         quantiles=[(1, 4), (1, 2), (3, 4)],
         tiebreak=["l_orderkey", "l_linenumber"],
-    ).select(
-        "l_returnflag",
-        "q_num",
-        "q_den",
-        F.col("wq_value").alias("wq_value"),
     )

@@ -3,26 +3,36 @@ streaming admission filter.
 
 The batch dedup family (operators/dedup.py) answers "which pairs in
 this CORPUS are near-dups"; an ingestion pipeline asks the incremental
-question — "is this NEW document a near-dup of anything we already
-accepted?" — and must answer it per micro-batch without rescanning the
+question — "is this NEW document a near-dup of anything already
+ingested?" — and must answer it per micro-batch without rescanning the
 corpus. The state that makes that cheap is exactly the LSH index: the
-accepted documents' (band, key) rows. Each micro-batch
+ingested documents' (band, key) rows. Each micro-batch
 
   1. computes its docs' band keys (same minhash_signatures /
      lsh_band_keys as the batch path, so the collision semantics are
      identical to dedup_minhash_lsh's candidate stage);
-  2. flags docs colliding with the ACCEPTED state, or with a
-     lower-doc_id doc inside the same batch (deterministic tie-break,
-     mirroring the batch path's doc_a < doc_b orientation);
-  3. appends flag rows, and folds the batch's keys into the state via
-     the same staging-swap publish as streaming/merge.py.
+  2. flags docs colliding with the state, or with a lower-doc_id doc
+     inside the same batch (deterministic tie-break, mirroring the
+     batch path's doc_a < doc_b orientation);
+  3. appends its flag rows and its band keys, each into a
+     ``batch_id=N`` partition.
 
-State size is O(accepted docs x NUM_BANDS) — the index, not the corpus;
-at 100 TB the parquet state becomes the LSH table of a real feature
-store, and the per-batch work is one broadcast-or-shuffle join keyed by
-(band, key), never a scan of history. Flags are CANDIDATE-level (band
-collision); a production gate would follow with the exact-Jaccard
-verify on flagged pairs only, exactly as jaccard_verify does in batch.
+The index keeps EVERY ingested doc's keys — flagged docs included:
+flags are candidate-level (band collision), and a third copy of a
+near-dup should collide with both earlier copies, so nothing is
+dropped from the index. State size is therefore O(ingested docs x
+NUM_BANDS) — the index, not the corpus text; at 100 TB the parquet
+state becomes the LSH table of a real feature store, and the per-batch
+work is one join keyed by (band, key) plus an O(batch) append — never
+a rewrite of history. A production gate would follow the flags with
+the exact-Jaccard verify on flagged pairs only, exactly as
+jaccard_verify does in batch.
+
+Replay safety: both sinks write ``partitionBy(batch_id)`` under
+dynamic partition overwrite, so a re-executed micro-batch (foreachBatch
+is at-least-once) overwrites ITS OWN partition instead of appending a
+second copy — no rmtree/rename window, no cross-batch mutation, and a
+crash mid-write is healed by the replay.
 
 tests/test_streaming.py proves multi-batch equivalence: the final
 state equals the batch-computed band keys, and the flagged set equals
@@ -32,7 +42,6 @@ a post-hoc recomputation from the recorded batch roster.
 from __future__ import annotations
 
 import os
-import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
@@ -50,29 +59,41 @@ def batch_band_keys(docs: DataFrame) -> DataFrame:
     return lsh_band_keys(minhash_signatures(doc_shingles(docs)))
 
 
+def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch publish: dynamic-overwrite the batch's own
+    ``batch_id=N`` partition (replays heal partial writes)."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def make_neardup_gate_sink(
     state_dir: str, flags_dir: str, roster_dir: str | None = None
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch function maintaining the LSH state at ``state_dir``
+    """foreachBatch function maintaining the LSH index at ``state_dir``
     and appending (doc_id, batch_id) flag rows to ``flags_dir``.
     ``roster_dir`` (tests) additionally records every doc's batch id so
     equivalence can be recomputed post-hoc."""
-    staging = state_dir + ".staging"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         keys = batch_band_keys(batch_df).persist()
         if roster_dir is not None:
-            batch_df.select("doc_id").distinct().withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(roster_dir)
-        state_exists = os.path.exists(state_dir)
+            _write_batch_partition(
+                batch_df.select("doc_id").distinct(), roster_dir, batch_id
+            )
         hits_state = (
             keys.join(
-                spark.read.parquet(state_dir).select("band", "key"),
+                spark.read.parquet(state_dir)
+                .where(F.col("batch_id") < batch_id)
+                .select("band", "key"),
                 ["band", "key"],
             ).select("doc_id")
-            if state_exists
+            if os.path.exists(state_dir)
             else None
         )
         # within-batch collisions: lower doc_id wins, higher is flagged
@@ -89,16 +110,11 @@ def make_neardup_gate_sink(
         flagged = (
             hits_batch if hits_state is None else hits_batch.union(hits_state)
         ).distinct()
-        flagged.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(flags_dir)
-        # fold this batch's keys into the accepted-state index
-        new_state = keys.select("doc_id", "band", "key")
-        if state_exists:
-            new_state = spark.read.parquet(state_dir).unionByName(new_state)
-        new_state.write.mode("overwrite").parquet(staging)
-        shutil.rmtree(state_dir, ignore_errors=True)
-        os.replace(staging, state_dir)
+        _write_batch_partition(flagged, flags_dir, batch_id)
+        # O(batch) append of this batch's keys into its own partition
+        _write_batch_partition(
+            keys.select("doc_id", "band", "key"), state_dir, batch_id
+        )
         keys.unpersist()
 
     return sink

@@ -44,7 +44,11 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "corpus governance": ["decontaminate_ngram", "source_overlap_matrix"],
     "text analysis": ["doc_quality_scores", "tfidf_top_terms"],
-    "prefix-sum (ranking/packing)": ["customer_value_deciles", "sequence_packing"],
+    "prefix-sum (ranking/packing)": [
+        "customer_value_deciles",
+        "sequence_packing",
+        "weighted_price_quantiles",
+    ],
     "relational": ["pricing_summary", "word_count", "two_leg_conversion"],
     "graph / merge / governance": [
         "part_copurchase_rank_step",

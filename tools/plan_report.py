@@ -89,6 +89,7 @@ QUERIES = [
     "event_transition_matrix",
     "seasonal_baseline_wape",
     "nation_revenue_gini",
+    "weighted_price_quantiles",
 ]
 
 
