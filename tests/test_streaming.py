@@ -444,3 +444,57 @@ def test_streaming_neardup_gate_equals_batch(spark, sf_dir, tmp_path):
         r.doc_id for r in spark.read.parquet(flags_dir).collect()
     }
     assert got_flagged == expected_flagged and len(got_flagged) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics across forced multi-batches: an event older
+    than (max event time - 1h) arriving in a LATER batch must be
+    dropped, and only watermark-finalized windows are emitted in append
+    mode. Batch order is pinned by file modification time."""
+    import datetime as dt
+
+    src = str(tmp_path / "wm_src")
+    rows_a = [
+        (dt.datetime(2024, 1, 1, 10, 0), 1),
+        (dt.datetime(2024, 1, 1, 10, 30), 2),
+        (dt.datetime(2024, 1, 1, 11, 59), 3),  # watermark -> 10:59
+    ]
+    rows_b = [
+        (dt.datetime(2024, 1, 1, 9, 30), 4),   # LATE: below watermark
+        (dt.datetime(2024, 1, 1, 12, 30), 5),  # watermark -> 11:30
+    ]
+    schema = "ts timestamp, user_id long"
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .start()
+    )
+    # phase 1: only batch A exists -> watermark advances to 10:59
+    q.processAllAvailable()
+    # phase 2: the straggler arrives in a strictly later batch
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["s"], r["count"])
+        for r in spark.sql(
+            "select w.start as s, count from wm_test"
+        ).collect()
+    }
+    # only the 10:00 window is both populated and finalized (end 11:00
+    # <= final watermark 11:30); the 09:30 straggler was dropped, so no
+    # 09:00 window row may appear
+    assert got == {(dt.datetime(2024, 1, 1, 10, 0), 2)}
