@@ -228,3 +228,96 @@ def purchases_after_clicks_stream(
         "c_ts",
         "p_ts",
     )
+
+
+IDLE_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+IDLE_SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def idle_finalized_sessions_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 second"
+) -> DataFrame:
+    """CLOSED sessions only, via applyInPandasWithState with an
+    EVENT-TIME timeout — the state-store feature none of the other
+    streaming ops exercise.
+
+    A session closes two ways: inline, when the same user's next event
+    arrives more than ``gap_minutes`` later (emitted immediately,
+    regardless of watermark); or by timeout, when the watermark passes
+    last_event + gap with no successor — the state store fires the
+    timed-out group, the stored session is emitted, and the state is
+    removed. That second path is what separates this from the lag-based
+    batch sessionization: an idle user's session finalizes WITHOUT
+    waiting for their next visit, which is the semantics a
+    session-driven downstream (billing, abandonment emails) actually
+    needs. State per user is one 3-long struct; the shuffle is the
+    groupBy on user_id.
+
+    Batches must arrive in event-time order per user for the inline
+    split decision (the usual log-ingestion contract; the watermark
+    bounds the disorder the pipeline tolerates).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60_000_000
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        # state carries MICROsecond epochs (full event precision); only
+        # the timeout registration rounds (up) to the store's ms grain
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+        rows = [pdf for pdf in pdf_iter if len(pdf)]
+        ts_us = pd.concat(rows)["ts"].sort_values().astype("int64") // 1_000
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            t = int(t)
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], t, cur[2] + 1)
+        state.update(cur)
+        state.setTimeoutTimestamp(-(-(cur[1] + gap_us) // 1_000))
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=IDLE_SESSION_OUTPUT_SCHEMA,
+            stateStructType=IDLE_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

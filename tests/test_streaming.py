@@ -498,3 +498,69 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # <= final watermark 11:30); the 09:30 straggler was dropped, so no
     # 09:00 window row may appear
     assert got == {(dt.datetime(2024, 1, 1, 10, 0), 2)}
+
+
+def test_idle_timeout_sessions_close_without_successor(spark, sf_dir, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: sessions close inline
+    on the next distant event AND by watermark timeout when no
+    successor ever arrives. Every emitted session must exactly match a
+    session of the batch lag-model; all sessions with a successor must
+    be emitted; and the timeout path must fire for trailing sessions."""
+    from hadoop_project_spark.streaming.windows import (
+        idle_finalized_sessions_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    # event-time-ordered phases so per-user arrival order is ts order
+    ordered = ev.orderBy("ts").collect()
+    cuts = [len(ordered) // 3, 2 * len(ordered) // 3, len(ordered)]
+    src = str(tmp_path / "idle_src")
+    schema = "ts timestamp, user_id long"
+    spark.createDataFrame(ordered[: cuts[0]], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = idle_finalized_sessions_stream(
+        spark.readStream.schema(schema).parquet(src), gap_minutes=30
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("idle_sessions_test")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    for lo, hi in [(cuts[0], cuts[1]), (cuts[1], cuts[2])]:
+        spark.createDataFrame(ordered[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("select * from idle_sessions_test").collect()
+    }
+
+    # pure-python lag model over the same rows
+    per_user: dict[int, list] = {}
+    for r in ordered:
+        per_user.setdefault(r.user_id, []).append(r.ts)
+    sessions, with_successor = set(), set()
+    for u, tss in per_user.items():
+        tss.sort()
+        start = last = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if (t - last).total_seconds() > 30 * 60:
+                sessions.add((u, start, last, n))
+                with_successor.add((u, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        sessions.add((u, start, last, n))
+
+    assert got <= sessions          # nothing invented
+    assert with_successor <= got    # every inline closure emitted
+    assert len(got) > len(with_successor)  # the timeout path fired
