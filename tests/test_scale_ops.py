@@ -205,3 +205,26 @@ def test_weighted_quantiles_match_python_model(spark):
     for g, vals in data.items():
         for qn, qd in [(1, 4), (1, 2), (3, 4)]:
             assert got[(g, qn, qd)] == model(vals, qn, qd)
+
+
+# ------------------------------------------------------------------ CLI
+
+
+def test_cli_list_and_check(capsys):
+    """The module front door: list filters by tag; check returns the
+    driver-style verdict line (exercised in-process, no subprocess)."""
+    from hadoop_project_spark.__main__ import main
+
+    assert main(["list", "--tag", "sketch"]) == 0
+    out = capsys.readouterr().out
+    assert "heavy_hitter_bigrams" in out and "bloom_decontaminate_fpr" in out
+
+    assert main(["list"]) == 0
+    assert len(capsys.readouterr().out.splitlines()) >= 135
+
+    assert (
+        main(["check", "word_count", "--sf", "/root/testdata/sf0.001"]) == 0
+    )
+    assert "ok=True" in capsys.readouterr().out
+
+    assert main(["check", "no_such_query"]) == 2
