@@ -210,21 +210,33 @@ def test_weighted_quantiles_match_python_model(spark):
 # ------------------------------------------------------------------ CLI
 
 
-def test_cli_list_and_check(capsys):
+def test_cli_list_and_check(spark, capsys):
     """The module front door: list filters by tag; check returns the
-    driver-style verdict line (exercised in-process, no subprocess)."""
+    driver-style verdict line (exercised in-process, no subprocess).
+
+    The CLI's get_spark re-applies its default SQL confs to the shared
+    session (getOrCreate semantics), so the suite's shuffle-partition
+    setting is snapshotted and restored — without this, every test
+    running after the CLI sees 32 shuffle partitions instead of the
+    conftest's 8 (observed: the AQE skew-split gate stops splitting)."""
     from hadoop_project_spark.__main__ import main
 
-    assert main(["list", "--tag", "sketch"]) == 0
-    out = capsys.readouterr().out
-    assert "heavy_hitter_bigrams" in out and "bloom_decontaminate_fpr" in out
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        assert main(["list", "--tag", "sketch"]) == 0
+        out = capsys.readouterr().out
+        assert "heavy_hitter_bigrams" in out
+        assert "bloom_decontaminate_fpr" in out
 
-    assert main(["list"]) == 0
-    assert len(capsys.readouterr().out.splitlines()) >= 135
+        assert main(["list"]) == 0
+        assert len(capsys.readouterr().out.splitlines()) >= 135
 
-    assert (
-        main(["check", "word_count", "--sf", "/root/testdata/sf0.001"]) == 0
-    )
-    assert "ok=True" in capsys.readouterr().out
+        assert (
+            main(["check", "word_count", "--sf", "/root/testdata/sf0.001"])
+            == 0
+        )
+        assert "ok=True" in capsys.readouterr().out
 
-    assert main(["check", "no_such_query"]) == 2
+        assert main(["check", "no_such_query"]) == 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
