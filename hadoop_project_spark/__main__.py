@@ -64,23 +64,30 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     spec = specs[args.query]
     spark = _spark(os.environ.get("SPARK_GRAFT_CPUS", "8"))
-    df = spec.build(spark, args.sf)
-    if args.cmd == "run":
-        df.show(args.limit, truncate=False)
-        return 0
-    if args.cmd == "explain":
-        df.explain("formatted")
-        return 0
-    # check
-    if spec.oracle is None:
-        n = df.count()
-        print(f"{args.query}: rows-only (no oracle), rows={n}")
-        return 0
-    from hadoop_project_spark.quality import compare_to_oracle
+    try:
+        df = spec.build(spark, args.sf)
+        if args.cmd == "run":
+            df.show(args.limit, truncate=False)
+            return 0
+        if args.cmd == "explain":
+            df.explain("formatted")
+            return 0
+        # check
+        if spec.oracle is None:
+            n = df.count()
+            print(f"{args.query}: rows-only (no oracle), rows={n}")
+            return 0
+        from hadoop_project_spark.quality import compare_to_oracle
 
-    res = compare_to_oracle(spark, df, spec.oracle, args.sf, name=args.query)
-    print(f"{args.query}: ok={res.ok} rows={res.rows} {res.detail}".rstrip())
-    return 0 if res.ok else 1
+        res = compare_to_oracle(spark, df, spec.oracle, args.sf, name=args.query)
+        print(f"{args.query}: ok={res.ok} rows={res.rows} {res.detail}".rstrip())
+        return 0 if res.ok else 1
+    finally:
+        # several operators pin multi-consumer relations (shingle sets,
+        # edge lists) for the duration of the query; release them so a
+        # long-lived CLI session doesn't accumulate executor memory
+        # (same discipline as bench.py's per-query clearCache)
+        spark.catalog.clearCache()
 
 
 if __name__ == "__main__":

@@ -176,23 +176,31 @@ def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
 
 def bloom_probe(items: DataFrame, item_col: str, bits: DataFrame) -> DataFrame:
     """Input rows that the Bloom filter reports as members: an item
-    passes iff ALL of its BLOOM_HASHES positions are set. The exploded
-    probe stream joins the broadcast bit set and an item survives when
-    every exploded row found its bit (duplicate positions both match or
-    both miss, so the count test stays exact)."""
-    probes = items.select(
+    passes iff ALL of its BLOOM_HASHES positions are set.
+
+    Each input row carries its own distinct position set
+    (array_distinct collapses hash collisions within one item) and a
+    per-row id, so duplicate input ROWS stay independent groups —
+    without the id, two copies of the same item would merge into one
+    group whose matched-probe count exceeds the position-set size and
+    the member would be dropped, a false negative that would break the
+    filter's one-sided guarantee. Membership is then exact: a row
+    survives iff every position in its set found a bit."""
+    tagged = items.select(
         "*",
-        F.explode(
+        F.monotonically_increasing_id().alias("__rid"),
+        F.array_distinct(
             F.array(
                 *[_bloom_pos(F.col(item_col), j) for j in range(BLOOM_HASHES)]
             )
-        ).alias("bit"),
+        ).alias("__pos"),
     )
+    probes = tagged.select("*", F.explode("__pos").alias("bit"))
     group_cols = [c for c in items.columns]
     return (
         probes.join(F.broadcast(bits), "bit")
-        .groupBy(*group_cols)
+        .groupBy("__rid", *group_cols, F.size("__pos").alias("__np"))
         .agg(F.count("*").alias("__nh"))
-        .where(F.col("__nh") == BLOOM_HASHES)
-        .drop("__nh")
+        .where(F.col("__nh") == F.col("__np"))
+        .select(*group_cols)
     )

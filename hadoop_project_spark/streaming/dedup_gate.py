@@ -41,7 +41,6 @@ a post-hoc recomputation from the recorded batch roster.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, functions as F
@@ -86,14 +85,21 @@ def make_neardup_gate_sink(
             _write_batch_partition(
                 batch_df.select("doc_id").distinct(), roster_dir, batch_id
             )
+        # existence probe must go through Spark's reader, not the local
+        # filesystem: state_dir may be hdfs://, s3a://, etc., where
+        # os.path.exists is always False and the cross-batch check
+        # would silently never fire
+        try:
+            state = spark.read.parquet(state_dir)
+        except Exception:  # first batch: PATH_NOT_FOUND on any scheme
+            state = None
         hits_state = (
             keys.join(
-                spark.read.parquet(state_dir)
-                .where(F.col("batch_id") < batch_id)
+                state.where(F.col("batch_id") < batch_id)
                 .select("band", "key"),
                 ["band", "key"],
             ).select("doc_id")
-            if os.path.exists(state_dir)
+            if state is not None
             else None
         )
         # within-batch collisions: lower doc_id wins, higher is flagged

@@ -296,6 +296,13 @@ def idle_finalized_sessions_stream(
             yield emit(start_us, last_us, n)
             return
         rows = [pdf for pdf in pdf_iter if len(pdf)]
+        if not rows:
+            # all-empty invocation (contract edge across Spark versions):
+            # keep any live session's timeout armed and emit nothing
+            if state.exists:
+                _, last_us, _ = state.get
+                state.setTimeoutTimestamp(-(-(last_us + gap_us) // 1_000))
+            return
         ts_us = pd.concat(rows)["ts"].sort_values().astype("int64") // 1_000
         cur = state.get if state.exists else None
         for t in ts_us:

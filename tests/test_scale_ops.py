@@ -130,6 +130,21 @@ def test_cm_heavy_hitters_exact_set(spark):
     assert {(r.key, r.cnt) for r in rows} == {("hot", 50)}
 
 
+def test_bloom_probe_duplicate_rows_no_false_negative(spark):
+    """Duplicate probe ROWS must each survive: before the per-row-id
+    grouping fix, two copies of a member merged into one group whose
+    matched-probe count (2 x BLOOM_HASHES) failed the == BLOOM_HASHES
+    test — a false negative, violating the filter's one-sided
+    guarantee."""
+    ref = spark.createDataFrame([Row(k="alpha"), Row(k="beta")])
+    bits = sk.bloom_build(ref, "k")
+    items = spark.createDataFrame(
+        [Row(k="alpha"), Row(k="alpha"), Row(k="gamma")]
+    )
+    got = [r.k for r in sk.bloom_probe(items, "k", bits).collect()]
+    assert sorted(got) == ["alpha", "alpha"]  # both copies, multiplicity kept
+
+
 # -------------------------------------------------------------- sampling
 
 
