@@ -42,25 +42,19 @@ _ORDER: dict[str, int] = {}
 # — tests/test_registry_window.py enforces "driver-green in a prior
 # round's CORRECTNESS_r*.json OR in the current window".
 #
-# Round 5: promote the queries that still have no driver row —
-# pii_redaction_counts (parked in r4 by the _effective_priority bug
-# fixed below) and this round's new kmeans-anchor queries — plus
-# regression anchors for round-5 code changes (the simhash signature
-# rewrite, the bounds.py default-bucket hardening behind ranking/
-# packing) and the standing headline set; demote the 30 queries that
-# went green in r4 (still oracle-tested every CI run by
-# tests/test_oracle_parity.py).
+# Round 6 (per VERDICT r5 item 2): re-certify everything r5 parked
+# mid-round — dpp_partitioned_join_roundtrip, source_overlap_matrix,
+# dedup_clusters, embedding_neardup_pairs, ann_topk_ivf,
+# dedup_simhash_signatures, events_hourly_rollup, latest_event_per_user
+# — plus hash anchors for round-6 code changes (the bloom_probe
+# per-row-id rewrite behind bloom_decontaminate_fpr; the
+# connected-components loop behind dedup_clusters/part_entity_clusters)
+# and the standing headline set. New r6 queries self-promote by
+# registering with priority=10 (honored by _effective_priority).
+# Everything else green in r1-r5 demotes to 500, still oracle-tested
+# every CI run by tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- never driver-checked, oracle-bearing: promote (prio 10) ---
-    **{
-        name: 10
-        for name in (
-            "pii_redaction_counts",
-            "kmeans_assign_step",
-            "nearest_two_centroids",
-        )
-    },
-    # --- round-5 regression anchors: keep in-window (prio 20) ---
+    # --- round-6 regression anchors: keep in-window (prio 20) ---
     **{
         name: 20
         for name in (
@@ -70,51 +64,67 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # events/NTZ family (r4 catalog normalization)
-            # (events_hourly_rollup parked mid-round-5: the NTZ catalog
-            # path it anchored is equally exercised by the five other
-            # in-window events queries; slot holds event_transition_matrix.)
-            "events_sessionization_batch",
-            "events_session_window_batch",
-            "user_event_gaps",
-            # (latest_event_per_user parked mid-round-5: the argmax
-            # shape is r1-green and untouched; the events/NTZ family
-            # keeps five other in-window rows. Slot holds
-            # seasonal_baseline_wape.)
-            # deterministic-bounds rewrite + this round's bounds.py edits
-            "sequence_packing",
-            "customer_value_deciles",
-            # this round's simhash rewrite MUST be re-certified
-            # (dedup_simhash_signatures parked mid-round-5: _pairs
-            # consumes the full signature relation, so its hash
-            # re-certifies the rewritten aggregate transitively; slot
-            # holds bloom_decontaminate_fpr.)
-            "dedup_simhash_pairs",
-            # this round's expr-string vector literals (double_array_lit)
-            # (ann_topk_ivf left the window mid-round-5: ann_recall_at_k
-            # joins the IVF output against the brute-force ground truth,
-            # so its hash transitively re-certifies the whole IVF path.)
-            "ann_topk_lsh_verified",
-            # (embedding_neardup_pairs parked mid-round-5: the
-            # in-window ann_recall_at_k exercises the same dot/l2_norm
-            # data-vector path through its brute-force side. Slot holds
-            # nation_revenue_gini.)
-            # (dedup_clusters parked mid-round-5: the staged-convergence
-            # CC loop it anchored is hash-certified in-window by
-            # part_entity_clusters — the identical connected_components
-            # path over a different edge set — and its minhash edge
-            # derivation is CI-oracle-tested every run. Slot holds
-            # weighted_price_quantiles.)
-            # NOTE: the r4 perf-weak re-measure pair
-            # (dpp_partitioned_join_roundtrip, source_overlap_matrix)
-            # was parked back to 500 mid-round-5: bench.py re-measures
-            # every query regardless of the correctness window, both
-            # are r4 hash-green, and the freed slots hold the round-5
-            # ssjoin/sketch/sampling additions.
+            # parked mid-round-5, brought back per VERDICT item 2
+            "dpp_partitioned_join_roundtrip",
+            "source_overlap_matrix",
+            "dedup_clusters",
+            "embedding_neardup_pairs",
+            "ann_topk_ivf",
+            "dedup_simhash_signatures",
+            "events_hourly_rollup",
+            "latest_event_per_user",
+            # round-6 code-touch anchors
+            "bloom_decontaminate_fpr",  # bloom_probe per-row-id rewrite
+            "part_entity_clusters",  # shares the CC loop with dedup_clusters
         )
     },
-    # --- green in r1-r4, still CI-oracle-tested: demote (prio 500) ---
-    # (anything not listed: see _effective_priority.)
+    # --- green in r1-r5, still CI-oracle-tested: demote (prio 500) ---
+    # The r5-new queries below self-promoted at registration
+    # (priority<100) to enter their first window; all 36 earned their
+    # green CORRECTNESS_r05 row, so the override now outranks the
+    # registration promotion and releases their slots. (Anything not
+    # listed: see _effective_priority.)
+    **{
+        name: 500
+        for name in (
+            "priority_month_matrix_formatted",
+            "kmeans_assign_step",
+            "nearest_two_centroids",
+            "orc_roundtrip_order_priorities",
+            "json_roundtrip_source_stats",
+            "pii_redaction_counts",
+            "events_retention_cohorts",
+            "events_dau_wau_stickiness",
+            "events_session_concurrency",
+            "ann_recall_at_k",
+            "merge_upsert_roundtrip",
+            "json_corrupt_records_audit",
+            "part_name_fuzzy_pairs",
+            "doc_bigram_lm_top",
+            "events_value_outliers",
+            "docs_split_assignment",
+            "dedup_survivors_by_source",
+            "lineitem_winsorized_stats",
+            "part_copurchase_rank_step",
+            "doc_lm_avgprob",
+            "training_mix_temperature",
+            "ab_test_value_zscore",
+            "part_copurchase_triangles",
+            "weighted_price_quantiles",
+            "national_market_share",
+            "promo_revenue_share",
+            "orders_expectations",
+            "fk_integrity_report",
+            "ssjoin_prefix_pairs",
+            "doc_duplicate_span_ratio",
+            "heavy_hitter_bigrams",
+            "pps_weighted_sample",
+            "pps_ht_source_totals",
+            "event_transition_matrix",
+            "seasonal_baseline_wape",
+            "nation_revenue_gini",
+        )
+    },
 }
 _DEMOTE_DEFAULT = 500
 _DEFAULT_PRIORITY = 100

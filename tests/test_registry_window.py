@@ -24,33 +24,29 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 5's code changes (simhash signature
-# rewrite, bounds.py default-bucket hardening) and the headline bench
-# queries — must be re-proven green THIS round.
+# Regression anchors for round 6 (VERDICT r5 item 2): the queries r5
+# parked mid-round come back for re-certification, plus anchors for
+# round-6 code changes and the standing headline set — must be proven
+# green THIS round.
 MUST_VERIFY = {
-    "events_sessionization_batch",  # NTZ family regression anchor
-    "user_event_gaps",  # unix_micros on normalized ts
-    # (events_hourly_rollup released mid-round-5 — the NTZ catalog path
-    # stays anchored by the four events queries above/below, and its
-    # slot holds the new event_transition_matrix, itself an events/NTZ
-    # window query.)
-    "event_transition_matrix",
-    "events_session_window_batch",
-    # (latest_event_per_user released mid-round-5 — argmax shape
-    # r1-green and untouched this round; five events/NTZ rows remain
-    # in-window.)
-    "sequence_packing",  # deterministic-bounds prefix sum
-    "customer_value_deciles",  # deterministic-bounds ranking
+    # headline (every round)
     "word_count",
     "pricing_summary",
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # (dedup_simhash_signatures released mid-round-5: _pairs consumes
-    # the full signature relation — bucket keys AND hamming distances —
-    # so its hash re-certifies the rewritten aggregate transitively.)
-    "dedup_simhash_pairs",  # round-5 rewrite
-    "pii_redaction_counts",  # r4's parked query — first driver row
+    # parked mid-round-5, brought back
+    "dpp_partitioned_join_roundtrip",
+    "source_overlap_matrix",
+    "dedup_clusters",
+    "embedding_neardup_pairs",
+    "ann_topk_ivf",
+    "dedup_simhash_signatures",
+    "events_hourly_rollup",
+    "latest_event_per_user",
+    # round-6 code-touch anchors
+    "bloom_decontaminate_fpr",  # bloom_probe per-row-id rewrite
+    "part_entity_clusters",  # shares the CC loop with dedup_clusters
 }
 
 
