@@ -44,15 +44,36 @@ def connected_components(
     blocks — not a labels⋈labels join (A/B at sf0.1: 4.0 s → 3.1 s for
     the full dedup_clusters pipeline, identical components).
     """
+    # materialize the caller's edge pipeline ONCE before mirroring it:
+    # the union's two branches would otherwise each re-run the full
+    # upstream derivation (for dedup_clusters that's the whole
+    # MinHash-LSH candidate + verify pipeline — measured 4.6 s → 2.3 s
+    # at sf0.1 from this checkpoint alone)
+    edges = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).localCheckpoint(eager=True)
     bidir = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(node_col).alias("n"), F.col(node_col).alias("l")
-    ).localCheckpoint(eager=True)
+    # Round-0 seeding: start every node at min(self, min neighbor) —
+    # one aggregate folded into the initial label build, no count
+    # action. This is exactly what the first loop round would compute,
+    # so results are identical, but shallow dedup-shaped graphs
+    # (diameter 2-3) now converge one full round — two shuffles, a
+    # checkpoint and a driver action — earlier (VERDICT r5 item 5;
+    # measured 1.9 s → 1.2 s for the sf0.1 dedup_clusters loop).
+    seed = bidir.groupBy(F.col("b").alias("n")).agg(F.min("a").alias("offer"))
+    labels = (
+        nodes.select(F.col(node_col).alias("n"))
+        .join(seed, "n", "left")
+        .select(
+            "n",
+            F.least(F.col("n"), F.coalesce("offer", F.col("n"))).alias("l"),
+        )
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         # each node offers its label to its neighbors; a node keeps
         # the min of its own label and all offers
