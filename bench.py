@@ -19,6 +19,11 @@ build-phase median isolates write amplification from the read-side
 query a DPP/layout regression would actually show up in. Phase medians
 land in bench_results.json ("phases"); the stdout line keeps the
 per-query total-median map the driver records.
+
+Shuffle telemetry (round 6): per-query shuffle read/write MB medians
+from the app's REST stage store land in bench_results.json
+("shuffle_mb") — wall time at sf0.1 cannot see a shuffle-volume
+regression that only dominates at 100x scale; bytes can.
 """
 
 from __future__ import annotations
@@ -27,6 +32,51 @@ import json
 import os
 import statistics
 import time
+import urllib.request
+
+
+def _completed_stages(spark) -> list[dict]:
+    """Completed-stage metrics from the app's own REST endpoint (the
+    AppStatusStore the UI serves; enabled for the bench session only).
+    Returns [] if the endpoint is unavailable — telemetry is additive,
+    never a reason for the bench to fail."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            return json.load(resp)
+    except Exception:  # noqa: BLE001
+        return []
+
+
+class ShuffleMeter:
+    """Per-query shuffle read/write bytes: stages are identified by
+    monotonically increasing stageId, so "sum over stages newer than
+    the last high-water mark" isolates one query's stages even though
+    the REST store is cumulative (and robust to old-stage eviction,
+    which only drops ids BELOW the mark). Wall time at sf0.1 cannot see
+    a shuffle-volume regression that would dominate at 100× — bytes
+    can (VERDICT r5 item 4)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.mark = -1
+
+    def reset(self) -> None:
+        stages = _completed_stages(self.spark)
+        self.mark = max((s["stageId"] for s in stages), default=self.mark)
+
+    def delta(self) -> tuple[float, float] | None:
+        """(shuffle_write_mb, shuffle_read_mb) since the last reset, or
+        None when the endpoint is unavailable."""
+        stages = _completed_stages(self.spark)
+        if not stages:
+            return None
+        new = [s for s in stages if s["stageId"] > self.mark]
+        w = sum(s.get("shuffleWriteBytes", 0) for s in new)
+        r = sum(s.get("shuffleReadBytes", 0) for s in new)
+        return round(w / 1e6, 3), round(r / 1e6, 3)
 
 HEADLINE = [
     "pricing_summary",
@@ -46,7 +96,14 @@ def main() -> None:
     from hadoop_project_spark.session import get_spark
     from hadoop_project_spark.plans import all_queries
 
-    spark = get_spark(app_name="hps-bench", cpus=cpus, shuffle_partitions=int(cpus))
+    spark = get_spark(
+        app_name="hps-bench",
+        cpus=cpus,
+        shuffle_partitions=int(cpus),
+        # UI on for this session only: the REST stage store is where the
+        # per-query shuffle-bytes telemetry comes from (ShuffleMeter)
+        extra_conf={"spark.ui.enabled": "true"},
+    )
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs] + [
         n for n in sorted(specs) if n not in HEADLINE
@@ -88,12 +145,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}
     runs: dict[str, list[float]] = {}
+    shuffle_mb: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
+    meter = ShuffleMeter(spark)
     for name in names:
         build_s: list[float] = []
         exec_s: list[float] = []
+        shuf_w: list[float] = []
+        shuf_r: list[float] = []
         try:
             for _ in range(n_runs):
+                meter.reset()
                 t0 = time.perf_counter()
                 df = specs[name].build(spark, sf_dir)
                 t1 = time.perf_counter()
@@ -101,6 +163,10 @@ def main() -> None:
                 t2 = time.perf_counter()
                 build_s.append(t1 - t0)
                 exec_s.append(t2 - t1)
+                d = meter.delta()
+                if d is not None:
+                    shuf_w.append(d[0])
+                    shuf_r.append(d[1])
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         # release this query's persisted relations before the next one:
@@ -118,6 +184,11 @@ def main() -> None:
                 "exec": round(statistics.median(exec_s), 4),
             }
             runs[name] = [round(t, 4) for t in totals]
+            if shuf_w:
+                shuffle_mb[name] = {
+                    "write": round(statistics.median(shuf_w), 3),
+                    "read": round(statistics.median(shuf_r), 3),
+                }
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -140,8 +211,10 @@ def main() -> None:
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_results.json"), "w") as fh:
-            json.dump({**result, "phases": phases, "runs": runs},
-                      fh, indent=1, sort_keys=True)
+            json.dump(
+                {**result, "phases": phases, "runs": runs,
+                 "shuffle_mb": shuffle_mb},
+                fh, indent=1, sort_keys=True)
     except OSError:
         pass
     print(json.dumps(result))
