@@ -67,23 +67,109 @@ def fake_image_decoder(payload: bytes, fmt: str) -> list[float]:
     return [b / 255.0 for b in h[:16]]
 
 
+def wav_decoder(payload: bytes, fmt: str) -> list[float]:
+    """REAL codec through the pluggable seam: a pure-stdlib RIFF/WAVE
+    PCM parser (chunk walk with word-alignment, `fmt ` + `data` chunk
+    extraction, little-endian int16 decode — the container layout from
+    the public RIFF spec). No external library, so it ships in this
+    environment as the working alternative to the NotImplementedError
+    stub.
+
+    Features (6 floats): sample_rate, n_channels, n_samples,
+    sample_sum, sample_min, sample_max — integer-valued by
+    construction, so they survive the float32 feature column exactly
+    for clips ≤ 2^24 absolute sum (the synthetic fixture stays ≤ 2^21)
+    and an SQL oracle can recompute them bit-for-bit."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    sr = ch = bits = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            afmt, ch, sr, _rate, _align, bits = struct.unpack("<HHIIHH", body[:16])
+            if afmt != 1:
+                raise ValueError(f"unsupported WAVE format code {afmt}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16:
+        raise ValueError(f"only PCM16 supported, got {bits}")
+    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    if not samples:
+        return [float(sr), float(ch), 0.0, 0.0, 0.0, 0.0]
+    return [
+        float(sr),
+        float(ch),
+        float(len(samples)),
+        float(sum(samples)),
+        float(min(samples)),
+        float(max(samples)),
+    ]
+
+
+def pack_wav_pcm16(samples: list[int], sample_rate: int, n_channels: int = 1) -> bytes:
+    """Inverse of wav_decoder for fixtures/tests: pack int16 samples
+    into a minimal RIFF/WAVE container, with a junk odd-length LIST
+    chunk between fmt and data so round-trip tests exercise the
+    parser's chunk walk and word-alignment, not just the happy path."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt_chunk = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    junk = b"LIST" + struct.pack("<I", 3) + b"pad" + b"\x00"  # odd size + pad
+    data_chunk = b"data" + struct.pack("<I", len(data)) + data
+    body = b"WAVE" + fmt_chunk + junk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# Named codec registry: callers (and the CLI/driver surface) select a
+# decoder by format string; extract_features also accepts a raw
+# callable. The fake codec stays the deterministic test stand-in; wav
+# is the shipping stdlib codec; image/video codecs plug in here when
+# their libraries exist in the deployment.
+CODECS: "dict[str, Decoder]" = {
+    "fake": fake_image_decoder,
+    "wav": wav_decoder,
+}
+
+
 def extract_features(
     media: DataFrame,
-    decoder: Decoder | None = None,
+    decoder: "Decoder | str | None" = None,
     batch_partitions: int | None = None,
 ) -> DataFrame:
     """Decode + featurize via mapInPandas (Arrow-batched; the only
     Python-side stage in the engine, used exactly where SURVEY.md's
     rules allow it: semantics built-ins can't express).
 
-    NOTE: real image/audio codecs are unavailable in this build;
-    pass a decoder or get the explicit stub failure.
+    ``decoder`` is a callable or a CODECS registry name ("wav" ships as
+    a working stdlib codec; "fake" is the deterministic test codec).
+    Image/video decode still requires a codec library (PIL/ffmpeg) not
+    present in this environment — None keeps the explicit stub failure.
     """
+    if isinstance(decoder, str):
+        if decoder not in CODECS:
+            raise KeyError(
+                f"unknown codec {decoder!r}; registered: {sorted(CODECS)}"
+            )
+        decoder = CODECS[decoder]
     if decoder is None:
         raise NotImplementedError(
             "media decode requires a codec library (PIL/torchaudio/ffmpeg) "
-            "not present in this environment; pass decoder=... "
-            "(tests use fake_image_decoder)"
+            "not present in this environment; pass decoder=... — a codec "
+            "name from CODECS ('wav' is a shipping stdlib RIFF parser) "
+            "or a callable (tests use fake_image_decoder)"
         )
     if batch_partitions:
         # decode is memory-bound: bound the rows per task

@@ -98,6 +98,98 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_features",
+    priority=10,  # new in round 6 → first driver window
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars % 49 + 16 AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+    ),
+    v AS (
+      SELECT doc_id, n,
+             ((doc_id * 31 + i * 7) % 65536) - 32768 AS val
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+           6 AS feat_dim,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(max(n) AS BIGINT) AS n_samples,
+           CAST(sum(val) AS BIGINT) AS s_sum,
+           CAST(min(val) AS BIGINT) AS s_min,
+           CAST(max(val) AS BIGINT) AS s_max
+    FROM v GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "wav", "codec", "mapInPandas", "extension"),
+)
+def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec through the pluggable decode seam (VERDICT r5 item 6):
+    synthetic RIFF/WAVE PCM16 payloads — packed per document with a
+    junk odd-length LIST chunk so the chunk walk and word-alignment are
+    exercised — decoded by the stdlib wav codec
+    (operators/multimodal.wav_decoder, CODECS["wav"]) inside the same
+    Arrow-batched extract_features path the fake codec certifies.
+
+    Sample i of doc d is ((d*31 + i*7) % 65536) - 32768, n = n_chars %
+    49 + 16 samples at 8 kHz mono: every decoded feature is an integer
+    ≤ 2^21, so the float32 feature column is lossless and the DuckDB
+    oracle recomputes the decode exactly — a hash-green row certifies
+    the binary container parse end-to-end, not just the plumbing.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from hadoop_project_spark.operators.multimodal import pack_wav_pcm16
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = [
+                pack_wav_pcm16(
+                    [
+                        ((int(d) * 31 + i * 7) % 65536) - 32768
+                        for i in range(int(nc) % 49 + 16)
+                    ],
+                    sample_rate=8000,
+                )
+                for d, nc in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "audio",
+                    "format": "wav",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=media_schema)
+    feats = extract_features(media, decoder="wav")
+    names = ["sample_rate", "n_channels", "n_samples", "s_sum", "s_min", "s_max"]
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        *[
+            F.round(F.col("features")[i]).cast("long").alias(name)
+            for i, name in enumerate(names)
+        ],
+    )
+
+
+@register(
     "multimodal_audio_windows",
     priority=500,
     oracle="""

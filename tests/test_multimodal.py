@@ -80,3 +80,67 @@ def test_audio_windows_tail_clamped(spark):
     assert by_key[(2, 250)] == 50 * 8
     # video rows excluded
     assert not any(k[0] == 3 for k in by_key)
+
+
+# ------------------------------------------------------------ wav codec
+
+
+def test_wav_roundtrip_exact():
+    """pack → decode recovers rate/channels/count/sum/min/max exactly,
+    through the junk LIST chunk and its word-alignment pad."""
+    from hadoop_project_spark.operators.multimodal import (
+        pack_wav_pcm16,
+        wav_decoder,
+    )
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    payload = pack_wav_pcm16(samples, sample_rate=8000)
+    feats = wav_decoder(payload, "wav")
+    assert feats == [
+        8000.0, 1.0, float(len(samples)), float(sum(samples)),
+        -32768.0, 32767.0,
+    ]
+
+
+def test_wav_decoder_rejects_garbage():
+    from hadoop_project_spark.operators.multimodal import wav_decoder
+
+    with pytest.raises(ValueError):
+        wav_decoder(b"not a wav", "wav")
+    with pytest.raises(ValueError):
+        wav_decoder(b"RIFF\x00\x00\x00\x00JUNK", "wav")
+
+
+def test_codec_registry_and_stub():
+    """extract_features resolves codec names; None keeps the explicit
+    stub failure; unknown names fail loudly."""
+    from hadoop_project_spark.operators import multimodal as mm
+
+    assert mm.CODECS["wav"] is mm.wav_decoder
+    assert mm.CODECS["fake"] is mm.fake_image_decoder
+    with pytest.raises(KeyError):
+        mm.extract_features(None, decoder="nope")
+
+
+def test_wav_features_through_arrow(spark):
+    """The wav codec through the real mapInPandas path: decoded
+    features match a local decode of the same payloads."""
+    from hadoop_project_spark.operators.multimodal import (
+        extract_features,
+        pack_wav_pcm16,
+        wav_decoder,
+    )
+
+    rows = [
+        (i, "audio", "wav", pack_wav_pcm16([i * 100 - 50, -i, i], 8000))
+        for i in range(5)
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, format string, payload binary"
+    )
+    got = {
+        r.media_id: r.features
+        for r in extract_features(media, decoder="wav").collect()
+    }
+    for i, _, _, payload in rows:
+        assert got[i] == wav_decoder(payload, "wav")
