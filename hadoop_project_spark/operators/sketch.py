@@ -151,6 +151,89 @@ BLOOM_BITS = 8192
 BLOOM_HASHES = 3
 
 
+# ----------------------------------------------------------------- HLL
+# HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) as a
+# DataFrame primitive — the third one-sided/mergeable sketch next to
+# count-min (frequency) and Bloom (membership): per group, 2^HLL_P
+# registers each holding the max leading-zero rank seen, folded into
+# the bias-corrected harmonic-mean estimate with the standard
+# linear-counting fallback for small cardinalities.
+#
+# Scale shape: one groupBy over (group, register) — ≤ groups × 2^P rows
+# regardless of key cardinality, partial-aggregated map-side exactly
+# like the CM grid — then one tiny per-group fold. Registers are
+# max-mergeable, so per-partition (or per-day) sketches union by
+# groupBy-max: the property that makes this the 100 TB distinct-count
+# path where exact count_distinct needs a full shuffle of every key.
+#
+# Engine-portable determinism: the register index/rank come from the
+# same md5-based hash_uniform32 as CM/Bloom; 2^-M terms are computed as
+# 1.0 / (1 << M) (exact binary fractions, so the register sum is
+# order-independent — every partial sum fits the 52-bit mantissa), and
+# the Spark-vs-DuckDB estimate differs only if ln() differs in the
+# last ulp inside the 6-dp rounding window.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# relative standard error ~1.04/sqrt(m); the profile's bound flag uses 3σ
+HLL_3SIGMA = 3 * 1.04 / (HLL_M ** 0.5)
+_W_BITS = 32 - HLL_P
+_W_MASK = (1 << _W_BITS) - 1
+_MAX_RANK = _W_BITS + 1
+
+
+def hll_registers(keys: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """(g, idx, M): per-group HLL registers — max rank per register.
+    Duplicate input keys are free (max is idempotent), so callers skip
+    the distinct. Mergeable: union register tables and groupBy-max."""
+    h = hash_uniform32(F.col(key_col))
+    regs = keys.select(
+        F.col(group_col).alias("g"),
+        F.shiftright(h, _W_BITS).alias("idx"),
+        h.bitwiseAND(F.lit(_W_MASK)).alias("w"),
+    )
+    # rank = leading zeros of the (32-P)-bit suffix + 1; bin() gives the
+    # bit length of w>0 without transcendentals (floor(log2) via log
+    # would mis-round at exact powers of two)
+    rank = F.when(F.col("w") == 0, F.lit(_MAX_RANK)).otherwise(
+        F.lit(_MAX_RANK) - F.length(F.expr("bin(w)"))
+    )
+    return (
+        regs.select("g", "idx", rank.alias("rank"))
+        .groupBy("g", "idx")
+        .agg(F.max("rank").alias("M"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(g, est, n_empty) from a register table: bias-corrected harmonic
+    mean, linear counting below 2.5m with empty registers (the standard
+    small-range correction). ``est`` is rounded to 6 dp — the only
+    step where two engines' ln() could differ, by ≤ 1 ulp."""
+    agg = registers.groupBy("g").agg(
+        # 1.0 / 2^M — exact binary fractions (expr form: the Column API
+        # shiftleft only takes a literal shift amount)
+        F.sum(F.expr("1.0 / cast(shiftleft(1, M) as double)")).alias(
+            "s_present"
+        ),
+        F.count("*").alias("n_present"),
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / (
+        F.col("s_present") + v.cast("double")
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        "g",
+        F.round(est, 6).alias("est"),
+        v.cast("long").alias("n_empty"),
+    )
+
+
 def _bloom_pos(key: Column, j: int) -> Column:
     """Bit position of ``key`` under hash j: row-salted md5 uniform mod
     BLOOM_BITS (portable across engines, like _cm_col)."""

@@ -207,3 +207,114 @@ def bloom_decontaminate_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_rate"),
     )
+
+
+# ------------------------------------------------------------------ HLL
+# Distinct-count sketch (operators/sketch.py HLL section): the third
+# mergeable sketch next to count-min (frequency) and Bloom (membership).
+# The oracle recomputes the registers AND the estimate from the same
+# md5 hash/rank arithmetic in SQL, so a hash-green row certifies the
+# whole sketch fold — and carries the exact distinct count next to it,
+# with a 3σ bound flag computed identically on both engines.
+
+_HLL_RAW_NUM = repr(sk.HLL_ALPHA * sk.HLL_M * sk.HLL_M)
+_HLL_W_DIV = 1 << (32 - sk.HLL_P)
+_HLL_MAX_RANK = 32 - sk.HLL_P + 1
+
+
+@register(
+    "hll_source_distinct_shingles",
+    priority=10,  # new in round 6 -> first driver window
+    oracle=f"""
+    WITH {SQL_SHINGLES_CTE},
+    src AS (
+      SELECT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)
+    ),
+    hs AS (
+      SELECT source, sh,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS UBIGINT) AS h
+      FROM src
+    ),
+    regs AS (
+      SELECT source,
+             h // {_HLL_W_DIV} AS idx,
+             CASE WHEN h % {_HLL_W_DIV} = 0 THEN {_HLL_MAX_RANK}
+                  ELSE {_HLL_MAX_RANK}
+                       - length(printf('%b', CAST(h % {_HLL_W_DIV} AS BIGINT)))
+             END AS rank
+      FROM hs
+    ),
+    byreg AS (
+      SELECT source, idx, MAX(rank) AS m FROM regs GROUP BY source, idx
+    ),
+    agg AS (
+      SELECT source,
+             SUM(1.0 / (1 << m)) AS s_present,
+             COUNT(*) AS n_present
+      FROM byreg GROUP BY source
+    ),
+    e AS (
+      SELECT source,
+             {sk.HLL_M} - n_present AS v,
+             {_HLL_RAW_NUM} / (s_present + ({sk.HLL_M} - n_present)) AS raw
+      FROM agg
+    ),
+    est AS (
+      SELECT source, v,
+             round(CASE WHEN raw <= {2.5 * sk.HLL_M!r} AND v > 0
+                        THEN {float(sk.HLL_M)!r} * ln({float(sk.HLL_M)!r} / v)
+                        ELSE raw END, 6) AS est
+      FROM e
+    ),
+    ex AS (
+      SELECT d.source, COUNT(DISTINCT s.sh) AS exact_distinct
+      FROM sh s JOIN documents d USING (doc_id) GROUP BY d.source
+    )
+    SELECT ex.source AS source,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(est.est AS DOUBLE) AS est,
+           CAST(est.v AS BIGINT) AS n_empty,
+           CAST(CASE WHEN abs(est.est - ex.exact_distinct)
+                     <= {sk.HLL_3SIGMA!r} * ex.exact_distinct
+                THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM ex JOIN est USING (source)
+    """,
+    tags=("sketch", "hll", "distinct-count", "extension"),
+)
+def hll_source_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-3-shingle profile by HyperLogLog
+    (operators/sketch.hll_registers/hll_estimate) next to the exact
+    count, with a 3σ error-bound flag.
+
+    At 100 TB the register table is the whole shuffle — ≤ sources × 256
+    rows regardless of shingle cardinality, map-side partial-aggregated
+    like the CM grid, and max-mergeable across partitions/days — where
+    the exact COUNT(DISTINCT) pays a full shuffle of every distinct
+    key. (Spark's own approx_count_distinct is the built-in HLL++ twin;
+    this operator exists because its registers are engine-portable and
+    SQL-recomputable, which the driver's cross-engine hash gate needs.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # two consumers (sketch + exact twin) of the shingle join
+    grams = (
+        dd.doc_shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .persist()
+    )
+    est = sk.hll_estimate(sk.hll_registers(grams, "sh", "source"))
+    exact = grams.groupBy(F.col("source").alias("g")).agg(
+        F.count_distinct("sh").cast("long").alias("exact_distinct")
+    )
+    bound = F.lit(sk.HLL_3SIGMA) * F.col("exact_distinct")
+    return (
+        exact.join(est, "g")
+        .select(
+            F.col("g").alias("source"),
+            "exact_distinct",
+            F.col("est").cast("double").alias("est"),
+            "n_empty",
+            (F.abs(F.col("est") - F.col("exact_distinct")) <= bound)
+            .cast("long")
+            .alias("within_bound"),
+        )
+    )

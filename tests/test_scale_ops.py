@@ -255,3 +255,39 @@ def test_cli_list_and_check(spark, capsys):
         assert main(["check", "no_such_query"]) == 2
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+# ------------------------------------------------------------------ HLL
+
+
+def test_hll_duplicate_insensitive_and_mergeable(spark):
+    """Registers from a duplicated stream equal registers from the
+    distinct stream (max is idempotent), and per-part register tables
+    union+max-merge into exactly the whole-stream registers — the
+    property that makes HLL the distributed distinct-count path."""
+    rows = [Row(g="a", k=f"key{i}") for i in range(300)]
+    once = spark.createDataFrame(rows)
+    twice = spark.createDataFrame(rows + rows)
+    r1 = {(r.g, r.idx): r.M for r in sk.hll_registers(once, "k", "g").collect()}
+    r2 = {(r.g, r.idx): r.M for r in sk.hll_registers(twice, "k", "g").collect()}
+    assert r1 == r2
+    # merge two halves by groupBy-max
+    h1 = spark.createDataFrame(rows[:150])
+    h2 = spark.createDataFrame(rows[150:])
+    from pyspark.sql import functions as F
+    merged = {
+        (r.g, r.idx): r.M
+        for r in sk.hll_registers(h1, "k", "g")
+        .unionByName(sk.hll_registers(h2, "k", "g"))
+        .groupBy("g", "idx").agg(F.max("M").alias("M")).collect()
+    }
+    assert merged == r1
+
+
+def test_hll_estimate_within_3sigma(spark):
+    """Estimate lands inside the 3σ relative bound across two decades
+    of true cardinality (the bound the profile query flags)."""
+    for n in (200, 5000):
+        df = spark.createDataFrame([Row(g="g", k=f"item-{i}") for i in range(n)])
+        est = sk.hll_estimate(sk.hll_registers(df, "k", "g")).collect()[0]
+        assert abs(est.est - n) <= sk.HLL_3SIGMA * n, (n, est.est)
