@@ -7,12 +7,18 @@ final/run.sh); this is the equivalent entry point for the Spark engine:
     python -m hadoop_project_spark run QUERY [--sf DIR] [--limit N]
     python -m hadoop_project_spark explain QUERY [--sf DIR]
     python -m hadoop_project_spark check QUERY [--sf DIR]
+    python -m hadoop_project_spark bench
+    python -m hadoop_project_spark scaling
 
 ``run`` executes a registered query and prints rows; ``explain`` prints
 the formatted physical plan (the artifact PLANS.md is generated from);
 ``check`` runs the query AND its DuckDB oracle side by side — the same
 row-count + schema + sorted-value-hash comparison the round driver
-applies (quality/oracle.py).
+applies (quality/oracle.py). ``bench`` and ``scaling`` reproduce the
+round artifacts from the front door: the full bench harness
+(bench_results.json + the driver's one-line JSON; honors
+$SPARK_GRAFT_SF_DIR/_CPUS/_BENCH_RUNS) and the two-decade scaling
+sweep (SCALING.md; needs testdata_sf1/ from scripts/gen_sf1.py).
 """
 
 from __future__ import annotations
@@ -37,6 +43,11 @@ def main(argv: list[str] | None = None) -> int:
     p_list = sub.add_parser("list", help="enumerate registered queries")
     p_list.add_argument("--tag", default=None)
 
+    sub.add_parser("bench", help="run the full bench harness (bench.py)")
+    sub.add_parser(
+        "scaling", help="run the two-decade scaling sweep (scripts/scaling.py)"
+    )
+
     for name in ("run", "explain", "check"):
         sp = sub.add_parser(name)
         sp.add_argument("query")
@@ -49,6 +60,24 @@ def main(argv: list[str] | None = None) -> int:
         if name == "run":
             sp.add_argument("--limit", type=int, default=20)
     args = p.parse_args(argv)
+
+    if args.cmd in ("bench", "scaling"):
+        # the artifact harnesses live at the repo root / scripts/ —
+        # resolve relative to the installed package so the front door
+        # works from any cwd
+        import importlib.util
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        fname = (
+            os.path.join(repo, "bench.py")
+            if args.cmd == "bench"
+            else os.path.join(repo, "scripts", "scaling.py")
+        )
+        spec_ = importlib.util.spec_from_file_location(f"hps_{args.cmd}", fname)
+        mod = importlib.util.module_from_spec(spec_)
+        spec_.loader.exec_module(mod)
+        mod.main()
+        return 0
 
     specs = all_queries()
     if args.cmd == "list":

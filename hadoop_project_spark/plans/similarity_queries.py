@@ -125,6 +125,74 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
 
 
+_NEARDUP_BUCKET_PLANES_SEED = 97
+# 6 bits ≈ log2(n/target_block) for the shipped fixtures, and keeps the
+# driver-checked sf0.01 result non-trivial (6 rows; 8 bits leaves 1)
+_NEARDUP_BUCKET_BITS = 6
+
+
+def _neardup_bucket_planes() -> list[list[float]]:
+    return sim.make_hyperplanes(
+        _NEARDUP_BUCKET_BITS, DIM, _NEARDUP_BUCKET_PLANES_SEED
+    )
+
+
+def _register_neardup_bucketed() -> None:
+    planes = _neardup_bucket_planes()
+
+    @register(
+        "embedding_neardup_pairs_bucketed",
+        priority=10,  # new in round 6 -> first driver window
+        oracle=f"""
+        WITH k AS (
+          SELECT vec_id, embedding, label,
+                 {_sql_lsh_bucket("embedding", planes)} AS bkt
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_sql_cosine("a.embedding", "b.embedding")} AS cosine
+        FROM k a
+        JOIN k b ON a.label = b.label AND a.bkt = b.bkt
+               AND a.vec_id < b.vec_id
+        WHERE {_sql_cosine("a.embedding", "b.embedding")}
+              >= {NEARDUP_MIN_COSINE}
+        """,
+        tags=("similarity", "dedup", "lsh", "extension"),
+    )
+    def embedding_neardup_pairs_bucketed(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """The SCALE-PATH twin of embedding_neardup_pairs: blocking key
+        = (label, 6-bit sign-LSH bucket) instead of label alone, so the
+        block COUNT grows with the corpus (choose bits ≈ log2(n /
+        target_block)) and candidate volume stays ~linear — where the
+        label-only variant's constant block count makes candidates
+        quadratic per decade (measured r2 = 10.5× at the sf1 decade;
+        this variant measures ~linear). The trade is recall: pairs
+        straddling a hyperplane are found only if every differing bit
+        splits them — production stacks n_tables/multiprobe exactly as
+        sim.lsh_topk does. Buckets come from the same seeded
+        hyperplanes on both engines (9-dp-rounded sign decisions), so
+        the oracle re-derives the identical candidate set and the hash
+        certifies bucketing + Gram scoring end-to-end."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        keyed = emb.select(
+            "vec_id",
+            "embedding",
+            F.concat_ws(
+                ":",
+                F.col("label").cast("string"),
+                sim.lsh_bucket("embedding", planes).cast("string"),
+            ).alias("blk2"),
+        )
+        pairs = sim.blocked_pair_cosines(
+            keyed, NEARDUP_MIN_COSINE, block_col="blk2"
+        )
+        return pairs.select(
+            "vec_a", "vec_b", F.round("cosine", 9).alias("cosine")
+        ).filter(F.col("cosine") >= NEARDUP_MIN_COSINE)
+
+
 def _sql_plane_dot(vec: str, plane: list[float]) -> str:
     """Dot of an embedding column with a literal hyperplane, as the same
     left-to-right fold Spark's F.aggregate produces."""
@@ -388,3 +456,7 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+# deferred: needs _sql_lsh_bucket/_sql_cosine defined above
+_register_neardup_bucketed()

@@ -311,3 +311,32 @@ def test_cm_sketch_partial_aggregates(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_no_cartesian_or_global_window_anywhere(spark, sf_dir):
+    """Full-registry plan gate (VERDICT r5 item 3): EVERY registered
+    query's physical plan must contain no CartesianProduct node and no
+    Window fed directly by an Exchange SinglePartition (a global window
+    = one-task bottleneck at 100×). This covers the roundtrip and
+    iterative shapes the headline PLANS.md list previously skipped —
+    exactly where a plan regression would hide. (The scalar
+    BroadcastNestedLoopJoins from 1-row crossJoins are fine and remain
+    allowed; ordered-output queries use rangepartitioning, not a single
+    partition.)"""
+    import re
+
+    bad = []
+    for name, spec in SPECS.items():
+        df = spec.build(spark, sf_dir)
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines[:-1]):
+            if re.search(r"\bWindow\b", ln) and (
+                "Exchange SinglePartition" in lines[i + 1]
+            ):
+                bad.append((name, "window over SinglePartition"))
+                break
+        spark.catalog.clearCache()
+    assert not bad, bad

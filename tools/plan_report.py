@@ -1,8 +1,12 @@
-"""Generate PLANS.md: physical-plan evidence for the headline queries.
+"""Generate PLANS.md: physical-plan evidence for EVERY registered query.
 
 For each query: scan pushdown (PushedFilters), column pruning
 (ReadSchema), join strategies, and exchange (shuffle) count — the
 properties §4 of SURVEY.md claims and tests/test_plan_shapes.py gates.
+Round 6 extends coverage from the 75-query headline list to the whole
+registry (the uncovered 60 were exactly the roundtrip/iterative shapes
+where a lost pushdown or surprise shuffle would hide); the old list is
+kept only to order the table with the headline queries first.
 Run: python tools/plan_report.py [sf_dir]
 """
 
@@ -100,6 +104,7 @@ def main() -> None:
 
     spark = get_spark(app_name="plan-report", cpus="8")
     specs = all_queries()
+    names = QUERIES + [n for n in specs if n not in QUERIES]
     out = [
         "# PLANS — physical-plan evidence (auto-generated)",
         "",
@@ -110,7 +115,7 @@ def main() -> None:
         "|---|---|---|---|---|",
     ]
     details: list[str] = []
-    for name in QUERIES:
+    for name in names:
         df = specs[name].build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         formatted = df._sc._jvm.PythonSQLUtils.explainString(
@@ -138,10 +143,11 @@ def main() -> None:
                 f"- scan {i}: `{rs[:140]}`\n" for i, rs in enumerate(read_schemas)
             )
         )
+        spark.catalog.clearCache()  # release per-query pinned relations
     out += ["", "## Read schemas (column pruning)", ""] + details
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
-    print(f"wrote PLANS.md ({len(QUERIES)} queries)")
+    print(f"wrote PLANS.md ({len(names)} queries)")
     spark.stop()
 
 
