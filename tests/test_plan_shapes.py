@@ -313,13 +313,32 @@ def test_cm_sketch_partial_aggregates(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+# Global (unpartitioned) windows whose INPUT is bounded by construction
+# — each documented in its builder's docstring; the window cost does not
+# grow with data volume, so the single partition is not a bottleneck:
+#   events_top_users: TakeOrdered-derived threshold pre-filters to
+#     O(20 + ties) rows before the dense_rank window.
+#   events_session_concurrency: final running sum over the HOURLY delta
+#     domain (bounded by the time axis, not by events/sessions).
+#   daily_revenue_rolling_7d: rolling frame over one row per DAY
+#     (calendar-bounded).
+BOUNDED_GLOBAL_WINDOWS = {
+    "events_top_users",
+    "events_session_concurrency",
+    "daily_revenue_rolling_7d",
+}
+
+
 def test_no_cartesian_or_global_window_anywhere(spark, sf_dir):
     """Full-registry plan gate (VERDICT r5 item 3): EVERY registered
     query's physical plan must contain no CartesianProduct node and no
-    Window fed directly by an Exchange SinglePartition (a global window
-    = one-task bottleneck at 100×). This covers the roundtrip and
-    iterative shapes the headline PLANS.md list previously skipped —
-    exactly where a plan regression would hide. (The scalar
+    Window fed by an Exchange SinglePartition (a global window = one-
+    task bottleneck at 100×) unless its input is bounded by design
+    (BOUNDED_GLOBAL_WINDOWS above). Covers the roundtrip and iterative
+    shapes the headline PLANS.md list previously skipped — exactly
+    where a plan regression would hide. The exchange can sit a couple
+    of nodes below the Window (a Sort intervenes), so the check looks a
+    few lines down rather than only at the direct child. (Scalar
     BroadcastNestedLoopJoins from 1-row crossJoins are fine and remain
     allowed; ordered-output queries use rangepartitioning, not a single
     partition.)"""
@@ -331,12 +350,20 @@ def test_no_cartesian_or_global_window_anywhere(spark, sf_dir):
         plan = _plan(df)
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
-        lines = plan.splitlines()
-        for i, ln in enumerate(lines[:-1]):
-            if re.search(r"\bWindow\b", ln) and (
-                "Exchange SinglePartition" in lines[i + 1]
-            ):
-                bad.append((name, "window over SinglePartition"))
-                break
+        if name not in BOUNDED_GLOBAL_WINDOWS:
+            lines = plan.splitlines()
+            for i, ln in enumerate(lines):
+                if not re.search(r"\bWindow\b", ln):
+                    continue
+                hit = False
+                for j in range(i + 1, min(i + 4, len(lines))):
+                    if "Exchange SinglePartition" in lines[j]:
+                        hit = True
+                        break
+                    if "Exchange" in lines[j]:
+                        break  # partitioned exchange feeds this window
+                if hit:
+                    bad.append((name, "window over SinglePartition"))
+                    break
         spark.catalog.clearCache()
     assert not bad, bad
