@@ -20,9 +20,9 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
-from hadoop_project_spark.operators.sketch import cm_sketch
+from hadoop_project_spark.operators.sketch import cm_sketch, hll_registers
 from hadoop_project_spark.streaming.merge import make_merge_sink
 
 
@@ -42,5 +42,35 @@ def make_cm_sketch_sink(
         state_dir,
         keys=["r", "col"],
         updates={"cnt": _add},
+        prepare=_prepare,
+    )
+
+
+def make_hll_sink(
+    state_dir: str, key_col: str, group_col: str
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function maintaining per-group HyperLogLog registers
+    at ``state_dir`` — the max-monoid twin of the CM sink for streaming
+    DISTINCT counts (distinct users/tokens per key on an unbounded
+    stream, where exact distinct state grows without bound but the
+    register table stays ≤ groups × 2^HLL_P rows forever).
+
+    Unlike the additive CM merge, max-merge is IDEMPOTENT: a replayed
+    micro-batch re-maxes to the identical state, so foreachBatch's
+    at-least-once delivery is exactly-once here with no upstream dedup
+    needed. Read the estimate at any time with
+    operators/sketch.hll_estimate over the state table.
+    """
+
+    def _prepare(batch: DataFrame) -> DataFrame:
+        return hll_registers(batch, key_col, group_col)
+
+    def _max(old: Column, new: Column) -> Column:
+        return F.greatest(old, new)
+
+    return make_merge_sink(
+        state_dir,
+        keys=["g", "idx"],
+        updates={"M": _max},
         prepare=_prepare,
     )

@@ -564,3 +564,45 @@ def test_idle_timeout_sessions_close_without_successor(spark, sf_dir, tmp_path):
     assert got <= sessions          # nothing invented
     assert with_successor <= got    # every inline closure emitted
     assert len(got) > len(with_successor)  # the timeout path fired
+
+
+def test_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental HLL register maintenance across micro-batches equals
+    the one-shot batch registers (max is a commutative idempotent
+    monoid, so incremental == batch exactly — and a replayed batch
+    cannot change the state), and the estimate read off the final state
+    equals the batch estimate."""
+    from hadoop_project_spark.operators.sketch import hll_estimate, hll_registers
+    from hadoop_project_spark.streaming.sketch import make_hll_sink
+    from hadoop_project_spark.streaming.windows import read_events_stream
+
+    src = str(tmp_path / "events_hll_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    state_dir = str(tmp_path / "hll_state")
+    sink = make_hll_sink(state_dir, key_col="user_id", group_col="event_type")
+    q = (
+        read_events_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    state = spark.read.parquet(state_dir)
+    got = {(r["g"], r["idx"]): r["M"] for r in state.collect()}
+    exp = {
+        (r["g"], r["idx"]): r["M"]
+        for r in hll_registers(ev, "user_id", "event_type").collect()
+    }
+    assert got == exp and len(got) > 0
+    got_est = {r["g"]: r["est"] for r in hll_estimate(state).collect()}
+    exp_est = {
+        r["g"]: r["est"]
+        for r in hll_estimate(
+            hll_registers(ev, "user_id", "event_type")
+        ).collect()
+    }
+    assert got_est == exp_est
