@@ -314,3 +314,29 @@ def test_pps_pi_and_selection_match_integer_model(spark, weights, k):
         exp_sel = u * total < k * w * (1 << 32)
         exp_pi = min(1.0, (k * w) / total)
         assert got[i] == (exp_sel, exp_pi)
+
+
+@settings(**_SETTINGS)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    channels=st.integers(1, 2),
+)
+def test_wav_pack_decode_roundtrip(samples, rate, channels):
+    """pack_wav_pcm16 → wav_decoder recovers every feature exactly for
+    arbitrary PCM16 content (silence, clipping extremes, empty clips),
+    through the junk LIST chunk and its alignment pad — no Spark needed;
+    the container parse itself is the property under test."""
+    from hadoop_project_spark.operators.multimodal import (
+        pack_wav_pcm16,
+        wav_decoder,
+    )
+
+    feats = wav_decoder(pack_wav_pcm16(samples, rate, channels), "wav")
+    if not samples:
+        assert feats == [float(rate), float(channels), 0.0, 0.0, 0.0, 0.0]
+    else:
+        assert feats == [
+            float(rate), float(channels), float(len(samples)),
+            float(sum(samples)), float(min(samples)), float(max(samples)),
+        ]
