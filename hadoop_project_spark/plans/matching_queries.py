@@ -269,3 +269,107 @@ def part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("p_partkey"),
         F.col("component").cast("long").alias("entity_id"),
     )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "bigram_pmi_collocations",
+    priority=10,  # new in round 6 -> first driver window
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split({SQL_NORM}, ' ') AS l FROM documents
+    ),
+    pos AS (
+      SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+      FROM toks WHERE len(l) >= 2
+    ),
+    bg AS (
+      SELECT l[i] AS w1, l[i + 1] AS w2, COUNT(*) AS c12
+      FROM pos GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS c FROM (
+        SELECT unnest(l) AS w FROM toks
+      ) GROUP BY w
+    ),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+             (SELECT SUM(c12) FROM bg) AS n_bi
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS cnt,
+           round(ln(((CAST(c12 AS DOUBLE) * n_uni) * n_uni)
+                    / ((CAST(n_bi AS DOUBLE) * u1.c) * u2.c)), 6) AS pmi
+    FROM bg
+    JOIN uni u1 ON bg.w1 = u1.w
+    JOIN uni u2 ON bg.w2 = u2.w
+    CROSS JOIN tot
+    WHERE c12 >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    tags=("text", "pmi", "collocation", "extension"),
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information —
+    ln(p(w1,w2) / (p(w1)p(w2))) over corpus bigram/unigram counts with a
+    minimum-support cut (the classic collocation-extraction signal a
+    tokenizer/phrase-vocab pipeline computes before merges).
+
+    All counts are integer-exact; the PMI double is assembled with the
+    same association on both engines — ((c12·N)·N) / ((B·c1)·c2) — so
+    the only cross-engine degree of freedom is ln()'s last ulp inside
+    the 6-dp rounding (the HLL estimate's parity argument). Ranking
+    uses the ROUNDED pmi with (w1, w2) tie-break, so order decisions
+    are identical; the top-20 is a TakeOrdered, not a single-task sort.
+    Scale shape: two hash aggregates (bigram, unigram) + broadcast-able
+    totals; the unigram join fans each bigram row twice — O(distinct
+    bigrams), never O(tokens).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(normalize_text("text"), " ").alias("t"))
+    toks2 = toks.filter(F.size("t") >= 2)
+    n = F.size("t") - F.lit(1)
+    big = toks2.select(
+        F.explode(
+            F.zip_with(
+                F.slice("t", F.lit(1), n),
+                F.slice("t", F.lit(2), n),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg")
+    )
+    bg = big.groupBy(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    ).agg(F.count("*").alias("c12"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bg.agg(F.sum("c12").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            ((F.col("c12").cast("double") * F.col("n_uni")) * F.col("n_uni"))
+            / ((F.col("n_bi").cast("double") * F.col("c1")) * F.col("c2"))
+        ),
+        6,
+    )
+    return (
+        bg.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("long").alias("cnt"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

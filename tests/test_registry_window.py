@@ -51,6 +51,7 @@ MUST_VERIFY = {
     "hll_source_distinct_shingles",
     "multimodal_wav_features",
     "embedding_neardup_pairs_bucketed",
+    "bigram_pmi_collocations",
 }
 
 
