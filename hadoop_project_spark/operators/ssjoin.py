@@ -222,3 +222,60 @@ def duplicate_span_stats(
             >= F.lit(flag_num) * F.col("n_spans")
         ).alias("flagged"),
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal per-document RUNS of k-gram positions whose gram occurs
+    in >= 2 documents — the concrete removal list a span-level
+    training-data dedup emits (the "drop repeated substrings" step of
+    Lee et al.'s dedup pipeline), where duplicate_span_stats only
+    reports the per-doc ratio. Output (doc_id, span_start, span_end,
+    n_grams) in 0-based gram positions; a span of n_grams grams covers
+    n_grams + k - 1 tokens.
+
+    Scale shape: two linear shuffles (document-frequency by gram, then
+    duplicated positions back to their docs) and one gaps-and-islands
+    window PARTITIONED BY doc — per-doc work is O(doc grams), never a
+    global sort. The df relation is the same one every span/ssjoin
+    operator here keys on.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), " ").alias("toks"),
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("toks"), k)).alias("pos", "sh"),
+    )
+    dup_grams = (
+        grams.select("doc_id", "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("sh")
+    )
+    dpos = grams.join(dup_grams, "sh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dpos.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+    )

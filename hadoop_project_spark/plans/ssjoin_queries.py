@@ -113,3 +113,45 @@ def doc_duplicate_span_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal); flag at >= 30%. Two linear shuffles, integer-exact flag."""
     docs = load_table(spark, sf_dir, "documents")
     return sj.duplicate_span_stats(docs)
+
+
+@register(
+    "doc_duplicate_spans",
+    priority=10,  # new in round 6 -> first driver window
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(toks[i:i+2], ' ') AS sh
+      FROM (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks,
+                   unnest(generate_series(1, greatest(len(string_split(
+                     {SQL_NORM}, ' ')) - 2, 1))) AS i
+            FROM documents)
+    ),
+    dups AS (
+      SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM g)
+      GROUP BY sh HAVING COUNT(*) >= 2
+    ),
+    dpos AS (SELECT doc_id, pos FROM g JOIN dups USING (sh)),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM dpos
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, grp
+    """,
+    tags=("corpus", "dedup", "spans", "extension"),
+)
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span REMOVAL LIST (operators/ssjoin.duplicate_spans):
+    maximal runs of 3-gram positions shared with >= 2 documents, in
+    0-based gram coordinates — what a Lee-et-al-style span dedup would
+    actually cut, where doc_duplicate_span_ratio only scores it. The
+    oracle rebuilds positions, document frequencies and the
+    gaps-and-islands run grouping from scratch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sj.duplicate_spans(docs)

@@ -52,6 +52,7 @@ MUST_VERIFY = {
     "multimodal_wav_features",
     "embedding_neardup_pairs_bucketed",
     "bigram_pmi_collocations",
+    "doc_duplicate_spans",
 }
 
 

@@ -99,6 +99,26 @@ def test_duplicate_span_stats_hand_checked(spark):
     assert rows[1].dup_ratio == 1 / 3
 
 
+def test_duplicate_spans_hand_checked(spark):
+    """Island merging: doc 1 and doc 2 share the run 'a b c d e' (three
+    consecutive dup 3-grams -> ONE span), doc 3 shares nothing."""
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e x y z"),   # grams 0..5; 0,1,2 duplicated
+            (2, "a b c d e p q r"),   # same leading run
+            (3, "k l m n o"),          # unique
+        ],
+    )
+    rows = {
+        (r.doc_id, r.span_start): r
+        for r in sj.duplicate_spans(docs).collect()
+    }
+    assert set(rows) == {(1, 0), (2, 0)}
+    for key in ((1, 0), (2, 0)):
+        assert rows[key].span_end == 2 and rows[key].n_grams == 3
+
+
 # ---------------------------------------------------------------- sketch
 
 
