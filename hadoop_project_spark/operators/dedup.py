@@ -89,22 +89,40 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def minhash_signatures(shingles: DataFrame) -> DataFrame:
-    """K min-hashes per doc. One hash-aggregate over the exploded shingle
-    set; partial aggregation makes the map-side combine automatic."""
+    """K min-hashes per doc, as 60-bit INTEGER hashes (functions/text.
+    md5_i64, engine-portable like every hash here).
+
+    Integer min-hashes are a round-6 rewrite driven by sf1 shuffle
+    telemetry: min over md5 hex STRINGS forced Spark into SortAggregate
+    (strings are not mutable aggregation-buffer types), whose partial
+    aggregation barely collapsed — 2 × 560 MB of partial rows shuffled
+    at sf1, the engine's single biggest exchange. min over BIGINT runs
+    as a HashAggregate with a real map-side combine: one row per doc
+    per partition, ~7 MB. Min over the top-60-bits integer is exactly
+    as valid a MinHash as min over the full hex string (any uniform
+    hash family works); the DuckDB oracle applies the same truncation,
+    so candidate sets still match bit-for-bit."""
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+        F.min(md5_i64(F.col("sh"), seed=i)).alias(f"h{i}")
         for i in range(NUM_HASHES)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(signatures: DataFrame) -> DataFrame:
-    """(doc_id, band, key): md5 of each band's concatenated row hashes.
-    Equal key ⇔ all ROWS_PER_BAND min-hashes equal."""
+    """(doc_id, band, key): md5 of each band's '|'-joined row hashes
+    (integer hashes are variable-width in decimal, so the separator
+    keeps the band encoding injective — the old fixed-width hex concat
+    didn't need one). Equal key ⇔ all ROWS_PER_BAND min-hashes equal."""
     bands = []
     for b in range(NUM_BANDS):
         cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        bands.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat(*cols)).alias("key")))
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias("key"),
+            )
+        )
     return signatures.select(
         "doc_id", F.explode(F.array(*bands)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
@@ -129,19 +147,33 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     |A∩B| from a join of the two shingle sets, |A∪B| = |A|+|B|-|A∩B|.
     Cost is proportional to candidates × shared shingles, not n².
 
-    The shingle-side joins shuffle the full shingle relation once — a
-    LINEAR pass, acceptable by the no-all-pairs rule. A/B (sf0.1,
-    median of 3): pre-restricting shingles to candidate docs via a
-    union+distinct+leftsemi loses locally (ngram 5.0→5.4 s, minhash
-    2.7→3.4 s) because deriving the candidate-doc set re-runs the
-    candidate pipeline; at extreme scale, persist `pairs` first and
-    the semi-join restriction becomes the right call."""
+    Round 6 restructure, driven by the sf1 shuffle telemetry: the old
+    form exchanged the FULL shingle relation twice (once per pair
+    side, 2 × 589 MB at sf1 — the engine's biggest shuffle). The
+    candidate relation is small by construction (LSH/rare-gram blocked),
+    so it is materialized eagerly (localCheckpoint — also truncates the
+    candidate pipeline's lineage, which a lazy persist would re-run
+    once per consumer branch within the single job) and then
+
+      * the a-side intersection join BROADCASTS the pairs — the shingle
+        relation streams from cache with no exchange at all;
+      * the b-side is first RESTRICTED to candidate doc_bs by a
+        broadcast semi-join before its (doc_b, sh) exchange, so only
+        candidate docs' shingles shuffle.
+
+    Measured at sf1: verify-path shuffle 1,178 MB → ~90 MB, wall
+    14.7 s → ~8 s for the full minhash query. At extreme scale, if the
+    candidate relation ever outgrew broadcast, swap both broadcasts for
+    shuffle semi-joins — the restriction logic is unchanged."""
+    pairs = pairs.localCheckpoint(eager=True)
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+    cand_b = pairs.select("doc_b").distinct()
+    sb_restricted = sb.join(F.broadcast(cand_b), "doc_b")
     inter = (
-        pairs.join(sa, "doc_a")
-        .join(sb, ["doc_b", "sh"])
+        sa.join(F.broadcast(pairs), "doc_a")
+        .join(sb_restricted, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -169,7 +201,14 @@ def minhash_lsh_pairs(docs: DataFrame, k_shingle: int = 3) -> DataFrame:
     min-hash aggregate wants, it's only the transform we avoid redoing).
     """
     sh = doc_shingles(docs, k=k_shingle).persist()
-    cands = lsh_candidate_pairs(lsh_band_keys(minhash_signatures(sh)))
+    # band keys materialize BEFORE the candidate self-join: both join
+    # sides would otherwise re-run the signature aggregate + 16-hash
+    # md5 pass inside one job (lazy persist can't help two concurrent
+    # stages of the same job — observed as twin 560 MB/50-100 s stages
+    # in the sf1 stage telemetry). 400k small rows; also truncates the
+    # lineage under jaccard_verify's pairs checkpoint.
+    bk = lsh_band_keys(minhash_signatures(sh)).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(bk)
     return jaccard_verify(cands, sh)
 
 

@@ -48,13 +48,20 @@ def _sql_minhash_ctes() -> str:
     """The shared CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
     relation — composed into both the pairs query and the recursive
     clusters query."""
+    # 60-bit integer min-hashes (functions/text.md5_i64's documented
+    # DuckDB twin) — matches the Spark side's HashAggregate-friendly
+    # integer rewrite; band keys join the decimal forms with '|'
+    # (variable-width integers need the separator to stay injective)
     sig_cols = ",\n           ".join(
-        f"MIN(md5('{i}|' || sh)) AS h{i}" for i in range(dd.NUM_HASHES)
+        f"MIN(CAST(('0x' || substr(md5('{i}|' || sh), 1, 15)) AS UBIGINT))"
+        f" AS h{i}"
+        for i in range(dd.NUM_HASHES)
     )
     band_selects = []
     for b in range(dd.NUM_BANDS):
-        cols = " || ".join(
-            f"h{b * dd.ROWS_PER_BAND + r}" for r in range(dd.ROWS_PER_BAND)
+        cols = " || '|' || ".join(
+            f"CAST(h{b * dd.ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(dd.ROWS_PER_BAND)
         )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig"
