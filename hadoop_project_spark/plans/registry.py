@@ -76,6 +76,10 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             # round-6 code-touch anchors
             "bloom_decontaminate_fpr",  # bloom_probe per-row-id rewrite
             "part_entity_clusters",  # shares the CC loop with dedup_clusters
+            # integer-minhash rewrite (minhash_signatures/lsh_band_keys/
+            # jaccard_verify + oracle CTE twin) — direct hash anchors
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
         )
     },
     # --- green in r1-r5, still CI-oracle-tested: demote (prio 500) ---

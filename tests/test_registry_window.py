@@ -47,6 +47,8 @@ MUST_VERIFY = {
     # round-6 code-touch anchors
     "bloom_decontaminate_fpr",  # bloom_probe per-row-id rewrite
     "part_entity_clusters",  # shares the CC loop with dedup_clusters
+    "dedup_minhash_lsh",  # integer-minhash rewrite direct anchor
+    "dedup_ngram_jaccard",  # shares the restructured jaccard_verify
     # round-6 new queries (self-promoted at priority=10)
     "hll_source_distinct_shingles",
     "multimodal_wav_features",
