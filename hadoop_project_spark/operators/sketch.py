@@ -206,12 +206,19 @@ def hll_registers(keys: DataFrame, key_col: str, group_col: str) -> DataFrame:
     )
 
 
-def hll_estimate(registers: DataFrame) -> DataFrame:
-    """(g, est, n_empty) from a register table: bias-corrected harmonic
-    mean, linear counting below 2.5m with empty registers (the standard
-    small-range correction). ``est`` is rounded to 6 dp — the only
-    step where two engines' ln() could differ, by ≤ 1 ulp."""
-    agg = registers.groupBy("g").agg(
+def hll_estimate(
+    registers: DataFrame, group_cols: tuple[str, ...] = ("g",)
+) -> DataFrame:
+    """(*group_cols, est, n_empty) from a register table: bias-corrected
+    harmonic mean, linear counting below 2.5m with empty registers (the
+    standard small-range correction). ``est`` is rounded to 6 dp — the
+    only step where two engines' ln() could differ, by ≤ 1 ulp.
+
+    ``group_cols`` lets the same fold run over DERIVED register tables —
+    e.g. the pairwise max-merged union registers in
+    plans/sketch_queries.hll_source_overlap, the mergeability use-case
+    HLL exists for."""
+    agg = registers.groupBy(*group_cols).agg(
         # 1.0 / 2^M — exact binary fractions (expr form: the Column API
         # shiftleft only takes a literal shift amount)
         F.sum(F.expr("1.0 / cast(shiftleft(1, M) as double)")).alias(
@@ -228,7 +235,7 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
     ).otherwise(raw)
     return agg.select(
-        "g",
+        *group_cols,
         F.round(est, 6).alias("est"),
         v.cast("long").alias("n_empty"),
     )

@@ -126,3 +126,46 @@ def min_shingle_fingerprint_from_tokens(toks: Column, k: int = 3) -> Column:
     column, avoiding per-shingle re-tokenization (see
     functions.text.shingles_from_tokens)."""
     return F.array_min(F.transform(shingles_from_tokens(toks, k), F.md5))
+
+
+def filter_funnel(stats, rules) -> "DataFrame":  # noqa: F821
+    """Ordered filter-funnel attrition report: one row per rule, in
+    application order — ``(rule_idx, rule, n_failed_first,
+    n_survivors_after)`` — where each document is attributed to the
+    FIRST rule it fails (the standard corpus-pruning report shape:
+    rule order matters, later rules only see earlier survivors).
+
+    ``rules`` is an ordered list of (name, pass_condition Column) over
+    ``stats``'s columns. Shape for 100 TB: one scan-stage projection
+    computes the first-failing-rule index per row (a when-chain, fully
+    inside WholeStageCodegen), then a SINGLE global aggregate of
+    2×len(rules) conditional sums — no per-rule passes over the data,
+    no shuffle beyond the one-row partial-aggregate tree — unpivoted to
+    the report rows by ``stack``. All-integer output, so the report is
+    hash-exact across engines.
+    """
+    first_fail = F.lit(None).cast("int")
+    for i in reversed(range(len(rules))):
+        first_fail = F.when(~rules[i][1], F.lit(i + 1)).otherwise(first_fail)
+    per_doc = stats.select(first_fail.alias("ff"))
+    aggs = []
+    for i in range(1, len(rules) + 1):
+        aggs.append(
+            F.sum((F.col("ff") == i).cast("long")).alias(f"f{i}")
+        )
+        aggs.append(
+            F.sum(
+                (F.col("ff").isNull() | (F.col("ff") > i)).cast("long")
+            ).alias(f"s{i}")
+        )
+    row = per_doc.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({i} AS BIGINT), '{name}', f{i}, s{i}"
+        for i, (name, _) in enumerate(rules, start=1)
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(rules)}, {stack_args})"
+            " as (rule_idx, rule, n_failed_first, n_survivors_after)"
+        )
+    )

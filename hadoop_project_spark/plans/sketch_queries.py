@@ -318,3 +318,192 @@ def hll_source_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("within_bound"),
         )
     )
+
+
+@register(
+    "hll_source_overlap",
+    priority=10,  # new in round 6 -> first driver window
+    oracle=f"""
+    WITH {SQL_SHINGLES_CTE},
+    src AS (
+      SELECT DISTINCT d.source, s.sh FROM sh s JOIN documents d USING (doc_id)
+    ),
+    hs AS (
+      SELECT source, sh,
+             CAST(('0x' || substr(md5(sh), 1, 8)) AS UBIGINT) AS h
+      FROM src
+    ),
+    regs AS (
+      SELECT source,
+             h // {_HLL_W_DIV} AS idx,
+             CASE WHEN h % {_HLL_W_DIV} = 0 THEN {_HLL_MAX_RANK}
+                  ELSE {_HLL_MAX_RANK}
+                       - length(printf('%b', CAST(h % {_HLL_W_DIV} AS BIGINT)))
+             END AS rank
+      FROM hs
+    ),
+    byreg AS (
+      SELECT source, idx, MAX(rank) AS m FROM regs GROUP BY source, idx
+    ),
+    est1 AS (
+      SELECT source,
+             round(CASE WHEN raw <= {2.5 * sk.HLL_M!r} AND v > 0
+                        THEN {float(sk.HLL_M)!r} * ln({float(sk.HLL_M)!r} / v)
+                        ELSE raw END, 6) AS est
+      FROM (
+        SELECT source,
+               {sk.HLL_M} - n_present AS v,
+               {_HLL_RAW_NUM} / (s_present + ({sk.HLL_M} - n_present)) AS raw
+        FROM (
+          SELECT source, SUM(1.0 / (1 << m)) AS s_present,
+                 COUNT(*) AS n_present
+          FROM byreg GROUP BY source
+        )
+      )
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM src) a
+      JOIN (SELECT DISTINCT source FROM src) b ON a.source < b.source
+    ),
+    pregs AS (
+      SELECT p.source_a, p.source_b, r.idx, MAX(r.m) AS m
+      FROM pairs p
+      JOIN byreg r ON r.source = p.source_a OR r.source = p.source_b
+      GROUP BY 1, 2, 3
+    ),
+    estu AS (
+      SELECT source_a, source_b,
+             round(CASE WHEN raw <= {2.5 * sk.HLL_M!r} AND v > 0
+                        THEN {float(sk.HLL_M)!r} * ln({float(sk.HLL_M)!r} / v)
+                        ELSE raw END, 6) AS est_union
+      FROM (
+        SELECT source_a, source_b,
+               {sk.HLL_M} - n_present AS v,
+               {_HLL_RAW_NUM} / (s_present + ({sk.HLL_M} - n_present)) AS raw
+        FROM (
+          SELECT source_a, source_b,
+                 SUM(1.0 / (1 << m)) AS s_present,
+                 COUNT(*) AS n_present
+          FROM pregs GROUP BY source_a, source_b
+        )
+      )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM src GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      FROM src a JOIN src b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(i.n_inter AS BIGINT) AS exact_inter,
+           CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS exact_union,
+           CAST(u.est_union AS DOUBLE) AS est_union,
+           CAST(round(ea.est + eb.est - u.est_union, 6) AS DOUBLE)
+             AS est_inter,
+           CAST(CASE WHEN abs(u.est_union - (sa.n + sb.n - i.n_inter))
+                          <= {sk.HLL_3SIGMA!r} * (sa.n + sb.n - i.n_inter)
+                     THEN 1 ELSE 0 END AS BIGINT) AS union_within_bound
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    JOIN estu u USING (source_a, source_b)
+    JOIN est1 ea ON ea.source = i.source_a
+    JOIN est1 eb ON eb.source = i.source_b
+    """,
+    tags=("sketch", "hll", "overlap", "extension"),
+)
+def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source overlap from HLL registers ALONE — union by
+    register max-merge, intersection by inclusion-exclusion — next to
+    the exact |A∩B| / |A∪B| twin and a 3σ bound flag on the union
+    estimate (the inclusion-exclusion intersection has no comparable
+    closed-form bound and may even go negative for tiny overlaps; it is
+    reported as the honest estimate it is).
+
+    This is the query that certifies HLL's MERGEABILITY, the property
+    the 100 TB argument leans on: at scale, per-source (or per-day)
+    register tables are tiny persistent artifacts (sources × 256 rows),
+    and any union's cardinality — pairs here, arbitrary rollups in
+    general — folds from registers by groupBy-max WITHOUT rescanning
+    the corpus, where the exact pairwise overlap pays a gram-keyed
+    self-join over the full distinct (source, gram) set every time.
+    The pairwise work is O(sources² × 256) rows — independent of corpus
+    size; both broadcast joins are against the tiny source list.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        dd.doc_shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "sh")
+        .distinct()
+        .persist()  # three consumers: registers, sizes, exact inter
+    )
+    regs = sk.hll_registers(grams, "sh", "source").persist()
+    singles = sk.hll_estimate(regs)
+
+    srcs = regs.select("g").distinct()
+    pairs = (
+        srcs.select(F.col("g").alias("source_a"))
+        .join(
+            F.broadcast(srcs.select(F.col("g").alias("source_b"))),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    ra = pairs.join(
+        regs.select(F.col("g").alias("source_a"), "idx", "M"), "source_a"
+    )
+    rb = pairs.join(
+        regs.select(F.col("g").alias("source_b"), "idx", "M"), "source_b"
+    )
+    union_regs = (
+        ra.select("source_a", "source_b", "idx", "M")
+        .union(rb.select("source_a", "source_b", "idx", "M"))
+        .groupBy("source_a", "source_b", "idx")
+        .agg(F.max("M").alias("M"))
+    )
+    est_u = sk.hll_estimate(union_regs, group_cols=("source_a", "source_b"))
+
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    ea = singles.select(F.col("g").alias("source_a"), F.col("est").alias("est_a"))
+    eb = singles.select(F.col("g").alias("source_b"), F.col("est").alias("est_b"))
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .join(F.broadcast(est_u), ["source_a", "source_b"])
+        .join(F.broadcast(ea), "source_a")
+        .join(F.broadcast(eb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_inter").cast("long").alias("exact_inter"),
+            exact_union.cast("long").alias("exact_union"),
+            F.col("est").cast("double").alias("est_union"),
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est"), 6)
+            .cast("double")
+            .alias("est_inter"),
+            (
+                F.abs(F.col("est") - exact_union.cast("double"))
+                <= F.lit(sk.HLL_3SIGMA) * exact_union.cast("double")
+            )
+            .cast("long")
+            .alias("union_within_bound"),
+        )
+    )

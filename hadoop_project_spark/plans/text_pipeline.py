@@ -338,3 +338,99 @@ def docs_source_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# -- quality-filter funnel --------------------------------------------------
+# Ordered corpus-pruning rules (the Dolma/RefinedWeb-style attrition
+# report): thresholds are rational integer comparisons chosen to bite on
+# the synthetic corpus (each rule removes a nontrivial share at sf0.01;
+# punctuation-ratio is omitted because this corpus has zero punctuation
+# and the rule would be degenerate).
+FUNNEL_MIN_TOKENS = 25
+FUNNEL_MAX_CHARS = 450
+FUNNEL_STOP_DEN = 20  # stopword hits * 20 >= tokens, i.e. >= 5%
+FUNNEL_DIST_NUM = 2  # distinct tokens * 2 >= tokens, i.e. >= 50%
+
+_SQL_NDIST = f"len(list_distinct(list_transform({SQL_TOKENS}, t -> lower(t))))"
+
+
+@register(
+    "quality_filter_funnel",
+    priority=10,  # new in round 6 -> first driver window
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST({_sql_stop_hits('en')} AS BIGINT) AS s_en,
+             CAST({_SQL_NDIST} AS BIGINT) AS n_dist
+      FROM documents
+    ),
+    ff AS (
+      SELECT CASE
+               WHEN NOT (n_tok >= {FUNNEL_MIN_TOKENS}) THEN 1
+               WHEN NOT (n_chars <= {FUNNEL_MAX_CHARS}) THEN 2
+               WHEN NOT (s_en * {FUNNEL_STOP_DEN} >= n_tok) THEN 3
+               WHEN NOT (n_dist * {FUNNEL_DIST_NUM} >= n_tok) THEN 4
+             END AS ff
+      FROM s
+    ),
+    a AS (
+      SELECT
+        SUM(CASE WHEN ff = 1 THEN 1 ELSE 0 END) AS f1,
+        SUM(CASE WHEN ff IS NULL OR ff > 1 THEN 1 ELSE 0 END) AS s1,
+        SUM(CASE WHEN ff = 2 THEN 1 ELSE 0 END) AS f2,
+        SUM(CASE WHEN ff IS NULL OR ff > 2 THEN 1 ELSE 0 END) AS s2,
+        SUM(CASE WHEN ff = 3 THEN 1 ELSE 0 END) AS f3,
+        SUM(CASE WHEN ff IS NULL OR ff > 3 THEN 1 ELSE 0 END) AS s3,
+        SUM(CASE WHEN ff = 4 THEN 1 ELSE 0 END) AS f4,
+        SUM(CASE WHEN ff IS NULL OR ff > 4 THEN 1 ELSE 0 END) AS s4
+      FROM ff
+    )
+    SELECT CAST(1 AS BIGINT) AS rule_idx, 'min_tokens' AS rule,
+           CAST(f1 AS BIGINT) AS n_failed_first,
+           CAST(s1 AS BIGINT) AS n_survivors_after FROM a
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'max_chars', CAST(f2 AS BIGINT),
+           CAST(s2 AS BIGINT) FROM a
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'stopword_density', CAST(f3 AS BIGINT),
+           CAST(s3 AS BIGINT) FROM a
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), 'distinct_ratio', CAST(f4 AS BIGINT),
+           CAST(s4 AS BIGINT) FROM a
+    """,
+    tags=("text", "quality", "funnel", "extension"),
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-pruning attrition report: four ordered quality rules
+    (min length, max length, stopword density, distinct-token ratio),
+    each document attributed to the FIRST rule it fails, with the
+    cumulative survivor count after each rule — the per-rule removal
+    table a training-data pipeline publishes with every corpus release.
+
+    One scan-stage projection + one global aggregate (operators/
+    textstats.filter_funnel); all-integer output, hash-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        ts.token_count("text").alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+        ts.stopword_hits("text", "en").alias("s_en"),
+        F.size(
+            F.array_distinct(F.transform(ts.tokens_nonempty("text"), F.lower))
+        )
+        .cast("long")
+        .alias("n_dist"),
+    )
+    rules = [
+        ("min_tokens", F.col("n_tok") >= FUNNEL_MIN_TOKENS),
+        ("max_chars", F.col("n_chars") <= FUNNEL_MAX_CHARS),
+        (
+            "stopword_density",
+            F.col("s_en") * FUNNEL_STOP_DEN >= F.col("n_tok"),
+        ),
+        (
+            "distinct_ratio",
+            F.col("n_dist") * FUNNEL_DIST_NUM >= F.col("n_tok"),
+        ),
+    ]
+    return ts.filter_funnel(stats, rules)

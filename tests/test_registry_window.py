@@ -55,6 +55,8 @@ MUST_VERIFY = {
     "embedding_neardup_pairs_bucketed",
     "bigram_pmi_collocations",
     "doc_duplicate_spans",
+    "hll_source_overlap",
+    "quality_filter_funnel",
 }
 
 

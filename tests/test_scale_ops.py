@@ -311,3 +311,51 @@ def test_hll_estimate_within_3sigma(spark):
         df = spark.createDataFrame([Row(g="g", k=f"item-{i}") for i in range(n)])
         est = sk.hll_estimate(sk.hll_registers(df, "k", "g")).collect()[0]
         assert abs(est.est - n) <= sk.HLL_3SIGMA * n, (n, est.est)
+
+
+def test_hll_estimate_group_cols_and_union_monotone(spark):
+    """hll_estimate over multi-column groups (the pairwise-union path of
+    hll_source_overlap): max-merged union registers dominate each side's
+    registers pointwise, and the estimate is monotone in the registers,
+    so est(A∪B) >= max(est(A), est(B)) exactly."""
+    rows = [Row(g="a", k=f"x{i}") for i in range(400)] + [
+        Row(g="b", k=f"y{i}") for i in range(250)
+    ]
+    regs = sk.hll_registers(spark.createDataFrame(rows), "k", "g")
+    singles = {r.g: r.est for r in sk.hll_estimate(regs).collect()}
+    union_regs = (
+        regs.select(F.lit("a").alias("sa"), F.lit("b").alias("sb"), "idx", "M")
+        .groupBy("sa", "sb", "idx")
+        .agg(F.max("M").alias("M"))
+    )
+    u = sk.hll_estimate(union_regs, group_cols=("sa", "sb")).collect()[0]
+    assert list(u.asDict())[:2] == ["sa", "sb"]
+    assert u.est >= max(singles.values())
+    # disjoint sets: union estimate also within 3sigma of the true 650
+    assert abs(u.est - 650) <= sk.HLL_3SIGMA * 650
+
+
+def test_filter_funnel_first_fail_attribution(spark):
+    """A row failing several rules counts ONLY under its first failing
+    rule; survivor counts are the cumulative complement, monotonically
+    non-increasing."""
+    from hadoop_project_spark.operators import textstats as ts
+
+    rows = [
+        Row(a=1, b=1),   # passes both
+        Row(a=0, b=1),   # fails rule 1 (and would pass rule 2)
+        Row(a=0, b=0),   # fails BOTH -> attributed to rule 1 only
+        Row(a=1, b=0),   # fails rule 2
+    ]
+    out = ts.filter_funnel(
+        spark.createDataFrame(rows),
+        [("r1", F.col("a") == 1), ("r2", F.col("b") == 1)],
+    ).collect()
+    by_rule = {r.rule: r for r in out}
+    assert [r.rule_idx for r in out] == [1, 2]
+    assert by_rule["r1"].n_failed_first == 2  # the double-failure counts here
+    assert by_rule["r2"].n_failed_first == 1  # NOT the row that failed r1 too
+    assert by_rule["r1"].n_survivors_after == 2
+    assert by_rule["r2"].n_survivors_after == 1
+    survs = [r.n_survivors_after for r in out]
+    assert survs == sorted(survs, reverse=True)
