@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from hadoop_project_spark.execution import widen_for_compute
 from hadoop_project_spark.functions.text import (
     md5_i64,
     md5_i64_sql,
@@ -324,10 +325,13 @@ def ngram_jaccard_pairs(
     explode→distinct form (exchange-reused across 5 consumers) 9.2 s, the
     same form WITHOUT the persist anchor 58 s (the ngram transform
     re-evaluates per consumer), this persisted-array form 2.4 s. The
-    persist is the analogue of the shingle-table materialization every
-    production dedup pipeline writes; it is O(corpus grams), spills under
-    MEMORY_AND_DISK, and lineage stays recoverable (unlike the
-    localCheckpoint pin removed in round 4).
+    pin is the analogue of the shingle-table materialization every
+    production dedup pipeline writes; it is O(corpus grams) and spills
+    under MEMORY_AND_DISK. Round 6 switched the pin from lazy persist to
+    EAGER localCheckpoint: the sf1 profile showed this query's five
+    concurrent broadcast-subquery stages all racing past the unfilled
+    cache and each recomputing the gram arrays from parquet (5 × 21.6
+    core-s of identical work) — see the inline comment.
 
     Round-5 A/B (sf0.1, warm session, median of 3): replacing the
     df-count groupBy + join-back with a single Window.partitionBy(sh)
@@ -336,13 +340,25 @@ def ngram_jaccard_pairs(
     gram exchange across the groupBy and the join. Keep the groupBy
     form.
     """
-    normed = docs.select(
-        F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("nt")
+    normed = widen_for_compute(
+        docs.select(
+            F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("nt")
+        )
     )
-    with_arr = normed.select(
-        "doc_id",
-        F.array_distinct(ngrams_from_normalized(F.col("nt"), n)).alias("garr"),
-    ).persist()
+    # Eager materialization (round 6): the lazy persist lost a race —
+    # this query's first job launches several broadcast-exchange stages
+    # CONCURRENTLY (rare-gram build side, candidate build side, the two
+    # verify array sides), and all of them started computing the gram
+    # arrays from parquet before any cache block existed. Profiled at
+    # sf1: five 21.6 core-s stages doing identical work. localCheckpoint
+    # blocks until the arrays are stored, so every consumer reads them.
+    with_arr = (
+        normed.select(
+            "doc_id",
+            F.array_distinct(ngrams_from_normalized(F.col("nt"), n)).alias("garr"),
+        )
+        .localCheckpoint(eager=True)
+    )
     grams = with_arr.select("doc_id", F.explode("garr").alias("sh"))
     rare = (
         grams.groupBy("sh").agg(F.count("*").alias("df"))

@@ -86,7 +86,10 @@ def _shingle_tables(
     exploded distinct (doc, sh) stream, per-shingle df counts).
     ``carry_n`` widens the exploded stream with the set size — only the
     prefix join needs it; the span-stats path keeps the stream narrow."""
-    sets = _doc_shingle_sets(docs, k).persist()
+    # eager pin: three derived consumers (sets, exploded stream, df
+    # counts) whose stages launch concurrently — a lazy persist loses
+    # the race and each recomputes the set arrays (r6 profile pattern)
+    sets = _doc_shingle_sets(docs, k).localCheckpoint(eager=True)
     cols = ["doc_id", "n"] if carry_n else ["doc_id"]
     dsh = sets.select(*cols, F.explode("shs").alias("sh"))
     df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))

@@ -426,7 +426,9 @@ def doc_lm_avgprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    bg = bg.persist()
+    # eager pin: the three consumers (pair counts, unigram counts, the
+    # scored join) launch concurrent stages that race a lazy persist
+    bg = bg.localCheckpoint(eager=True)
     lm_pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
     lm_uni = bg.groupBy("w1").agg(F.count("*").alias("c_w1"))
     p = F.col("c_pair").cast("double") / F.col("c_w1").cast("double")

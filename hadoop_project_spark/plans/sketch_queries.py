@@ -169,8 +169,10 @@ def bloom_decontaminate_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     # four consumers (bench set, bloom probe, exact check, doc base) —
-    # pin the gram relation or the shingle transform re-runs per branch
-    grams = dd.doc_shingles(docs).persist()
+    # pin the gram relation or the shingle transform re-runs per branch;
+    # EAGER pin because the branches launch concurrent stages that race
+    # past a lazy persist (r6 sf1 profile pattern)
+    grams = dd.doc_shingles(docs).localCheckpoint(eager=True)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = grams.where(is_bench).select("sh").distinct()
     corpus = grams.where(~is_bench)
@@ -295,11 +297,13 @@ def hll_source_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-recomputable, which the driver's cross-engine hash gate needs.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    # two consumers (sketch + exact twin) of the shingle join
+    # two consumers (sketch + exact twin) of the shingle join — EAGER
+    # pin: the consumers' stages launch concurrently and a lazy persist
+    # loses the race (both recompute; the r6 sf1 profile pattern)
     grams = (
         dd.doc_shingles(docs)
         .join(docs.select("doc_id", "source"), "doc_id")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     est = sk.hll_estimate(sk.hll_registers(grams, "sh", "source"))
     exact = grams.groupBy(F.col("source").alias("g")).agg(
@@ -437,9 +441,11 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "sh")
         .distinct()
-        .persist()  # three consumers: registers, sizes, exact inter
+        # three consumers (registers, sizes, exact inter) whose stages
+        # launch concurrently — eager pin, not lazy persist (race)
+        .localCheckpoint(eager=True)
     )
-    regs = sk.hll_registers(grams, "sh", "source").persist()
+    regs = sk.hll_registers(grams, "sh", "source").localCheckpoint(eager=True)
     singles = sk.hll_estimate(regs)
 
     srcs = regs.select("g").distinct()

@@ -46,6 +46,13 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as long when this is set (converted back in catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Split planning works on COMPRESSED file bytes: with the 4 MB
+        # default open-cost, a 6 MB text-heavy parquet (185 MB
+        # decompressed) plans 2 splits and serializes every downstream
+        # transform on 2 cores. 256 KB lets well-row-grouped small files
+        # split up to the session parallelism; on object storage the
+        # per-open cost this models is amortized by async readahead.
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -182,7 +182,17 @@ def gen_documents(out: str) -> None:
             ("n_chars", pa.int64()),
         ]
     )
-    pq.write_table(pa.table(out_cols, schema=schema), f"{out}/documents.parquet")
+    # Explicit row groups: a single 50k-row group reads as ONE Spark
+    # task no matter the split conf (splits land on the row group's
+    # midpoint), serializing every documents scan at sf1 — the r6
+    # profile showed 21.6 core-s stages on 2 tasks with 30 cores idle.
+    # Real 100 TB tables have thousands of row groups; 2048-row groups
+    # (~8 MB decompressed) restore that property for the fixture.
+    pq.write_table(
+        pa.table(out_cols, schema=schema),
+        f"{out}/documents.parquet",
+        row_group_size=2048,
+    )
     print("documents: 10 positional-tagged copies", flush=True)
 
 
@@ -220,7 +230,8 @@ def gen_embeddings(out: str) -> None:
             "label": pa.array(np.concatenate(labels_out), type=pa.int32()),
         }
     )
-    pq.write_table(out_tbl, f"{out}/embeddings.parquet")
+    # Same row-group reasoning as documents: keep scans splittable.
+    pq.write_table(out_tbl, f"{out}/embeddings.parquet", row_group_size=2048)
     print("embeddings: 10 orthogonally-remapped copies", flush=True)
 
 
