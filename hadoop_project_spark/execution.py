@@ -23,10 +23,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def eager_pin(df: DataFrame) -> DataFrame:
+    """persist + BLOCKING materialization for a multi-consumer relation.
+
+    A lazy persist loses when the first consuming job launches several
+    stages concurrently (broadcast-exchange subqueries do exactly this):
+    every stage starts computing the relation from source before any
+    cache block exists, so the upstream runs N times (profiled at sf1:
+    five identical 21.6 core-s stages under one query). The blocking
+    count() forces the cache to fill in its own job first; every later
+    stage then reads it.
+
+    Deliberately persist-based, NOT localCheckpoint: checkpoint RDDs are
+    invisible to spark.catalog.clearCache(), so a long-lived session
+    (bench loop, CLI, notebook) accumulates them until driver GC +
+    ContextCleaner get around to it — measured as a growing multi-second
+    drag across a 142-query bench run. Cached relations are released
+    deterministically by clearCache()/unpersist()."""
+    out = df.persist()
+    out.count()
+    return out
+
+
 def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism IFF its
     current plan yields fewer partitions — a no-op exactly when input
     splits are plentiful (any real cluster table)."""
+    if df.isStreaming:  # partitioning is the source's business there
+        return df
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from hadoop_project_spark.execution import widen_for_compute
+from hadoop_project_spark.execution import eager_pin, widen_for_compute
 from hadoop_project_spark.functions.text import (
     md5_i64,
     md5_i64_sql,
@@ -77,8 +77,14 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     The char-ngram path is the mirror image — see ngram_jaccard_pairs,
     where the persisted-array form wins 2.4 s vs 9.2 s because nothing
     downstream needs a full-relation aggregate over the exploded set.)"""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
+    # widen on the RAW (id, text) projection: the normalize regex and
+    # the split then run AFTER the exchange, so a split-starved scan
+    # (single-row-group parquet) only pays serial decompression, not
+    # serial regex work
+    toks = widen_for_compute(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.split(normalize_text(text_col), " ").alias("toks"),
     )
     return (
@@ -152,8 +158,8 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     form exchanged the FULL shingle relation twice (once per pair
     side, 2 × 589 MB at sf1 — the engine's biggest shuffle). The
     candidate relation is small by construction (LSH/rare-gram blocked),
-    so it is materialized eagerly (localCheckpoint — also truncates the
-    candidate pipeline's lineage, which a lazy persist would re-run
+    so it is materialized eagerly (execution.eager_pin — a blocking
+    persist+count; a lazy persist would re-run the candidate pipeline
     once per consumer branch within the single job) and then
 
       * the a-side intersection join BROADCASTS the pairs — the shingle
@@ -166,7 +172,7 @@ def jaccard_verify(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     14.7 s → ~8 s for the full minhash query. At extreme scale, if the
     candidate relation ever outgrew broadcast, swap both broadcasts for
     shuffle semi-joins — the restriction logic is unchanged."""
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = eager_pin(pairs)
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
     sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
@@ -208,7 +214,7 @@ def minhash_lsh_pairs(docs: DataFrame, k_shingle: int = 3) -> DataFrame:
     # stages of the same job — observed as twin 560 MB/50-100 s stages
     # in the sf1 stage telemetry). 400k small rows; also truncates the
     # lineage under jaccard_verify's pairs checkpoint.
-    bk = lsh_band_keys(minhash_signatures(sh)).localCheckpoint(eager=True)
+    bk = eager_pin(lsh_band_keys(minhash_signatures(sh)))
     cands = lsh_candidate_pairs(bk)
     return jaccard_verify(cands, sh)
 
@@ -328,7 +334,7 @@ def ngram_jaccard_pairs(
     pin is the analogue of the shingle-table materialization every
     production dedup pipeline writes; it is O(corpus grams) and spills
     under MEMORY_AND_DISK. Round 6 switched the pin from lazy persist to
-    EAGER localCheckpoint: the sf1 profile showed this query's five
+    EAGER pin (execution.eager_pin): the sf1 profile showed this query's five
     concurrent broadcast-subquery stages all racing past the unfilled
     cache and each recomputing the gram arrays from parquet (5 × 21.6
     core-s of identical work) — see the inline comment.
@@ -341,24 +347,22 @@ def ngram_jaccard_pairs(
     form.
     """
     normed = widen_for_compute(
-        docs.select(
-            F.col(id_col).alias("doc_id"), normalize_text(text_col).alias("nt")
-        )
-    )
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select("doc_id", normalize_text(text_col).alias("nt"))
     # Eager materialization (round 6): the lazy persist lost a race —
     # this query's first job launches several broadcast-exchange stages
     # CONCURRENTLY (rare-gram build side, candidate build side, the two
     # verify array sides), and all of them started computing the gram
     # arrays from parquet before any cache block existed. Profiled at
-    # sf1: five 21.6 core-s stages doing identical work. localCheckpoint
+    # sf1: five 21.6 core-s stages doing identical work. eager_pin
     # blocks until the arrays are stored, so every consumer reads them.
     with_arr = (
         normed.select(
             "doc_id",
             F.array_distinct(ngrams_from_normalized(F.col("nt"), n)).alias("garr"),
         )
-        .localCheckpoint(eager=True)
     )
+    with_arr = eager_pin(with_arr)
     grams = with_arr.select("doc_id", F.explode("garr").alias("sh"))
     rare = (
         grams.groupBy("sh").agg(F.count("*").alias("df"))

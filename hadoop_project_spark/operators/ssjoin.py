@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hadoop_project_spark.execution import eager_pin, widen_for_compute
 from hadoop_project_spark.functions.text import normalize_text, shingles_from_tokens
 
 # Jaccard threshold as an exact rational p/q so the verify comparison is
@@ -68,7 +69,8 @@ def _doc_shingle_sets(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     Shingling runs on a MATERIALIZED token array (see
     functions/text.py:shingles_from_tokens for the 6x re-evaluation
     pitfall this avoids)."""
-    toks = docs.select(
+    # widen on raw text so the normalize/split regex runs post-exchange
+    toks = widen_for_compute(docs.select("doc_id", "text")).select(
         "doc_id", F.split(normalize_text("text"), " ").alias("t")
     )
     return toks.select(
@@ -89,7 +91,7 @@ def _shingle_tables(
     # eager pin: three derived consumers (sets, exploded stream, df
     # counts) whose stages launch concurrently — a lazy persist loses
     # the race and each recomputes the set arrays (r6 profile pattern)
-    sets = _doc_shingle_sets(docs, k).localCheckpoint(eager=True)
+    sets = eager_pin(_doc_shingle_sets(docs, k))
     cols = ["doc_id", "n"] if carry_n else ["doc_id"]
     dsh = sets.select(*cols, F.explode("shs").alias("sh"))
     df_counts = dsh.groupBy("sh").agg(F.count("*").alias("df"))

@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import eager_pin
 from hadoop_project_spark.functions.text import normalize_text
 from hadoop_project_spark.plans.registry import register
 from hadoop_project_spark.plans.text_pipeline import SQL_NORM
@@ -428,7 +429,7 @@ def doc_lm_avgprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     # eager pin: the three consumers (pair counts, unigram counts, the
     # scored join) launch concurrent stages that race a lazy persist
-    bg = bg.localCheckpoint(eager=True)
+    bg = eager_pin(bg)
     lm_pair = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_pair"))
     lm_uni = bg.groupBy("w1").agg(F.count("*").alias("c_w1"))
     p = F.col("c_pair").cast("double") / F.col("c_w1").cast("double")

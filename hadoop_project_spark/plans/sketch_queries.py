@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import eager_pin
 from hadoop_project_spark.functions.text import normalize_text
 from hadoop_project_spark.operators import sketch as sk
 from hadoop_project_spark.plans.registry import register
@@ -172,7 +173,7 @@ def bloom_decontaminate_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the gram relation or the shingle transform re-runs per branch;
     # EAGER pin because the branches launch concurrent stages that race
     # past a lazy persist (r6 sf1 profile pattern)
-    grams = dd.doc_shingles(docs).localCheckpoint(eager=True)
+    grams = eager_pin(dd.doc_shingles(docs))
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = grams.where(is_bench).select("sh").distinct()
     corpus = grams.where(~is_bench)
@@ -300,10 +301,9 @@ def hll_source_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (sketch + exact twin) of the shingle join — EAGER
     # pin: the consumers' stages launch concurrently and a lazy persist
     # loses the race (both recompute; the r6 sf1 profile pattern)
-    grams = (
+    grams = eager_pin(
         dd.doc_shingles(docs)
         .join(docs.select("doc_id", "source"), "doc_id")
-        .localCheckpoint(eager=True)
     )
     est = sk.hll_estimate(sk.hll_registers(grams, "sh", "source"))
     exact = grams.groupBy(F.col("source").alias("g")).agg(
@@ -441,11 +441,11 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "sh")
         .distinct()
-        # three consumers (registers, sizes, exact inter) whose stages
-        # launch concurrently — eager pin, not lazy persist (race)
-        .localCheckpoint(eager=True)
     )
-    regs = sk.hll_registers(grams, "sh", "source").localCheckpoint(eager=True)
+    # three consumers (registers, sizes, exact inter) whose stages
+    # launch concurrently — eager pin, not lazy persist (race)
+    grams = eager_pin(grams)
+    regs = eager_pin(sk.hll_registers(grams, "sh", "source"))
     singles = sk.hll_estimate(regs)
 
     srcs = regs.select("g").distinct()

@@ -46,13 +46,15 @@ def get_spark(
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark reads it
         # as long when this is set (converted back in catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Split planning works on COMPRESSED file bytes: with the 4 MB
-        # default open-cost, a 6 MB text-heavy parquet (185 MB
-        # decompressed) plans 2 splits and serializes every downstream
-        # transform on 2 cores. 256 KB lets well-row-grouped small files
-        # split up to the session parallelism; on object storage the
-        # per-open cost this models is amortized by async readahead.
-        .config("spark.sql.files.openCostInBytes", "262144")
+        # NOTE on split planning: it works on COMPRESSED file bytes, so
+        # a 6 MB text-heavy parquet (185 MB decompressed) plans only 2
+        # splits under the 4 MB default open-cost and a CPU-heavy
+        # transform above it would serialize on 2 cores. Lowering
+        # spark.sql.files.openCostInBytes globally was measured and
+        # REJECTED: it recovers those transforms but taxes every scan
+        # of every small table with 5-6x more task overhead (+15 s
+        # across the 142-query sf0.1 bench). The targeted fix is
+        # execution.widen_for_compute at the expensive text operators.
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
