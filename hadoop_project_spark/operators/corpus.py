@@ -39,6 +39,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from hadoop_project_spark.execution import widen_for_compute
 from hadoop_project_spark.functions.text import (
     normalize_text,
     shingles_from_tokens,
@@ -114,7 +115,7 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     bit-identical across engines — so the `repetitive` threshold flag
     is deterministic too.
     """
-    toks = docs.select(
+    toks = widen_for_compute(docs.select("doc_id", "text")).select(
         "doc_id", F.split(normalize_text("text"), " ").alias("toks")
     )
     bigrams = toks.select(
@@ -204,7 +205,7 @@ def source_overlap_matrix(docs: DataFrame, k: int = 3) -> DataFrame:
     aggregates.  The per-source set sizes (|sources| rows) come back as
     a broadcast join.
     """
-    toks = docs.select(
+    toks = widen_for_compute(docs.select("source", "text")).select(
         "source", F.split(normalize_text("text"), " ").alias("toks")
     )
     sg = (

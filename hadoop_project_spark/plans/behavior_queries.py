@@ -249,3 +249,74 @@ def nation_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_rev_cents").cast("long").alias("total_rev_cents"),
         gini.alias("gini"),
     )
+
+
+# -- exponentially time-decayed engagement ---------------------------------
+# Recency-weighted user scores — the feature-engineering shape behind
+# "recent activity matters more" ranking/retention features. Weight
+# 2^-age_days with a fixed anchor date keeps EVERYTHING exact integer
+# arithmetic: value -> cents (the winsorized-stats idiom), weight ->
+# left-shift by (SCALE_EXP - age), sum -> DECIMAL(38,0) (order-
+# independent, no float accumulation), final score -> ONE double
+# division by 2^SCALE_EXP * 100. Ages beyond SCALE_EXP clamp to the
+# minimum weight 2^-SCALE_EXP (decay floor) so the shift never goes
+# negative — documented semantic, identical in both engines.
+DECAY_ANCHOR = "2024-01-31"  # day after the fixture's event range
+DECAY_SCALE_EXP = 30
+
+
+@register(
+    "events_decayed_engagement",
+    priority=10,  # new in round 6 -> first driver window
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(cents * (CAST(1 AS BIGINT) << exp)
+                         AS DECIMAL(38,0))) AS DOUBLE)
+             / ({float(1 << DECAY_SCALE_EXP)!r} * 100.0) AS decayed_score
+    FROM (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             greatest(0, {DECAY_SCALE_EXP} - datediff('day', CAST(ts AS DATE),
+                                                      DATE '{DECAY_ANCHOR}'))
+               AS exp
+      FROM events
+    )
+    GROUP BY user_id
+    """,
+    tags=("behavior", "decay", "feature", "extension"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score:
+    sum(value * 2^-age_days) against a fixed anchor date.
+
+    All-integer until the last division (see section comment): the
+    per-event term is cents << (SCALE_EXP - age) — a BIGINT — and the
+    per-user sum rides DECIMAL(38,0), so the result is independent of
+    partitioning and merge order at any scale; the one double division
+    at the end is the same literal on both engines. One narrow
+    projection + one groupBy — the scan-stage shape of a 100 TB
+    feature-materialization job.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    age = F.datediff(F.lit(DECAY_ANCHOR).cast("date"), F.col("ts").cast("date"))
+    exp = F.greatest(F.lit(0), F.lit(DECAY_SCALE_EXP) - age)
+    cents = F.round(F.col("value") * 100).cast("long")
+    # the Column-API shiftleft only takes a literal shift amount; the
+    # SQL form accepts the per-row exponent column
+    term = (
+        cents
+        * F.expr("shiftleft(CAST(1 AS BIGINT), __decay_exp)")
+    ).cast("decimal(38,0)")
+    return (
+        ev.withColumn("__decay_exp", exp)
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum("term").cast("double")
+                / F.lit(float(1 << DECAY_SCALE_EXP) * 100.0)
+            ).alias("decayed_score"),
+        )
+    )

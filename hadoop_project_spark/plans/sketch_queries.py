@@ -10,10 +10,10 @@ the sketch arithmetic, not just the final set).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hadoop_project_spark.catalog import load_table
-from hadoop_project_spark.execution import eager_pin
+from hadoop_project_spark.execution import eager_pin, widen_for_compute
 from hadoop_project_spark.functions.text import normalize_text
 from hadoop_project_spark.operators import sketch as sk
 from hadoop_project_spark.plans.registry import register
@@ -72,7 +72,10 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (superset by construction), then an exact broadcast-semi-join verify
     pass. Output (key, cnt, est) with est >= cnt always."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # widen BEFORE tokenization: cm_heavy_hitters deliberately re-scans
+    # this stream once per pass (bounded-state two-pass design), so a
+    # split-starved scan would serialize all four passes
+    toks = widen_for_compute(docs.select("text")).select(
         F.split(normalize_text("text"), " ").alias("t")
     ).filter(F.size("t") >= 2)
     n = F.size("t") - F.lit(1)
@@ -511,5 +514,150 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("union_within_bound"),
+        )
+    )
+
+
+# ------------------------------------------------- histogram quantiles
+# Fourth mergeable sketch next to count-min (frequency), Bloom
+# (membership), and HLL (distinct count): a fixed-grid histogram whose
+# buckets are an ADDITIVE monoid — per-partition/per-day histograms sum
+# cell-wise into the global one — giving quantile estimates with a
+# bounded absolute error of one bucket width, where the exact
+# percentile needs a full sort (or the two-pass range-bucket machinery
+# of operators/wquantile.py). Grid on integer cents with a literal
+# power-of-two width, so bucketing is exact integer division in both
+# engines; the within-one-bucket flag is computed identically on both
+# sides and hash-checked like the CM/Bloom/HLL bound flags.
+HIST_W_CENTS = 1 << 15  # $327.68 buckets -> ~1.8k buckets over o_totalprice
+HIST_QS = (50, 90, 99)
+
+
+@register(
+    "price_quantile_histogram",
+    priority=10,  # new in round 6 -> first driver window
+    oracle=f"""
+    WITH c AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    hist AS (
+      SELECT prio, cents // {HIST_W_CENTS} AS bucket,
+             COUNT(*) AS cnt
+      FROM c GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT prio, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY prio ORDER BY bucket) AS cum
+      FROM hist
+    ),
+    n AS (SELECT prio, COUNT(*) AS n FROM c GROUP BY prio),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in HIST_QS)}]) AS q),
+    est AS (
+      SELECT cum.prio, qs.q,
+             MIN(cum.bucket) * {HIST_W_CENTS} AS est_cents
+      FROM cum
+      JOIN n USING (prio)
+      CROSS JOIN qs
+      WHERE cum.cum * 100 >= qs.q * n.n
+      GROUP BY cum.prio, qs.q
+    ),
+    exact AS (
+      SELECT prio,
+             percentile_cont(0.50) WITHIN GROUP (ORDER BY cents) AS e50,
+             percentile_cont(0.90) WITHIN GROUP (ORDER BY cents) AS e90,
+             percentile_cont(0.99) WITHIN GROUP (ORDER BY cents) AS e99
+      FROM c GROUP BY prio
+    ),
+    ex AS (
+      SELECT prio, 50 AS q, e50 AS exact_cents FROM exact
+      UNION ALL SELECT prio, 90, e90 FROM exact
+      UNION ALL SELECT prio, 99, e99 FROM exact
+    )
+    SELECT est.prio AS o_orderpriority,
+           CAST(est.q AS BIGINT) AS q,
+           CAST(n.n AS BIGINT) AS n,
+           CAST(est.est_cents AS BIGINT) AS est_cents,
+           CAST(ex.exact_cents AS DOUBLE) AS exact_cents,
+           CAST(CASE WHEN abs(ex.exact_cents - est.est_cents)
+                          <= {HIST_W_CENTS} THEN 1 ELSE 0 END AS BIGINT)
+             AS within_one_bucket
+    FROM est
+    JOIN n USING (prio)
+    JOIN ex ON ex.prio = est.prio AND ex.q = est.q
+    """,
+    tags=("sketch", "histogram", "quantile", "extension"),
+)
+def price_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order totalprice per priority from a fixed-grid
+    additive histogram, next to the exact percentile and a
+    within-one-bucket-width flag.
+
+    Scale shape: the histogram aggregate is the whole shuffle —
+    ≤ priorities × ~1.8k buckets regardless of row count, map-side
+    partial-aggregated, and cell-wise ADDITIVE across partitions/days
+    (the mergeability that makes this the streaming/incremental
+    quantile path). The cumulative pass is a window PARTITIONED by
+    priority over the tiny bucket relation — never a global window.
+    The exact twin pays percentile's full per-group sort.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    hist = (
+        o.withColumn("bucket", F.floor(F.col("cents") / HIST_W_CENTS))
+        .groupBy("prio", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("prio")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n = o.groupBy("prio").agg(F.count("*").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HIST_QS])).alias("q")
+    )
+    est = (
+        cum.join(F.broadcast(n), "prio")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("prio", "q")
+        .agg((F.min("bucket") * HIST_W_CENTS).alias("est_cents"))
+    )
+    exact = o.groupBy("prio").agg(
+        F.expr(
+            "percentile(cents, array({}))".format(
+                ", ".join(str(q / 100.0) for q in HIST_QS)
+            )
+        ).alias("es")
+    )
+    ex = exact.select(
+        "prio",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in HIST_QS]).alias("q"),
+                F.col("es").alias("exact_cents"),
+            )
+        ).alias("z"),
+    ).select("prio", F.col("z.q").alias("q"), F.col("z.exact_cents").alias("exact_cents"))
+    return (
+        est.join(F.broadcast(n), "prio")
+        .join(F.broadcast(ex), ["prio", "q"])
+        .select(
+            F.col("prio").alias("o_orderpriority"),
+            F.col("q").cast("long").alias("q"),
+            F.col("n").cast("long").alias("n"),
+            F.col("est_cents").cast("long").alias("est_cents"),
+            F.col("exact_cents").cast("double").alias("exact_cents"),
+            (
+                F.abs(F.col("exact_cents") - F.col("est_cents"))
+                <= F.lit(HIST_W_CENTS)
+            )
+            .cast("long")
+            .alias("within_one_bucket"),
         )
     )

@@ -57,6 +57,8 @@ MUST_VERIFY = {
     "doc_duplicate_spans",
     "hll_source_overlap",
     "quality_filter_funnel",
+    "events_decayed_engagement",
+    "price_quantile_histogram",
 }
 
 

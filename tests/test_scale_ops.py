@@ -359,3 +359,33 @@ def test_filter_funnel_first_fail_attribution(spark):
     assert by_rule["r2"].n_survivors_after == 1
     survs = [r.n_survivors_after for r in out]
     assert survs == sorted(survs, reverse=True)
+
+
+def test_widen_for_compute_semantics(spark):
+    """widen_for_compute repartitions ONLY a split-starved input: fewer
+    partitions than the target -> repartition to target; already-wide
+    input -> returned unchanged (no Exchange added on real clusters)."""
+    from hadoop_project_spark.execution import widen_for_compute
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    widened = widen_for_compute(narrow, min_parts=8)
+    assert widened.rdd.getNumPartitions() == 8
+    assert widened.count() == 1000
+
+    wide = spark.range(0, 1000).repartition(8)
+    same = widen_for_compute(wide, min_parts=4)
+    assert same is wide  # no-op object identity: no plan change at all
+
+
+def test_eager_pin_blocks_and_is_cache_released(spark):
+    """eager_pin materializes the cache synchronously (consumers hit it)
+    and the pin is visible to / released by catalog.clearCache — the
+    property localCheckpoint lacked that motivated the persist form."""
+    from hadoop_project_spark.execution import eager_pin
+
+    df = eager_pin(spark.range(0, 5000).withColumn("x", F.col("id") * 2))
+    assert df.storageLevel.useMemory  # persisted
+    assert df.count() == 5000
+    spark.catalog.clearCache()
+    # after clearCache the relation recomputes from lineage — still correct
+    assert df.count() == 5000
