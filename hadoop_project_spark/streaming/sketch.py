@@ -74,3 +74,40 @@ def make_hll_sink(
         updates={"M": _max},
         prepare=_prepare,
     )
+
+
+def make_histogram_sink(
+    state_dir: str, value_col: str, group_col: str, width: int
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function maintaining a per-group fixed-grid
+    histogram at ``state_dir`` — the additive-monoid streaming twin of
+    plans/sketch_queries.price_quantile_histogram: each micro-batch
+    folds to ≤ groups × buckets delta rows and merge-ADDS into the
+    state, so bounded-error quantiles (one bucket width) are readable
+    off the state table at any moment of an unbounded stream, where
+    exact percentiles would need the full history.
+
+    Same replay caveat as the CM sink (addition is not idempotent):
+    exactly-once accounting needs upstream dedup or a transactional
+    table; the HLL sink is the idempotent member of the family.
+    ``value_col`` must already be the integer form (e.g. cents)."""
+
+    def _prepare(batch: DataFrame) -> DataFrame:
+        return (
+            batch.select(
+                F.col(group_col).alias("g"),
+                F.floor(F.col(value_col) / F.lit(width)).alias("bucket"),
+            )
+            .groupBy("g", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    def _add(old: Column, new: Column) -> Column:
+        return old + new
+
+    return make_merge_sink(
+        state_dir,
+        keys=["g", "bucket"],
+        updates={"cnt": _add},
+        prepare=_prepare,
+    )

@@ -606,3 +606,70 @@ def test_streaming_hll_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got_est == exp_est
+
+
+def test_streaming_histogram_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental fixed-grid histogram maintenance across micro-batches
+    equals the one-shot batch histogram (cell counts are an additive
+    commutative monoid), and the p50 estimate read off the final state
+    lands within one bucket width of the exact batch median — the
+    bounded-error contract of price_quantile_histogram, live on a
+    stream."""
+    from hadoop_project_spark.streaming.sketch import make_histogram_sink
+    from hadoop_project_spark.streaming.windows import read_events_stream
+
+    width = 500  # value-cents per bucket
+    src = str(tmp_path / "events_hist_src")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    state_dir = str(tmp_path / "hist_state")
+    sink = make_histogram_sink(
+        state_dir, value_col="value_cents", group_col="event_type", width=width
+    )
+
+    def with_cents(df):
+        return df.withColumn(
+            "value_cents", F.round(F.col("value") * 100).cast("long")
+        )
+
+    q = (
+        with_cents(read_events_stream(spark, src, max_files_per_trigger=1))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "hist_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    state = spark.read.parquet(state_dir)
+    got = {(r["g"], r["bucket"]): r["cnt"] for r in state.collect()}
+    batch = (
+        with_cents(ev)
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value_cents") / width).alias("bucket"),
+        )
+        .groupBy("g", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    exp = {(r["g"], r["bucket"]): r["cnt"] for r in batch.collect()}
+    assert got == exp and len(got) > 0
+
+    # p50 off the state vs exact batch median, one group
+    g0 = sorted({g for g, _ in got})[0]
+    cells = sorted((b, c) for (g, b), c in got.items() if g == g0)
+    n = sum(c for _, c in cells)
+    cum = 0
+    for b, c in cells:
+        cum += c
+        if cum * 2 >= n:
+            est = b * width
+            break
+    exact = (
+        with_cents(ev)
+        .where(F.col("event_type") == g0)
+        .agg(F.expr("percentile(value_cents, 0.5)").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert abs(exact - est) <= width
