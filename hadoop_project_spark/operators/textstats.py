@@ -150,13 +150,20 @@ def filter_funnel(stats, rules) -> "DataFrame":  # noqa: F821
     per_doc = stats.select(first_fail.alias("ff"))
     aggs = []
     for i in range(1, len(rules) + 1):
+        # when/otherwise, NOT a bare boolean cast: (NULL == i) is NULL,
+        # so a rule nothing fails would sum all-NULLs to NULL instead
+        # of 0 (caught by the Hypothesis model test)
         aggs.append(
-            F.sum((F.col("ff") == i).cast("long")).alias(f"f{i}")
+            F.sum(F.when(F.col("ff") == i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"f{i}")
         )
         aggs.append(
             F.sum(
-                (F.col("ff").isNull() | (F.col("ff") > i)).cast("long")
-            ).alias(f"s{i}")
+                F.when(F.col("ff").isNull() | (F.col("ff") > i), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"s{i}")
         )
     row = per_doc.agg(*aggs)
     stack_args = ", ".join(

@@ -340,3 +340,82 @@ def test_wav_pack_decode_roundtrip(samples, rate, channels):
             float(rate), float(channels), float(len(samples)),
             float(sum(samples)), float(min(samples)), float(max(samples)),
         ]
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 600), st.integers(0, 10)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_filter_funnel_matches_python_model(spark, rows):
+    """filter_funnel's first-fail attribution and cumulative survivor
+    counts must agree with a straight-line Python evaluation of the
+    same ordered rules on arbitrary stat rows."""
+    from hadoop_project_spark.operators.textstats import filter_funnel
+
+    rules_py = [
+        ("r_a", lambda a, b, c: a >= 10),
+        ("r_b", lambda a, b, c: b <= 450),
+        ("r_c", lambda a, b, c: c >= 2),
+    ]
+    fails = {1: 0, 2: 0, 3: 0}
+    survivors_after = {1: 0, 2: 0, 3: 0}
+    for a, b, c in rows:
+        ff = None
+        for i, (_, fn) in enumerate(rules_py, start=1):
+            if not fn(a, b, c):
+                ff = i
+                break
+        if ff is not None:
+            fails[ff] += 1
+        for i in range(1, 4):
+            if ff is None or ff > i:
+                survivors_after[i] += 1
+
+    df = spark.createDataFrame(rows, "a long, b long, c long")
+    out = filter_funnel(
+        df,
+        [
+            ("r_a", F.col("a") >= 10),
+            ("r_b", F.col("b") <= 450),
+            ("r_c", F.col("c") >= 2),
+        ],
+    ).collect()
+    got_f = {r.rule_idx: r.n_failed_first for r in out}
+    got_s = {r.rule_idx: r.n_survivors_after for r in out}
+    assert got_f == fails
+    assert got_s == survivors_after
+
+
+@settings(**_SETTINGS)
+@given(
+    cents=st.lists(st.integers(0, 100_000), min_size=2, max_size=40),
+    width=st.sampled_from([128, 1024, 4096]),
+)
+def test_histogram_quantile_within_one_bucket(spark, cents, width):
+    """The fixed-grid histogram p50 estimate (lower edge of the
+    cumulative-crossing bucket) must land within one bucket width of
+    the exact median for arbitrary integer values — the bound
+    price_quantile_histogram flags."""
+    import statistics as pystats
+
+    df = spark.createDataFrame([(c,) for c in cents], "cents long")
+    hist = (
+        df.withColumn("bucket", F.floor(F.col("cents") / width))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("bucket")
+        .collect()
+    )
+    n = len(cents)
+    cum = 0
+    for r in hist:
+        cum += r.cnt
+        if cum * 2 >= n:
+            est = r.bucket * width
+            break
+    exact = pystats.median_low(sorted(cents))
+    assert abs(exact - est) <= width
