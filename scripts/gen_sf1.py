@@ -20,11 +20,25 @@ similarity far below every operator threshold:
   blocking key (p_brand, p_type) then scales in block COUNT, not block
   size (levenshtein blocks stay bounded, matching how a 10x catalog
   grows brands).
-* documents.text    -> for copy c>0, every 4th token is tagged "~c":
-  ~75% of 3-shingles change, so cross-copy Jaccard ~ 0.14 (LSH bands
-  never collide), simhash hamming ~ 10 of 60 bits (>> the 3-bit
-  threshold), while two near-dup docs inside a copy receive the same
-  positional tagging and stay near-dups. n_chars is recomputed.
+* documents.text    -> for copy c>0, every 4th token is REPLACED by a
+  token from a fixed bounded pool, chosen by a copy-seeded hash of the
+  original token: ~75% of 3-shingles change, so cross-copy Jaccard
+  ~ 0.15 (LSH bands never collide), simhash hamming ~ 10 of 60 bits
+  (>> the 3-bit threshold), while two near-dup docs inside a copy see
+  the same positional rule + the same token->pool mapping and stay
+  near-dups. n_chars is recomputed.
+
+  The pool is the round-7 fix for the r6 telemetry caveat (SCALING.md
+  note 3 / VERDICT r6 item 3): the old "~c"-suffix tagging minted a
+  fresh token per (base token, copy), growing distinct vocabulary
+  EXACTLY 10x per decade (31 -> 310 measured) where real corpora grow
+  sub-linearly (Heaps' law, V ~ n^0.5 => ~3.2x per decade). Drawing
+  replacements from one shared VOCAB_POOL_SIZE pool bounds sf1
+  vocabulary at 31 + 70 ~= 3.3x — Heaps-consistent — so token-keyed
+  dictionaries (tfidf terms, PMI bigrams, span df) now scale like a
+  real corpus and the measured slopes attribute to the ENGINE. Two
+  copies map the same token to the same pool word with prob 1/70, so
+  cross-copy similarity stays far below every operator threshold.
 * embeddings        -> copy-specific coordinate permutation + sign
   flips (an orthogonal map, seeded per copy): all within-copy cosines
   are preserved EXACTLY; cross-copy cosines collapse to ~N(0, 1/8) —
@@ -50,6 +64,14 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
 SEED = 42
+
+# Replacement-token pool for document perturbation: one shared pool so
+# total vocabulary growth is BOUNDED (base 31 + pool 70 ~= 3.3x, Heaps'
+# law at beta ~ 0.5) instead of one fresh token per (token, copy).
+# Pool words are lowercase and whitespace-free (normalize_text-stable)
+# and disjoint from the English-ish base vocabulary by construction.
+VOCAB_POOL_SIZE = 70
+VOCAB_POOL = [f"v{i:02d}q" for i in range(VOCAB_POOL_SIZE)]
 
 # sf0.1 key cardinalities (dense 0-based ids; verified against the
 # shipped fixture) — the shift strides that keep sf1 ids dense too.
@@ -153,19 +175,33 @@ def gen_relational(con: duckdb.DuckDBPyConnection, out: str) -> None:
 
 
 def gen_documents(out: str) -> None:
+    import zlib
+
     src = pq.read_table(f"{SRC}/documents.parquet").to_pydict()
     doc_ids, texts = src["doc_id"], src["text"]
     langs, sources = src["lang"], src["source"]
     out_cols = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
     for c in range(COPIES):
-        tag = f"~{c}"
+        # deterministic per-copy token map into the shared bounded pool
+        # (zlib.crc32, not builtin hash(): PYTHONHASHSEED-independent)
+        repl_cache: dict[str, str] = {}
+
+        def repl(tok: str) -> str:
+            r = repl_cache.get(tok)
+            if r is None:
+                r = VOCAB_POOL[
+                    zlib.crc32(f"{c}:{tok}".encode()) % VOCAB_POOL_SIZE
+                ]
+                repl_cache[tok] = r
+            return r
+
         for i in range(len(doc_ids)):
             if c == 0:
                 t = texts[i]
             else:
                 toks = texts[i].split(" ")
                 t = " ".join(
-                    tok + tag if j % 4 == 0 else tok
+                    repl(tok) if j % 4 == 0 else tok
                     for j, tok in enumerate(toks)
                 )
             out_cols["doc_id"].append(doc_ids[i] + c * N_DOC)
@@ -193,7 +229,7 @@ def gen_documents(out: str) -> None:
         f"{out}/documents.parquet",
         row_group_size=2048,
     )
-    print("documents: 10 positional-tagged copies", flush=True)
+    print("documents: 10 pool-perturbed copies (bounded vocabulary)", flush=True)
 
 
 def gen_embeddings(out: str) -> None:

@@ -362,19 +362,36 @@ def test_filter_funnel_first_fail_attribution(spark):
 
 
 def test_widen_for_compute_semantics(spark):
-    """widen_for_compute repartitions ONLY a split-starved input: fewer
-    partitions than the target -> repartition to target; already-wide
-    input -> returned unchanged (no Exchange added on real clusters)."""
-    from hadoop_project_spark.execution import widen_for_compute
+    """widen_for_compute is byte-bounded on BOTH sides (round-7 form —
+    decides from Catalyst plan statistics, never df.rdd): tiny inputs
+    pass through untouched (the shim's fixed exchange cost exceeded the
+    work on the r6 sf0.1 bench), mid-size split-starved inputs
+    repartition to the target, and inputs big enough that Spark's own
+    split planning already yields >= target splits are untouched (the
+    cluster case — no Exchange added)."""
+    from hadoop_project_spark.execution import (
+        SHIM_MIN_WORK_BYTES,
+        plan_size_bytes,
+        widen_for_compute,
+    )
 
-    narrow = spark.range(0, 1000).coalesce(1)
-    widened = widen_for_compute(narrow, min_parts=8)
+    # tiny (8 KB estimate, far under SHIM_MIN_WORK_BYTES): identity
+    tiny = spark.range(0, 1000).coalesce(1)
+    assert plan_size_bytes(tiny) < SHIM_MIN_WORK_BYTES
+    assert widen_for_compute(tiny, min_parts=8) is tiny
+
+    # mid-size (>= the work floor, < target x maxPartitionBytes):
+    # repartitioned to the target regardless of current splits
+    mid = spark.range(0, 2 * SHIM_MIN_WORK_BYTES // 8).coalesce(1)
+    assert plan_size_bytes(mid) >= SHIM_MIN_WORK_BYTES
+    widened = widen_for_compute(mid, min_parts=8)
     assert widened.rdd.getNumPartitions() == 8
-    assert widened.count() == 1000
+    assert widened.count() == 2 * SHIM_MIN_WORK_BYTES // 8
 
-    wide = spark.range(0, 1000).repartition(8)
-    same = widen_for_compute(wide, min_parts=4)
-    assert same is wide  # no-op object identity: no plan change at all
+    # huge estimate (>= target x maxPartitionBytes): Spark's split
+    # planning already provides the parallelism — identity, no exchange
+    huge = spark.range(0, 1 << 30)
+    assert widen_for_compute(huge, min_parts=8) is huge
 
 
 def test_eager_pin_blocks_and_is_cache_released(spark):
