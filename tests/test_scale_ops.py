@@ -76,8 +76,8 @@ def test_ssjoin_prefix_actually_filters(spark):
     though the verified output would stay correct."""
     docs = load_table(spark, SF, "documents")
     n = docs.count()
-    _sets, dsh, dfc = sj._shingle_tables(docs, sj.SPAN_K, carry_n=True)
-    cand = sj.prefix_candidates(dsh, dfc)
+    sets = sj._doc_shingle_sets(docs, sj.SPAN_K)
+    cand = sj.prefix_candidates(sets)
     assert cand.count() < n * (n - 1) // 20
 
 
