@@ -44,10 +44,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup_groups(docs)
 
 
-def _sql_minhash_ctes() -> str:
-    """The shared CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
-    relation — composed into both the pairs query and the recursive
-    clusters query."""
+def _sql_bands_ctes() -> str:
+    """CTE chain up to `bands(doc_id, band, key)` — the LSH index rows.
+    Shared by the pair/cluster oracles below and the streaming ingest
+    gate's batch twin (plans/streaming_twin_queries.py)."""
     # 60-bit integer min-hashes (functions/text.md5_i64's documented
     # DuckDB twin) — matches the Spark side's HashAggregate-friendly
     # integer rewrite; band keys join the decimal forms with '|'
@@ -71,7 +71,14 @@ def _sql_minhash_ctes() -> str:
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS (
       {bands_sql}
-    ),
+    )"""
+
+
+def _sql_minhash_ctes() -> str:
+    """The shared CTE chain ending in a `pairs(doc_a, doc_b, jaccard)`
+    relation — composed into both the pairs query and the recursive
+    clusters query."""
+    return f"""{_sql_bands_ctes()},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -241,6 +248,40 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-5-gram Jaccard near-dups with rare-gram blocking."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(docs)
+
+
+@register(
+    "neardup_gate_admissions",
+    priority=10,  # new in round 7 -> first driver window
+    oracle=f"""
+    WITH {_sql_bands_ctes()},
+    flagged AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id > b.doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           (f.doc_id IS NOT NULL) AS flagged
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "streaming-twin", "extension"),
+)
+def neardup_gate_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming near-dup ingest gate
+    (streaming/dedup_gate.py): every document's admission decision for
+    a doc_id-ordered ingest — flagged iff it shares an LSH band key
+    with any lower doc_id. The stream≡batch test ties the gate's
+    per-micro-batch flag partitions to THIS relation, so the driver's
+    hash-match certifies the streaming component through its batch
+    semantics (the last streaming component without a CORRECTNESS-row
+    relative — VERDICT r6 item 6)."""
+    from hadoop_project_spark.streaming.dedup_gate import (
+        gate_flags_for_ordered_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gate_flags_for_ordered_corpus(docs)
 
 
 @register(

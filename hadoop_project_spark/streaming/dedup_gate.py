@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, functions as F
 
 from hadoop_project_spark.operators.dedup import (
@@ -56,6 +57,40 @@ def batch_band_keys(docs: DataFrame) -> DataFrame:
     """(doc_id, band, key) for a batch of documents — the exact batch
     pipeline, factored for the gate and its equivalence test."""
     return lsh_band_keys(minhash_signatures(doc_shingles(docs)))
+
+
+def gate_flags_for_ordered_corpus(docs: DataFrame) -> DataFrame:
+    """(doc_id, flagged) — the gate's admission decision for every doc
+    when the corpus is ingested in doc_id order: flagged iff the doc
+    shares an LSH (band, key) with ANY lower doc_id. This is the
+    BATCH TWIN of make_neardup_gate_sink: for doc_id-ordered
+    micro-batches, 'collides with an earlier batch or with a lower
+    doc_id in the same batch' telescopes to exactly this predicate —
+    tests/test_streaming.py proves the union of the streaming gate's
+    flag partitions equals this relation, and the driver hash-certifies
+    it against a DuckDB oracle (plans/dedup_queries.py,
+    neardup_gate_admissions)."""
+    keys = batch_band_keys(docs)
+    a, b = keys.alias("a"), keys.alias("b")
+    flagged = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("flagged", F.lit(True))
+    )
+    return (
+        docs.select("doc_id")
+        .join(flagged, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("flagged", F.lit(False)).alias("flagged"),
+        )
+    )
 
 
 def _write_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
@@ -88,11 +123,23 @@ def make_neardup_gate_sink(
         # existence probe must go through Spark's reader, not the local
         # filesystem: state_dir may be hdfs://, s3a://, etc., where
         # os.path.exists is always False and the cross-batch check
-        # would silently never fire
+        # would silently never fire. Only PATH_NOT_FOUND means "first
+        # batch" — any other failure (corrupt state, permissions, a
+        # transient FS error) must surface, because treating it as
+        # first-batch would silently disable cross-batch dedup for the
+        # micro-batch while still appending new state, permanently
+        # admitting its duplicates.
         try:
             state = spark.read.parquet(state_dir)
-        except Exception:  # first batch: PATH_NOT_FOUND on any scheme
-            state = None
+        except AnalysisException as e:
+            cond = (
+                e.getCondition()
+                if hasattr(e, "getCondition")
+                else e.getErrorClass()
+            )
+            if cond != "PATH_NOT_FOUND":
+                raise
+            state = None  # first batch on any scheme
         hits_state = (
             keys.join(
                 state.where(F.col("batch_id") < batch_id)

@@ -446,6 +446,62 @@ def test_streaming_neardup_gate_equals_batch(spark, sf_dir, tmp_path):
     assert got_flagged == expected_flagged and len(got_flagged) > 0
 
 
+def test_streaming_gate_flags_equal_registered_batch_twin(
+    spark, sf_dir, tmp_path
+):
+    """The union of the streaming gate's per-micro-batch flag
+    partitions must equal the REGISTERED batch twin
+    (neardup_gate_admissions / gate_flags_for_ordered_corpus) when
+    batches arrive in doc_id order — the equality that lets the
+    driver's oracle hash on the batch query certify the streaming
+    component. Batch order is forced with phase-wise appends."""
+    from hadoop_project_spark.streaming.dedup_gate import (
+        gate_flags_for_ordered_corpus,
+        make_neardup_gate_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+
+    src = str(tmp_path / "gate2_src")
+    state_dir = str(tmp_path / "gate2_state")
+    flags_dir = str(tmp_path / "gate2_flags")
+    sink = make_neardup_gate_sink(state_dir, flags_dir)
+
+    docs.filter(F.col("doc_id") < cuts[0]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "gate2_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    docs.filter(
+        (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])
+    ).coalesce(1).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    docs.filter(F.col("doc_id") >= cuts[1]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    got_flagged = {
+        r.doc_id for r in spark.read.parquet(flags_dir).collect()
+    }
+    twin = {
+        r.doc_id: r.flagged
+        for r in gate_flags_for_ordered_corpus(docs).collect()
+    }
+    assert set(twin) == set(ids)  # every doc gets a decision
+    expected_flagged = {d for d, f in twin.items() if f}
+    assert got_flagged == expected_flagged and len(got_flagged) > 0
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Watermark semantics across forced multi-batches: an event older
     than (max event time - 1h) arriving in a LATER batch must be
