@@ -73,6 +73,16 @@ def main(argv: list[str] | None = None) -> int:
             if args.cmd == "bench"
             else os.path.join(repo, "scripts", "scaling.py")
         )
+        if not os.path.isfile(fname):
+            # an installed (site-packages) layout has no sibling
+            # harness files — fail with intent, not a bare ENOENT
+            print(
+                f"{args.cmd}: {fname} not found — the bench/scaling "
+                "harnesses ship with the repo checkout, not the "
+                "installed package; run from a repo checkout",
+                file=sys.stderr,
+            )
+            return 2
         spec_ = importlib.util.spec_from_file_location(f"hps_{args.cmd}", fname)
         mod = importlib.util.module_from_spec(spec_)
         spec_.loader.exec_module(mod)

@@ -579,8 +579,9 @@ HIST_QS = (50, 90, 99)
            CAST(est.q AS BIGINT) AS q,
            CAST(n.n AS BIGINT) AS n,
            CAST(est.est_cents AS BIGINT) AS est_cents,
-           CAST(ex.exact_cents AS DOUBLE) AS exact_cents,
-           CAST(CASE WHEN abs(ex.exact_cents - est.est_cents)
+           round(CAST(ex.exact_cents AS DOUBLE), 6) AS exact_cents,
+           CAST(CASE WHEN abs(round(CAST(ex.exact_cents AS DOUBLE), 6)
+                              - est.est_cents)
                           <= {HIST_W_CENTS} THEN 1 ELSE 0 END AS BIGINT)
              AS within_one_bucket
     FROM est
@@ -652,9 +653,19 @@ def price_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("q").cast("long").alias("q"),
             F.col("n").cast("long").alias("n"),
             F.col("est_cents").cast("long").alias("est_cents"),
-            F.col("exact_cents").cast("double").alias("exact_cents"),
+            # rounded to 6 dp on BOTH engines (repo convention for
+            # cross-engine doubles): Spark `percentile` and DuckDB
+            # `percentile_cont` interpolate with different float
+            # association, and a last-ulp difference fails the driver's
+            # exact sorted-value-hash gate (ADVICE r6)
+            F.round(F.col("exact_cents").cast("double"), 6).alias(
+                "exact_cents"
+            ),
             (
-                F.abs(F.col("exact_cents") - F.col("est_cents"))
+                F.abs(
+                    F.round(F.col("exact_cents").cast("double"), 6)
+                    - F.col("est_cents")
+                )
                 <= F.lit(HIST_W_CENTS)
             )
             .cast("long")
