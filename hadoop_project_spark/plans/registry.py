@@ -42,19 +42,19 @@ _ORDER: dict[str, int] = {}
 # — tests/test_registry_window.py enforces "driver-green in a prior
 # round's CORRECTNESS_r*.json OR in the current window".
 #
-# Round 6 (per VERDICT r5 item 2): re-certify everything r5 parked
-# mid-round — dpp_partitioned_join_roundtrip, source_overlap_matrix,
-# dedup_clusters, embedding_neardup_pairs, ann_topk_ivf,
-# dedup_simhash_signatures, events_hourly_rollup, latest_event_per_user
-# — plus hash anchors for round-6 code changes (the bloom_probe
-# per-row-id rewrite behind bloom_decontaminate_fpr; the
-# connected-components loop behind dedup_clusters/part_entity_clusters)
-# and the standing headline set. New r6 queries self-promote by
-# registering with priority=10 (honored by _effective_priority).
-# Everything else green in r1-r5 demotes to 500, still oracle-tested
-# every CI run by tests/test_oracle_parity.py.
+# Round 7 (per VERDICT r6 items 1-7): all 141 oracle-bearing queries
+# are ever-green, so the window is now purely regression anchors —
+# the headline set plus a hash anchor for every query whose CODE this
+# round touched: the plan-statistics execution shims (every
+# eager_pin/widen_for_compute consumer), the hashed-key + bitmap
+# ssjoin rewrite, the widened banded-levenshtein fuzzy match, the
+# minhash oracle-CTE refactor behind the new gate twin, and the 6 dp
+# percentile rounding. neardup_gate_admissions (new in r7)
+# self-promotes with priority=10. Everything else green in r1-r6
+# demotes to 500, still oracle-tested every CI run by
+# tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- round-6 regression anchors: keep in-window (prio 20) ---
+    # --- round-7 regression anchors: keep in-window (prio 20) ---
     **{
         name: 20
         for name in (
@@ -64,33 +64,58 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # parked mid-round-5, brought back per VERDICT item 2
-            "dpp_partitioned_join_roundtrip",
-            "source_overlap_matrix",
-            "dedup_clusters",
-            "embedding_neardup_pairs",
-            "ann_topk_ivf",
-            "dedup_simhash_signatures",
-            "events_hourly_rollup",
-            "latest_event_per_user",
-            # round-6 code-touch anchors
-            "bloom_decontaminate_fpr",  # bloom_probe per-row-id rewrite
-            "part_entity_clusters",  # shares the CC loop with dedup_clusters
-            # integer-minhash rewrite (minhash_signatures/lsh_band_keys/
-            # jaccard_verify + oracle CTE twin) — direct hash anchors
+            # ssjoin/span hashed-key + bitmap-prune rewrite (items 2, 4)
+            "ssjoin_prefix_pairs",
+            "doc_duplicate_spans",
+            "doc_duplicate_span_ratio",
+            # widened banded-levenshtein fuzzy match + CC on top (item 5)
+            "part_name_fuzzy_pairs",
+            "part_entity_clusters",
+            # execution-shim consumers (item 1): every operator family
+            # calling eager_pin / widen_for_compute re-certifies under
+            # the plan-statistics decision rule
+            "dedup_exact",
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
+            "dedup_simhash_pairs",
+            "dedup_clusters",
+            "source_overlap_matrix",
+            "decontaminate_ngram",
+            "heavy_hitter_bigrams",
+            "bloom_decontaminate_fpr",
+            "doc_lm_avgprob",
+            "hll_source_distinct_shingles",
+            "hll_source_overlap",
+            # minhash oracle-CTE refactor shared with the gate twin
+            "dedup_simhash_signatures",
+            # 6 dp cross-engine percentile rounding (ADVICE r6)
+            "price_quantile_histogram",
+            # fixture-telemetry family (item 3): certify the token-keyed
+            # dictionaries the regenerated-sf1 slopes lean on
+            "tfidf_top_terms",
+            "bigram_pmi_collocations",
         )
     },
-    # --- green in r1-r5, still CI-oracle-tested: demote (prio 500) ---
-    # The r5-new queries below self-promoted at registration
-    # (priority<100) to enter their first window; all 36 earned their
-    # green CORRECTNESS_r05 row, so the override now outranks the
-    # registration promotion and releases their slots. (Anything not
-    # listed: see _effective_priority.)
+    # --- green in r1-r6, still CI-oracle-tested: demote (prio 500) ---
+    # Queries below self-promoted at registration (priority<100) to
+    # enter their first window and earned a green CORRECTNESS row, so
+    # the override now outranks the registration promotion and releases
+    # their slots; the r6-window anchors released this round are listed
+    # too. (Anything not listed: see _effective_priority.)
     **{
         name: 500
         for name in (
+            # r6-new, green in CORRECTNESS_r06, not touched this round
+            "quality_filter_funnel",
+            "embedding_neardup_pairs_bucketed",
+            "multimodal_wav_features",
+            "events_decayed_engagement",
+            # r6 anchors released this round
+            "dpp_partitioned_join_roundtrip",
+            "embedding_neardup_pairs",
+            "ann_topk_ivf",
+            "events_hourly_rollup",
+            "latest_event_per_user",
             "priority_month_matrix_formatted",
             "kmeans_assign_step",
             "nearest_two_centroids",
@@ -103,14 +128,12 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "ann_recall_at_k",
             "merge_upsert_roundtrip",
             "json_corrupt_records_audit",
-            "part_name_fuzzy_pairs",
             "doc_bigram_lm_top",
             "events_value_outliers",
             "docs_split_assignment",
             "dedup_survivors_by_source",
             "lineitem_winsorized_stats",
             "part_copurchase_rank_step",
-            "doc_lm_avgprob",
             "training_mix_temperature",
             "ab_test_value_zscore",
             "part_copurchase_triangles",
@@ -119,9 +142,6 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "promo_revenue_share",
             "orders_expectations",
             "fk_integrity_report",
-            "ssjoin_prefix_pairs",
-            "doc_duplicate_span_ratio",
-            "heavy_hitter_bigrams",
             "pps_weighted_sample",
             "pps_ht_source_totals",
             "event_transition_matrix",

@@ -24,10 +24,10 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 6 (VERDICT r5 item 2): the queries r5
-# parked mid-round come back for re-certification, plus anchors for
-# round-6 code changes and the standing headline set — must be proven
-# green THIS round.
+# Regression anchors for round 7 (VERDICT r6 items 1-7): all 141
+# oracle-bearing queries are ever-green, so the window is purely
+# regression anchors — the headline set plus a hash anchor for every
+# query whose code round 7 touched — must be proven green THIS round.
 MUST_VERIFY = {
     # headline (every round)
     "word_count",
@@ -35,30 +35,35 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # parked mid-round-5, brought back
-    "dpp_partitioned_join_roundtrip",
-    "source_overlap_matrix",
-    "dedup_clusters",
-    "embedding_neardup_pairs",
-    "ann_topk_ivf",
-    "dedup_simhash_signatures",
-    "events_hourly_rollup",
-    "latest_event_per_user",
-    # round-6 code-touch anchors
-    "bloom_decontaminate_fpr",  # bloom_probe per-row-id rewrite
-    "part_entity_clusters",  # shares the CC loop with dedup_clusters
-    "dedup_minhash_lsh",  # integer-minhash rewrite direct anchor
-    "dedup_ngram_jaccard",  # shares the restructured jaccard_verify
-    # round-6 new queries (self-promoted at priority=10)
-    "hll_source_distinct_shingles",
-    "multimodal_wav_features",
-    "embedding_neardup_pairs_bucketed",
-    "bigram_pmi_collocations",
+    # ssjoin/span hashed-key + bitmap-prune rewrite
+    "ssjoin_prefix_pairs",
     "doc_duplicate_spans",
+    "doc_duplicate_span_ratio",
+    # widened banded-levenshtein fuzzy match + the CC loop on top
+    "part_name_fuzzy_pairs",
+    "part_entity_clusters",
+    # plan-statistics execution shims: every eager_pin /
+    # widen_for_compute consumer family re-certifies
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "source_overlap_matrix",
+    "decontaminate_ngram",
+    "heavy_hitter_bigrams",
+    "bloom_decontaminate_fpr",
+    "doc_lm_avgprob",
+    "hll_source_distinct_shingles",
     "hll_source_overlap",
-    "quality_filter_funnel",
-    "events_decayed_engagement",
+    # minhash oracle-CTE refactor shared with the new gate twin
+    "dedup_simhash_signatures",
+    "neardup_gate_admissions",  # round-7 new (self-promoted prio=10)
+    # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
+    # regenerated-sf1 token-telemetry family
+    "tfidf_top_terms",
+    "bigram_pmi_collocations",
 }
 
 
