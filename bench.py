@@ -208,9 +208,15 @@ def main() -> None:
     # Full detail (per-run timings, build/exec phase medians) lands on
     # disk only — the stdout line stays compact so tail-truncation of
     # captured output can't eat the per-query map (r2 lesson).
+    # SPARK_GRAFT_BENCH_OUT redirects the detail file (iteration runs
+    # point it at a temp path so the committed artifact only changes on
+    # the round's one final measured run — the write+commit is atomic
+    # and the tree stays clean, VERDICT r6 item 8).
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_results.json"), "w") as fh:
+        with open(out_path, "w") as fh:
             json.dump(
                 {**result, "phases": phases, "runs": runs,
                  "shuffle_mb": shuffle_mb},
