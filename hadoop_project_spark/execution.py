@@ -39,19 +39,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# Work floor for both shims, in Catalyst-estimate bytes. The estimate
+# Work floors for the shims, in Catalyst-estimate bytes. The estimate
 # is COMPRESSED, COLUMN-PRUNED input size (it propagates from the
 # parquet scan), so 1 MB corresponds to tens of MB of decompressed text
-# — roughly a second of single-core regex/shingle work. Below it the
-# shims' fixed costs (a repartition exchange; a blocking count() job)
-# exceed the serialization/recompute they prevent — that overcharge on
-# small inputs was the r5→r6 sf0.1 bench regression (54 common queries
-# 41.1→45.0 s, VERDICT r6 item 1). Above it they are the difference
-# between 1-core and 32-core stages (sf1 profile: five identical
-# 21.6 core-s recompute stages under one query). Measured estimates:
-# documents projection ~25 KB at sf0.01, ~250 KB at sf0.1, ~2.8 MB at
-# sf1 — the threshold sits in the decade gap between sf0.1 and sf1.
+# — roughly a second of single-core regex/shingle work. Below a floor
+# the shim's fixed cost exceeds the serialization/recompute it prevents
+# — that overcharge on small inputs was the r5→r6 sf0.1 bench
+# regression (54 common queries 41.1→45.0 s, VERDICT r6 item 1).
+#
+# The two shims' fixed costs differ by an order of magnitude, so the
+# floors do too:
+# * widen_for_compute pays a full round-robin EXCHANGE of the input —
+#   only worth it when there is real per-row work behind it. Floor
+#   1 MB: documents projection ~25 KB at sf0.01, ~250 KB at sf0.1,
+#   ~2.8 MB at sf1 — widening starts in the decade gap above sf0.1.
+# * eager_pin pays one blocking count() JOB over the (already
+#   persisting) relation — tens of ms. Skipping it loses N-1 full
+#   upstream recomputes whenever the first consuming job launches
+#   concurrent stages. Floor 96 KB: still lazy at sf0.01 (where even
+#   recompute is ~0.1 s) but eager from sf0.1 up — A/B at sf0.1:
+#   dedup_ngram_jaccard 4.7 s lazy → 3.1 s eager, ssjoin_prefix_pairs
+#   2.8 → 1.7 s; a uniform 1 MB floor was re-creating the concurrent-
+#   stage recompute eager_pin exists to prevent.
 SHIM_MIN_WORK_BYTES = 1 << 20
+PIN_MIN_WORK_BYTES = 96 << 10
 
 
 def plan_size_bytes(df: DataFrame) -> int:
@@ -76,11 +87,11 @@ def eager_pin(df: DataFrame) -> DataFrame:
     cache block exists, so the upstream runs N times (profiled at sf1:
     five identical 21.6 core-s stages under one query). The blocking
     count() forces the cache to fill in its own job first; every later
-    stage then reads it. Below SHIM_MIN_WORK_BYTES the count() job
+    stage then reads it. Below PIN_MIN_WORK_BYTES the count() job
     costs more than the duplicate recompute it prevents, so the persist
     stays lazy (the cache still serves all consumers after the first
-    stage materializes it — the round-5 behavior, which benched faster
-    at sf0.1).
+    stage materializes it — the round-5 behavior, which benches faster
+    on tiny inputs).
 
     Deliberately persist-based, NOT localCheckpoint: checkpoint RDDs are
     invisible to spark.catalog.clearCache(), so a long-lived session
@@ -90,7 +101,7 @@ def eager_pin(df: DataFrame) -> DataFrame:
     deterministically by clearCache()/unpersist() — see the release
     contract in the module docstring."""
     out = df.persist()
-    if plan_size_bytes(df) >= SHIM_MIN_WORK_BYTES:
+    if plan_size_bytes(df) >= PIN_MIN_WORK_BYTES:
         out.count()
     return out
 
