@@ -286,6 +286,20 @@ def ivf_cell(vec_col: str, cents: list[list[float]]):
     return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
 
 
+def ivf_cell_assignment(vec_col: str, cents: list[list[float]]):
+    """struct(cell, cdist): the argmin coarse cell plus its 9dp-rounded
+    squared distance. The semantic-dedup operator blocks on ``cell`` and
+    uses ``cdist`` as the keep-rule precedence (closest-to-centroid
+    survives), so both must come from the SAME rounded distance array
+    an oracle can re-derive from the centroid literals."""
+    ds = _cell_dists(vec_col, cents)
+    mn = F.array_min(ds)
+    return F.struct(
+        (F.array_position(ds, mn) - 1).cast("int").alias("cell"),
+        mn.alias("cdist"),
+    )
+
+
 def ivf_probes(vec_col: str, cents: list[list[float]], n_probe: int):
     """The n_probe nearest cell ids for a query vector, nearest first
     (ties to the lower cell id)."""

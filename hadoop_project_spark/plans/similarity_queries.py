@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import eager_pin
 from hadoop_project_spark.functions.vector import dot, l2_norm
 from hadoop_project_spark.operators import similarity as sim
 from hadoop_project_spark.plans.registry import register
@@ -460,3 +461,137 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deferred: needs _sql_lsh_bucket/_sql_cosine defined above
 _register_neardup_bucketed()
+
+
+# --- semantic dedup (SemDeDup-style cluster-then-dedup) -------------
+
+SEMDEDUP_CELLS = 12
+SEMDEDUP_SEED = 31
+SEMDEDUP_TAU = 0.3
+
+
+def _sql_semdedup_oracle() -> str:
+    """Full SQL twin of semantic_dedup_decisions: same centroid
+    literals, argmin cell assignment, within-cell cosine pairs, and the
+    (cdist, vec_id) keep rule."""
+    cents = sim.make_coarse_centroids(SEMDEDUP_CELLS, DIM, SEMDEDUP_SEED)
+    ds = ", ".join(_sql_sqdist("embedding", c) for c in cents)
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dsl, list_min(dsl)) - 1 AS INT) AS cell,
+             list_min(dsl) AS cdist
+      FROM (SELECT vec_id, embedding, [{ds}] AS dsl FROM embeddings)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             a.cdist AS ca, b.cdist AS cb
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {SEMDEDUP_TAU}
+    ),
+    nbrs AS (
+      SELECT vec_id, COUNT(*) AS n_dup FROM (
+        SELECT va AS vec_id FROM pairs
+        UNION ALL
+        SELECT vb AS vec_id FROM pairs
+      ) GROUP BY vec_id
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN ca > cb THEN va ELSE vb END AS vec_id
+      FROM pairs
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cell AS INTEGER) AS cell,
+           a.cdist AS cdist,
+           CAST(COALESCE(n.n_dup, 0) AS BIGINT) AS n_dup_neighbors,
+           (l.vec_id IS NOT NULL) AS dropped
+    FROM assigned a
+    LEFT JOIN nbrs n USING (vec_id)
+    LEFT JOIN losers l USING (vec_id)
+    """
+
+
+@register(
+    "semantic_dedup_decisions",
+    oracle=_sql_semdedup_oracle(),
+    priority=10,  # round-7 new: self-promote into the driver window
+    tags=("similarity", "dedup", "extension"),
+)
+def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, cluster-then-dedup form (the SemDeDup recipe,
+    Abbas et al. 2023, arXiv:2303.09540): assign every embedding to its
+    nearest coarse centroid, score cosine pairs WITHIN each cluster
+    only, and drop every vector that has a semantic duplicate closer to
+    the centroid than itself (ties to the lower vec_id). Output is the
+    full per-vector decision table: cluster, centroid distance,
+    duplicate-neighbor count, and the drop verdict.
+
+    This composes the engine's existing primitives instead of adding
+    machinery: centroid assignment is the IVF coarse quantizer
+    (sim.ivf_cell_assignment — at 100 TB the centroids come from one
+    operators.kmeans pass and are broadcast as literals), and
+    within-cluster scoring is the per-block numpy Gram path
+    (sim.blocked_pair_cosines) shared with embedding_neardup_pairs.
+    Scale shape: candidates are cluster-blocked, never all-pairs —
+    block count grows with the corpus when k is chosen ∝ n/target —
+    and the keep rule is a pair-local expression plus one distinct, so
+    no global sort, window, or driver state. The label-blocked /
+    LSH-bucketed near-dup variants share the scoring core; this is the
+    published data-driven blocking the other two approximate.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = sim.make_coarse_centroids(SEMDEDUP_CELLS, DIM, SEMDEDUP_SEED)
+    asg = sim.ivf_cell_assignment("embedding", cents)
+    # eager_pin: assigned feeds the Gram scorer AND both precedence
+    # joins AND the final decision join (concurrent consumers)
+    assigned = eager_pin(
+        emb.select(
+            "vec_id",
+            "embedding",
+            asg.getField("cell").alias("cell"),
+            asg.getField("cdist").alias("cdist"),
+        )
+    )
+    raw = sim.blocked_pair_cosines(assigned, SEMDEDUP_TAU, block_col="cell")
+    # authoritative round-then-threshold on the exact doubles (the Gram
+    # margin only guards the 9dp boundary) — same contract as
+    # embedding_neardup_pairs
+    pairs = raw.filter(F.round("cosine", 9) >= SEMDEDUP_TAU).select(
+        "vec_a", "vec_b"
+    )
+    cd = assigned.select("vec_id", "cdist")
+    pj = (
+        pairs.join(
+            cd.select(F.col("vec_id").alias("vec_a"), F.col("cdist").alias("ca")),
+            "vec_a",
+        ).join(
+            cd.select(F.col("vec_id").alias("vec_b"), F.col("cdist").alias("cb")),
+            "vec_b",
+        )
+    )
+    losers = pj.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))  # ties: vec_a < vec_b, so b drops
+        .alias("vec_id")
+    ).distinct()
+    nbrs = (
+        pairs.select(F.col("vec_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("vec_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        assigned.select("vec_id", "cell", "cdist")
+        .join(nbrs, "vec_id", "left")
+        .join(losers.withColumn("is_loser", F.lit(True)), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("cdist").alias("cdist"),
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_neighbors"),
+            F.coalesce(F.col("is_loser"), F.lit(False)).alias("dropped"),
+        )
+    )

@@ -59,6 +59,7 @@ MUST_VERIFY = {
     # minhash oracle-CTE refactor shared with the new gate twin
     "dedup_simhash_signatures",
     "neardup_gate_admissions",  # round-7 new (self-promoted prio=10)
+    "semantic_dedup_decisions",  # round-7 new (self-promoted prio=10)
     # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
     # regenerated-sf1 token-telemetry family

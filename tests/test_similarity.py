@@ -183,3 +183,32 @@ def test_pandas_topk_matches_jvm_topk(spark, sf_dir):
         # neighbor ids may differ only under exact cosine ties
         if jn != an:
             assert abs(jc - ac) < 1e-12
+
+
+def test_semantic_dedup_keep_rule(spark, sf_dir):
+    """SemDeDup decision invariants: (1) a vector is dropped only if it
+    has >= 1 duplicate neighbor; (2) every duplicate GROUP keeps at
+    least one member — specifically, within each cluster the matched
+    vector closest to the centroid (min (cdist, vec_id)) always
+    survives; (3) the decision table covers every input vector exactly
+    once."""
+    from hadoop_project_spark.plans.similarity_queries import (
+        semantic_dedup_decisions,
+    )
+
+    dec = semantic_dedup_decisions(spark, sf_dir).collect()
+    emb_n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(dec) == emb_n
+    assert len({r["vec_id"] for r in dec}) == emb_n
+    for r in dec:
+        if r["dropped"]:
+            assert r["n_dup_neighbors"] >= 1
+    # per cluster: among matched vectors, the (cdist, vec_id)-minimal
+    # one is never dropped
+    by_cell: dict[int, list] = {}
+    for r in dec:
+        if r["n_dup_neighbors"] >= 1:
+            by_cell.setdefault(r["cell"], []).append(r)
+    for rows in by_cell.values():
+        head = min(rows, key=lambda r: (r["cdist"], r["vec_id"]))
+        assert not head["dropped"], head
