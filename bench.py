@@ -165,7 +165,8 @@ def main() -> None:
     cal_shuf: list[float] = []
     for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(50_000_000).selectExpr("sum(xxhash64(id)) AS s") \
+        spark.range(50_000_000) \
+            .selectExpr("sum(pmod(xxhash64(id), 1048576)) AS s") \
             .write.format("noop").mode("overwrite").save()
         cal_jvm.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
