@@ -133,14 +133,139 @@ def pack_wav_pcm16(samples: list[int], sample_rate: int, n_channels: int = 1) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def bmp_decoder(payload: bytes, fmt: str) -> list[float]:
+    """REAL image codec through the pluggable seam: a pure-stdlib
+    Windows BMP (BITMAPINFOHEADER, 24 bpp uncompressed) parser — the
+    container layout from the public BMP spec. Handles the two row
+    orders (positive height = bottom-up, negative = top-down) and the
+    4-byte row padding, normalising to top-down row-major pixels.
+
+    Features (10 floats, every one integer-valued so the float32
+    feature column is lossless and an SQL oracle can recompute them
+    bit-for-bit):
+
+      width, height, n_pixels,
+      r_sum, g_sum, b_sum           (per-channel byte sums),
+      px_min, px_max                (over all channel bytes),
+      ds_count, ds_sum              (2x nearest-neighbour downsample:
+                                     pixels at even x AND even y;
+                                     count and sum over all channels)
+
+    The downsample features depend on pixel COORDINATES, not just the
+    multiset of bytes — a hash-green oracle row certifies the row-order
+    flip and stride arithmetic, not just byte accounting."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24bpp supported, got {bpp}bpp")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (3 * w + 3) & ~3  # rows padded to 4 bytes
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+
+    # Normalise to top-down row-major (r, g, b) triples. BMP stores
+    # channels as BGR within each pixel.
+    r_sum = g_sum = b_sum = 0
+    px_min, px_max = 255, 0
+    ds_count = ds_sum = 0
+    for y in range(h):
+        src_row = y if top_down else h - 1 - y
+        base = data_off + src_row * stride
+        row = payload[base : base + 3 * w]
+        for x in range(w):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            r_sum += r
+            g_sum += g
+            b_sum += b
+            lo, hi = min(b, g, r), max(b, g, r)
+            if lo < px_min:
+                px_min = lo
+            if hi > px_max:
+                px_max = hi
+            if (x & 1) == 0 and (y & 1) == 0:
+                ds_count += 1
+                ds_sum += r + g + b
+    return [
+        float(w),
+        float(h),
+        float(w * h),
+        float(r_sum),
+        float(g_sum),
+        float(b_sum),
+        float(px_min),
+        float(px_max),
+        float(ds_count),
+        float(ds_sum),
+    ]
+
+
+def pack_bmp24(
+    pixels: "list[tuple[int, int, int]]",
+    width: int,
+    height: int,
+    top_down: bool = False,
+) -> bytes:
+    """Inverse of bmp_decoder for fixtures/tests: pack top-down
+    row-major (r, g, b) pixels into a minimal 24 bpp BMP. Default
+    writes the common bottom-up row order (positive height) so
+    round-trip tests exercise the decoder's row flip; ``top_down=True``
+    writes negative height for the other branch. Rows are padded to
+    4 bytes per the spec, which is non-trivial whenever width % 4 != 0.
+    """
+    import struct
+
+    if len(pixels) != width * height:
+        raise ValueError("pixels must be width*height (top-down row-major)")
+    stride = (3 * width + 3) & ~3
+    pad = b"\x00" * (stride - 3 * width)
+    rows = []
+    ys = range(height) if top_down else range(height - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))  # BGR on disk
+        rows.append(bytes(row) + pad)
+    pixel_data = b"".join(rows)
+    data_off = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        -height if top_down else height,
+        1,
+        24,
+        0,
+        len(pixel_data),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    file_hdr = struct.pack("<2sIHHI", b"BM", data_off + len(pixel_data), 0, 0, data_off)
+    return file_hdr + info + pixel_data
+
+
 # Named codec registry: callers (and the CLI/driver surface) select a
 # decoder by format string; extract_features also accepts a raw
 # callable. The fake codec stays the deterministic test stand-in; wav
-# is the shipping stdlib codec; image/video codecs plug in here when
-# their libraries exist in the deployment.
+# and bmp are the shipping stdlib codecs; richer image/video codecs
+# plug in here when their libraries exist in the deployment.
 CODECS: "dict[str, Decoder]" = {
     "fake": fake_image_decoder,
     "wav": wav_decoder,
+    "bmp": bmp_decoder,
 }
 
 

@@ -190,6 +190,113 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_features",
+    priority=10,  # new in round 7 → first driver window
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars % 13 + 5 AS w, n_chars % 7 + 4 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      FROM base
+    ),
+    v AS (
+      SELECT doc_id, w, h, p, p % w AS x, p // w AS y,
+             (doc_id + 3 * p) % 256 AS r,
+             (doc_id + 3 * p + 1) % 256 AS g,
+             (doc_id + 3 * p + 2) % 256 AS b
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+           10 AS feat_dim,
+           CAST(max(w) AS BIGINT) AS width,
+           CAST(max(h) AS BIGINT) AS height,
+           CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+           CAST(sum(r) AS BIGINT) AS r_sum,
+           CAST(sum(g) AS BIGINT) AS g_sum,
+           CAST(sum(b) AS BIGINT) AS b_sum,
+           CAST(min(least(r, g, b)) AS BIGINT) AS px_min,
+           CAST(max(greatest(r, g, b)) AS BIGINT) AS px_max,
+           CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS ds_count,
+           CAST(sum(CASE WHEN x % 2 = 0 AND y % 2 = 0 THEN r + g + b
+                         ELSE 0 END) AS BIGINT) AS ds_sum
+    FROM v GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "bmp", "codec", "mapInPandas", "extension"),
+)
+def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec through the pluggable decode seam (the image
+    twin of round 6's wav query): synthetic 24 bpp BMP payloads —
+    packed per document, alternating bottom-up and top-down row order
+    by doc parity so BOTH decoder branches are driver-certified —
+    decoded by the stdlib BMP parser (operators/multimodal.bmp_decoder,
+    CODECS["bmp"]) inside the same Arrow-batched extract_features path.
+
+    Pixel (x, y) of doc d is channel-wise (d + 3*(y*w+x) + c) % 256
+    with w = n_chars % 13 + 5, h = n_chars % 7 + 4: every decoded
+    feature is an integer ≤ 2^18, so the float32 feature column is
+    lossless and the DuckDB oracle recomputes the decode exactly. The
+    2x-downsample features (even x AND even y) depend on pixel
+    coordinates, so a hash-green row certifies the bottom-up flip,
+    BGR ordering, and 4-byte row-stride arithmetic — not just byte
+    accounting. Reference seam: SURVEY.md §2 multimodal extension
+    (decode / feature-extract / resize as Pandas-UDF plumbing)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from hadoop_project_spark.operators.multimodal import pack_bmp24
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, nc = int(d), int(nc)
+                w, h = nc % 13 + 5, nc % 7 + 4
+                pix = [
+                    tuple((d + 3 * p + c) % 256 for c in range(3))
+                    for p in range(w * h)
+                ]
+                payloads.append(pack_bmp24(pix, w, h, top_down=bool(d % 2)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "format": "bmp",
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(synth, schema=media_schema)
+    feats = extract_features(media, decoder="bmp")
+    names = [
+        "width", "height", "n_pixels", "r_sum", "g_sum", "b_sum",
+        "px_min", "px_max", "ds_count", "ds_sum",
+    ]
+    return feats.select(
+        "media_id",
+        "feat_dim",
+        *[
+            F.round(F.col("features")[i]).cast("long").alias(name)
+            for i, name in enumerate(names)
+        ],
+    )
+
+
+@register(
     "multimodal_audio_windows",
     priority=500,
     oracle="""

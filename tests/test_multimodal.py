@@ -144,3 +144,87 @@ def test_wav_features_through_arrow(spark):
     }
     for i, _, _, payload in rows:
         assert got[i] == wav_decoder(payload, "wav")
+
+
+# ------------------------------------------------------------ bmp codec
+
+
+def _bmp_expected(pix, w, h):
+    rs = sum(p[0] for p in pix)
+    gs = sum(p[1] for p in pix)
+    bs = sum(p[2] for p in pix)
+    mn = min(min(p) for p in pix)
+    mx = max(max(p) for p in pix)
+    ds = [(x, y) for y in range(0, h, 2) for x in range(0, w, 2)]
+    dsum = sum(sum(pix[y * w + x]) for x, y in ds)
+    return [float(v) for v in (w, h, w * h, rs, gs, bs, mn, mx, len(ds), dsum)]
+
+
+def test_bmp_roundtrip_both_row_orders():
+    """pack → decode recovers all 10 features exactly in both the
+    bottom-up (positive height) and top-down (negative height) row
+    orders, through non-trivial 4-byte row padding (width % 4 != 0)."""
+    from hadoop_project_spark.operators.multimodal import bmp_decoder, pack_bmp24
+
+    w, h = 7, 5
+    pix = [((3 * p) % 256, (3 * p + 1) % 256, (3 * p + 2) % 256) for p in range(w * h)]
+    for top_down in (False, True):
+        payload = pack_bmp24(pix, w, h, top_down=top_down)
+        assert bmp_decoder(payload, "bmp") == _bmp_expected(pix, w, h)
+
+
+def test_bmp_downsample_sees_coordinates():
+    """The ds_* features distinguish images with identical byte
+    multisets but different pixel PLACEMENT — the decoder's row-order
+    normalisation is load-bearing, not just byte accounting."""
+    from hadoop_project_spark.operators.multimodal import bmp_decoder, pack_bmp24
+
+    w, h = 4, 2
+    bright = (200, 200, 200)
+    dark = (10, 10, 10)
+    top_bright = [bright] * w + [dark] * w      # row 0 bright
+    bottom_bright = [dark] * w + [bright] * w   # row 1 bright
+    f_top = bmp_decoder(pack_bmp24(top_bright, w, h), "bmp")
+    f_bot = bmp_decoder(pack_bmp24(bottom_bright, w, h), "bmp")
+    assert f_top[:8] == f_bot[:8]        # same byte multiset features
+    assert f_top[9] != f_bot[9]          # ds_sum differs (y=0 sampled)
+    assert f_top[9] == 3 * 200 * 2.0     # even x in {0, 2} on bright row
+
+
+def test_bmp_decoder_rejects_garbage():
+    from hadoop_project_spark.operators.multimodal import bmp_decoder, pack_bmp24
+
+    with pytest.raises(ValueError):
+        bmp_decoder(b"not a bmp", "bmp")
+    payload = bytearray(pack_bmp24([(1, 2, 3)], 1, 1))
+    payload[28] = 32  # claim 32bpp
+    with pytest.raises(ValueError, match="24bpp"):
+        bmp_decoder(bytes(payload), "bmp")
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decoder(pack_bmp24([(1, 2, 3)], 1, 1)[:-2], "bmp")
+
+
+def test_bmp_property_roundtrip():
+    """Hypothesis: arbitrary small images round-trip pack → decode
+    exactly in both row orders (padding widths 0..3 all covered by the
+    width range)."""
+    from hypothesis import given, settings, strategies as st
+
+    from hadoop_project_spark.operators.multimodal import bmp_decoder, pack_bmp24
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 6),
+        seed=st.integers(0, 2**32 - 1),
+        top_down=st.booleans(),
+    )
+    def check(w, h, seed, top_down):
+        pix = [
+            tuple((seed + 3 * p + c) % 256 for c in range(3))
+            for p in range(w * h)
+        ]
+        payload = pack_bmp24(pix, w, h, top_down=top_down)
+        assert bmp_decoder(payload, "bmp") == _bmp_expected(pix, w, h)
+
+    check()

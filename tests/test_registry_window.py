@@ -60,6 +60,7 @@ MUST_VERIFY = {
     "dedup_simhash_signatures",
     "neardup_gate_admissions",  # round-7 new (self-promoted prio=10)
     "semantic_dedup_decisions",  # round-7 new (self-promoted prio=10)
+    "multimodal_bmp_features",  # round-7 new (self-promoted prio=10)
     # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
     # regenerated-sf1 token-telemetry family
