@@ -470,11 +470,28 @@ SEMDEDUP_SEED = 31
 SEMDEDUP_TAU = 0.3
 
 
+def _semdedup_centroids() -> list[list[float]]:
+    """The FITTED coarse quantizer (plans/semdedup_centroids.py, a
+    generated artifact of scripts/fit_semdedup_centroids.py's seeded
+    Lloyd run) — not make_coarse_centroids' random planes: random
+    centroids in 64-dim left 72% of sf1's vectors nearest ONE centroid
+    (14,422 of 20,000), serializing the within-cell Gram scoring into a
+    single 14k x 14k task (~155 s); the fitted centroids balance the
+    cells at every decade (sf1 max cell 2,404) because the fixture
+    decades share cluster structure — exactly how SemDeDup ships its
+    quantizer (k-means first, then within-cluster dedup)."""
+    from hadoop_project_spark.plans.semdedup_centroids import (
+        SEMDEDUP_CENTROIDS,
+    )
+
+    return SEMDEDUP_CENTROIDS
+
+
 def _sql_semdedup_oracle() -> str:
     """Full SQL twin of semantic_dedup_decisions: same centroid
     literals, argmin cell assignment, within-cell cosine pairs, and the
     (cdist, vec_id) keep rule."""
-    cents = sim.make_coarse_centroids(SEMDEDUP_CELLS, DIM, SEMDEDUP_SEED)
+    cents = _semdedup_centroids()
     ds = ", ".join(_sql_sqdist("embedding", c) for c in cents)
     return f"""
     WITH assigned AS (
@@ -528,21 +545,21 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-neighbor count, and the drop verdict.
 
     This composes the engine's existing primitives instead of adding
-    machinery: centroid assignment is the IVF coarse quantizer
-    (sim.ivf_cell_assignment — at 100 TB the centroids come from one
-    operators.kmeans pass and are broadcast as literals), and
-    within-cluster scoring is the per-block numpy Gram path
-    (sim.blocked_pair_cosines) shared with embedding_neardup_pairs.
-    Scale shape: candidates are cluster-blocked, never all-pairs —
-    block count grows with the corpus when k is chosen ∝ n/target —
-    and the keep rule is a pair-local expression plus one distinct, so
-    no global sort, window, or driver state. The label-blocked /
-    LSH-bucketed near-dup variants share the scoring core; this is the
-    published data-driven blocking the other two approximate.
+    machinery: centroid assignment is the IVF coarse quantizer over the
+    FITTED centroids (_semdedup_centroids — a one-time seeded Lloyd
+    pass shipped as literals, exactly the k-means-first step the paper
+    prescribes; random centroids measured 72% of vectors in one cell at
+    sf1, a single 155 s Gram task), and within-cluster scoring is the
+    per-block numpy Gram path (sim.blocked_pair_cosines) shared with
+    embedding_neardup_pairs. The keep rule is a pair-local expression
+    plus one distinct, so no global sort, window, or driver state.
+    Scale caveat (same as embedding_neardup_pairs): the cell count is
+    FIXED, so within-cell candidates are quadratic per decade — at
+    100 TB choose k ∝ n/target, or use semantic_dedup_bucketed, the
+    measured-linear (cell, sign-LSH) twin.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = sim.make_coarse_centroids(SEMDEDUP_CELLS, DIM, SEMDEDUP_SEED)
-    asg = sim.ivf_cell_assignment("embedding", cents)
+    asg = sim.ivf_cell_assignment("embedding", _semdedup_centroids())
     # eager_pin: assigned feeds the Gram scorer AND both precedence
     # joins AND the final decision join (concurrent consumers)
     assigned = eager_pin(
@@ -556,11 +573,19 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = sim.blocked_pair_cosines(assigned, SEMDEDUP_TAU, block_col="cell")
     # authoritative round-then-threshold on the exact doubles (the Gram
     # margin only guards the 9dp boundary) — same contract as
-    # embedding_neardup_pairs
-    pairs = raw.filter(F.round("cosine", 9) >= SEMDEDUP_TAU).select(
-        "vec_a", "vec_b"
+    # embedding_neardup_pairs. eager_pin: pairs feeds the precedence
+    # join AND the neighbor-count aggregate — without the pin each
+    # consumer re-runs the whole Gram-scoring stage.
+    pairs = eager_pin(
+        raw.filter(F.round("cosine", 9) >= SEMDEDUP_TAU).select(
+            "vec_a", "vec_b"
+        )
     )
-    cd = assigned.select("vec_id", "cdist")
+    # the cdist lookup is per-VECTOR (linear) joined against per-PAIR
+    # rows (superlinear): broadcast the small side so the pair relation
+    # never shuffles; at 100 TB this becomes a co-partitioned join on
+    # the same bucketing the pair generation already has
+    cd = F.broadcast(assigned.select("vec_id", "cdist"))
     pj = (
         pairs.join(
             cd.select(F.col("vec_id").alias("vec_a"), F.col("cdist").alias("ca")),
@@ -573,6 +598,135 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     losers = pj.select(
         F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
         .otherwise(F.col("vec_b"))  # ties: vec_a < vec_b, so b drops
+        .alias("vec_id")
+    ).distinct()
+    nbrs = (
+        pairs.select(F.col("vec_a").alias("vec_id"))
+        .unionAll(pairs.select(F.col("vec_b").alias("vec_id")))
+        .groupBy("vec_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        assigned.select("vec_id", "cell", "cdist")
+        .join(nbrs, "vec_id", "left")
+        .join(losers.withColumn("is_loser", F.lit(True)), "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("cdist").alias("cdist"),
+            F.coalesce(F.col("n_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_neighbors"),
+            F.coalesce(F.col("is_loser"), F.lit(False)).alias("dropped"),
+        )
+    )
+
+
+_SEMDEDUP_BUCKET_PLANES_SEED = 113
+_SEMDEDUP_BUCKET_BITS = 6
+
+
+def _semdedup_bucket_planes() -> list[list[float]]:
+    return sim.make_hyperplanes(
+        _SEMDEDUP_BUCKET_BITS, DIM, _SEMDEDUP_BUCKET_PLANES_SEED
+    )
+
+
+def _sql_semdedup_bucketed_oracle() -> str:
+    """Oracle for the bucketed twin: identical keep rule, blocks
+    refined to (cell, sign-LSH bucket)."""
+    cents = _semdedup_centroids()
+    planes = _semdedup_bucket_planes()
+    ds = ", ".join(_sql_sqdist("embedding", c) for c in cents)
+    return f"""
+    WITH assigned AS (
+      SELECT vec_id, embedding,
+             CAST(list_position(dsl, list_min(dsl)) - 1 AS INT) AS cell,
+             list_min(dsl) AS cdist,
+             {_sql_lsh_bucket("embedding", planes)} AS bkt
+      FROM (SELECT vec_id, embedding, [{ds}] AS dsl FROM embeddings)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             a.cdist AS ca, b.cdist AS cb
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine("a.embedding", "b.embedding")} >= {SEMDEDUP_TAU}
+    ),
+    nbrs AS (
+      SELECT vec_id, COUNT(*) AS n_dup FROM (
+        SELECT va AS vec_id FROM pairs
+        UNION ALL
+        SELECT vb AS vec_id FROM pairs
+      ) GROUP BY vec_id
+    ),
+    losers AS (
+      SELECT DISTINCT CASE WHEN ca > cb THEN va ELSE vb END AS vec_id
+      FROM pairs
+    )
+    SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+           CAST(a.cell AS INTEGER) AS cell,
+           a.cdist AS cdist,
+           CAST(COALESCE(n.n_dup, 0) AS BIGINT) AS n_dup_neighbors,
+           (l.vec_id IS NOT NULL) AS dropped
+    FROM assigned a
+    LEFT JOIN nbrs n USING (vec_id)
+    LEFT JOIN losers l USING (vec_id)
+    """
+
+
+@register(
+    "semantic_dedup_bucketed",
+    oracle=_sql_semdedup_bucketed_oracle(),
+    priority=10,  # round-7 new: self-promote into the driver window
+    tags=("similarity", "dedup", "lsh", "extension"),
+)
+def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH twin of semantic_dedup_decisions (same pattern as
+    embedding_neardup_pairs -> _bucketed): blocks = (cell, 6-bit
+    sign-LSH bucket) instead of cell alone, so block COUNT grows with
+    the corpus (choose bits ~ log2(n / target_block)) and candidate
+    volume stays ~linear where the fixed-k variant's candidates are
+    quadratic per decade. Same fitted quantizer, same tau, same
+    (cdist, vec_id) keep rule and decision-table output; the recall
+    trade (duplicates straddling a hyperplane are missed unless every
+    differing bit splits them) is the published LSH one — production
+    stacks n_tables/multiprobe exactly as sim.lsh_topk does."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = sim.ivf_cell_assignment("embedding", _semdedup_centroids())
+    planes = _semdedup_bucket_planes()
+    assigned = eager_pin(
+        emb.select(
+            "vec_id",
+            "embedding",
+            asg.getField("cell").alias("cell"),
+            asg.getField("cdist").alias("cdist"),
+            F.concat_ws(
+                ":",
+                asg.getField("cell").cast("string"),
+                sim.lsh_bucket("embedding", planes).cast("string"),
+            ).alias("blk2"),
+        )
+    )
+    raw = sim.blocked_pair_cosines(assigned, SEMDEDUP_TAU, block_col="blk2")
+    pairs = eager_pin(
+        raw.filter(F.round("cosine", 9) >= SEMDEDUP_TAU).select(
+            "vec_a", "vec_b"
+        )
+    )
+    cd = F.broadcast(assigned.select("vec_id", "cdist"))
+    pj = (
+        pairs.join(
+            cd.select(F.col("vec_id").alias("vec_a"), F.col("cdist").alias("ca")),
+            "vec_a",
+        ).join(
+            cd.select(F.col("vec_id").alias("vec_b"), F.col("cdist").alias("cb")),
+            "vec_b",
+        )
+    )
+    losers = pj.select(
+        F.when(F.col("ca") > F.col("cb"), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
         .alias("vec_id")
     ).distinct()
     nbrs = (

@@ -61,6 +61,7 @@ MUST_VERIFY = {
     "neardup_gate_admissions",  # round-7 new (self-promoted prio=10)
     "semantic_dedup_decisions",  # round-7 new (self-promoted prio=10)
     "multimodal_bmp_features",  # round-7 new (self-promoted prio=10)
+    "semantic_dedup_bucketed",  # round-7 new: the SemDeDup scale twin
     # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
     # regenerated-sf1 token-telemetry family
