@@ -128,6 +128,60 @@ def min_shingle_fingerprint_from_tokens(toks: Column, k: int = 3) -> Column:
     return F.array_min(F.transform(shingles_from_tokens(toks, k), F.md5))
 
 
+def winnowing_fingerprints(
+    docs: "DataFrame",  # noqa: F821
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":  # noqa: F821
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every k-token shingle, then
+    keep the MINIMUM hash of each sliding window of w consecutive
+    shingle hashes; the distinct kept hashes are the document's
+    fingerprint set. The published guarantee the md5/min-shingle
+    fingerprints here lack: any shared run of ≥ w+k-1 tokens between
+    two documents shares at least one fingerprint — local, not just
+    probabilistic, overlap detection — while storing only ~2/(w+1) of
+    the shingle hashes.
+
+    Shape for 100 TB: shingle hashing is a per-row JVM expression
+    (shingles_from_tokens + md5_i64 — the rolling-window selection
+    works on position-ordered HASHES, so the hash itself needn't be
+    computed incrementally); the window minimum is one
+    partitionBy(doc) ORDER BY pos rows-frame — a single shuffle keyed
+    by doc_id, bounded by the largest document like every per-doc
+    operator here; `distinct` is a partial-aggregated exact dedup.
+    Documents with fewer than w full windows keep their one
+    whole-sequence minimum (pos 0) so every doc has ≥ 1 fingerprint.
+
+    Returns (doc_id, fp) — one row per distinct fingerprint.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(text_col), " ").alias("toks"),
+    )
+    sh = toks.select(
+        "doc_id",
+        F.greatest(F.size("toks") - F.lit(k - 1), F.lit(1)).alias("n_sh"),
+        F.posexplode(shingles_from_tokens(F.col("toks"), k)).alias("pos", "g"),
+    )
+    from hadoop_project_spark.functions.text import md5_i64
+
+    h = sh.select("doc_id", "n_sh", "pos", md5_i64(F.col("g")).alias("hv"))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    full = h.withColumn("fp", F.min("hv").over(win)).filter(
+        F.col("pos") <= F.greatest(F.col("n_sh") - w, F.lit(0))
+    )
+    return full.select("doc_id", "fp").distinct()
+
+
 def filter_funnel(stats, rules) -> "DataFrame":  # noqa: F821
     """Ordered filter-funnel attrition report: one row per rule, in
     application order — ``(rule_idx, rule, n_failed_first,

@@ -434,3 +434,111 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return ts.filter_funnel(stats, rules)
+
+
+WINNOW_K = 3  # tokens per shingle
+WINNOW_W = 4  # shingle hashes per winnowing window
+WINNOW_FP_DF_CAP = 50  # candidate blocking: drop fingerprints in > CAP docs
+WINNOW_MIN_SHARED = 2  # pair survives with >= this many shared fingerprints
+
+_SQL_WINNOW_FPS = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             greatest(len(toks) - {WINNOW_K - 1}, 1) AS n_sh,
+             unnest(generate_series(1,
+                    greatest(len(toks) - {WINNOW_K - 1}, 1))) AS pos1,
+             unnest([array_to_string(toks[i:i + {WINNOW_K - 1}], ' ')
+                     for i in range(1,
+                         greatest(len(toks) - {WINNOW_K - 1}, 1) + 1)]) AS g
+      FROM toks
+    ),
+    h AS (
+      SELECT doc_id, n_sh, pos1 - 1 AS pos,
+             CAST(('0x' || substr(md5('0|' || g), 1, 15)) AS BIGINT) AS hv
+      FROM sh
+    ),
+    wmin AS (
+      SELECT doc_id, n_sh, pos,
+             min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS fp
+      FROM h
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM wmin WHERE pos <= greatest(n_sh - {WINNOW_W}, 0)
+"""
+
+
+@register(
+    "doc_winnowing_fingerprints",
+    priority=10,  # new in round 7 -> first driver window
+    oracle=f"""
+    {_SQL_WINNOW_FPS}
+    """,
+    tags=("text", "fingerprint", "winnowing", "rolling-hash", "extension"),
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (operators/textstats.
+    winnowing_fingerprints — the MOSS rolling-window-minimum selection
+    over k-shingle hashes): the fingerprint family with a LOCALITY
+    guarantee (any shared ≥ w+k-1-token run shares a fingerprint),
+    completing the spectrum next to md5 exact-dedup keys and
+    min-shingle/MinHash probabilistic sketches. The oracle recomputes
+    shingling, the 60-bit hash, the w-window minimum, and the
+    full-window cutoff in SQL, so a hash-green row certifies the
+    position arithmetic, not just the hash function."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ts.winnowing_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+
+
+@register(
+    "winnowing_dup_candidates",
+    priority=10,  # new in round 7 -> first driver window
+    oracle=f"""
+    WITH fps AS ({_SQL_WINNOW_FPS}),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) <= {WINNOW_FP_DF_CAP}
+    ),
+    kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tags=("text", "fingerprint", "winnowing", "dedup", "extension"),
+)
+def winnowing_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs from shared winnowing fingerprints: the
+    standard fingerprint-index join (block on fp, count shared prints
+    per pair, threshold). Blocking discipline matches the rare-gram
+    df-cap the ngram-Jaccard path proved: fingerprints present in more
+    than WINNOW_FP_DF_CAP documents are dropped before the self-join, so no hot
+    fingerprint can quadratically fan out the candidate stage — at
+    corpus scale the cap is the boilerplate filter (a fingerprint half
+    the corpus shares identifies no pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = ts.winnowing_fingerprints(docs, k=WINNOW_K, w=WINNOW_W)
+    from hadoop_project_spark.execution import eager_pin
+
+    fps = eager_pin(fps)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_FP_DF_CAP)
+        .select("fp")
+    )
+    kept = fps.join(rare, "fp")
+    a = kept.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )

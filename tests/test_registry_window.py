@@ -62,6 +62,8 @@ MUST_VERIFY = {
     "semantic_dedup_decisions",  # round-7 new (self-promoted prio=10)
     "multimodal_bmp_features",  # round-7 new (self-promoted prio=10)
     "semantic_dedup_bucketed",  # round-7 new: the SemDeDup scale twin
+    "doc_winnowing_fingerprints",  # round-7 new (self-promoted prio=10)
+    "winnowing_dup_candidates",  # round-7 new (self-promoted prio=10)
     # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
     # regenerated-sf1 token-telemetry family

@@ -406,3 +406,78 @@ def test_eager_pin_blocks_and_is_cache_released(spark):
     spark.catalog.clearCache()
     # after clearCache the relation recomputes from lineage — still correct
     assert df.count() == 5000
+
+
+# ------------------------------------------------------- winnowing
+
+
+def test_winnowing_locality_guarantee(spark):
+    """The published winnowing property (Schleimer et al. 2003): two
+    documents sharing a run of >= w+k-1 tokens share at least one
+    fingerprint — locality the MinHash sketches only provide in
+    expectation. Here k=3, w=4: a shared 6-token run must collide."""
+    from hadoop_project_spark.operators.textstats import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "totally different words nothing in common here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs, k=3, w=4)
+    by_doc = {
+        r
+        for r in fps.groupBy("doc_id")
+        .agg({"fp": "collect_set"})
+        .rdd.map(lambda r: (r[0], frozenset(r[1])))
+        .collect()
+    }
+    d = dict(by_doc)
+    assert d[1] & d[2], "docs sharing a w+k-1 run must share a fingerprint"
+    assert not (d[1] & d[3]) and not (d[2] & d[3])
+
+
+def test_winnowing_short_doc_keeps_one_fingerprint(spark):
+    """Documents with fewer than w full windows keep the pos-0 minimum
+    so every document has >= 1 fingerprint."""
+    from hadoop_project_spark.operators.textstats import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "just two"), (2, "a b c d e")], "doc_id long, text string"
+    )
+    fps = winnowing_fingerprints(docs, k=3, w=4).collect()
+    per_doc = {}
+    for r in fps:
+        per_doc.setdefault(r.doc_id, 0)
+        per_doc[r.doc_id] += 1
+    assert per_doc[1] == 1 and per_doc[2] >= 1
+
+
+def test_winnowing_density(spark):
+    """Winnowing stores ~2/(w+1) of the shingle hashes — assert the
+    fingerprint count is well under the shingle count on a real doc and
+    the selected values are a subset of the doc's shingle hashes."""
+    from hadoop_project_spark.functions.text import md5_i64, normalize_text
+    from hadoop_project_spark.operators.textstats import winnowing_fingerprints
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"tok{i % 17}x{i % 5}" for i in range(200))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    fps = {r.fp for r in winnowing_fingerprints(docs, k=3, w=4).collect()}
+    from hadoop_project_spark.functions.text import shingles_from_tokens
+
+    sh = (
+        docs.select(
+            F.explode(
+                shingles_from_tokens(F.split(normalize_text("text"), " "), 3)
+            ).alias("g")
+        )
+        .select(md5_i64(F.col("g")).alias("hv"))
+        .collect()
+    )
+    all_hashes = {r.hv for r in sh}
+    assert fps <= all_hashes
+    assert len(fps) < len(all_hashes) / 2  # far sparser than the shingle set
