@@ -58,6 +58,24 @@ def bpe_proxy_token_count(col: str | Column) -> Column:
     return F.size(F.filter(pieces, lambda t: t != F.lit(""))).cast("long")
 
 
+# Letters / digit runs / single punctuation as separate fragments — the
+# RE2-safe twin of bpe_proxy_token_count's lookaround split, shared with
+# the SQL oracles (DuckDB's regex engine has no lookarounds). Certified
+# cross-engine by doc_token_stats.
+BPE_EXTRACT_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def bpe_fragment_count(col: str | Column) -> Column:
+    """BPE-ish fragment count via regexp_extract_all(BPE_EXTRACT_PATTERN)
+    — the form with a proven-parity SQL twin (prefer over
+    bpe_proxy_token_count when the result feeds an oracle-checked
+    column)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_EXTRACT_PATTERN), 0)).cast(
+        "long"
+    )
+
+
 def punct_ratio(col: str | Column) -> Column:
     """Fraction of characters that are neither alnum nor whitespace."""
     c = F.col(col) if isinstance(col, str) else col
@@ -195,6 +213,48 @@ def winnowing_fingerprints(
         F.col("pos") <= F.greatest(F.col("n_sh") - w, F.lit(0))
     )
     return full.select("doc_id", "fp").distinct()
+
+
+# Frozen linear quality model (FineWeb-Edu-style classifier filtering,
+# distilled to its deployment form): at training-data scale the
+# classifier itself is trained offline on a small labeled set; what
+# runs over the 100 TB corpus is the exported weight vector applied to
+# cheap per-document features. These literals stand in for that export
+# — swapping in real trained weights changes nothing about the Spark
+# plan. Features are rational functions of exact integer counts, so the
+# logit is bit-identical across engines (no sigmoid: it is monotone, so
+# thresholding the logit IS thresholding the probability).
+QUALITY_MODEL_BIAS = -2.0
+QUALITY_MODEL_W_LEN = 2.5  # saturating length credit: least(n_tok/500, 1)
+QUALITY_MODEL_W_PUNCT = -4.0  # punctuation-character ratio
+QUALITY_MODEL_W_STOP = 6.0  # en-stopword density (fluency proxy)
+QUALITY_MODEL_W_FRAG = -1.0  # BPE fragments per whitespace token
+# Admit when logit >= threshold. Calibrated on the synthetic fixture's
+# logit distribution (median -2.3, p90 -2.02 at sf0.01) so the gate
+# genuinely splits the corpus — a threshold no document crosses would
+# make the admitted flag untested data.
+QUALITY_MODEL_THRESHOLD = -2.2
+
+
+def quality_model_logit(col: str | Column) -> Column:
+    """Frozen-weight linear classifier logit over scan-stage features.
+
+    Shape for 100 TB: a single per-row expression — no shuffle, no UDF,
+    stays inside WholeStageCodegen; model-based filtering costs exactly
+    one scan. The expression tree (left-associated sum of products) is
+    mirrored verbatim in the SQL oracle so the double is bit-exact."""
+    n_tok = token_count(col).cast("double")
+    n_tok1 = F.greatest(n_tok, F.lit(1.0))
+    len_sat = F.least(n_tok / F.lit(500.0), F.lit(1.0))
+    stop_den = stopword_hits(col, "en").cast("double") / n_tok1
+    frag = bpe_fragment_count(col).cast("double") / n_tok1
+    return (
+        F.lit(QUALITY_MODEL_BIAS)
+        + F.lit(QUALITY_MODEL_W_LEN) * len_sat
+        + F.lit(QUALITY_MODEL_W_PUNCT) * punct_ratio(col)
+        + F.lit(QUALITY_MODEL_W_STOP) * stop_den
+        + F.lit(QUALITY_MODEL_W_FRAG) * frag
+    )
 
 
 def filter_funnel(stats, rules) -> "DataFrame":  # noqa: F821

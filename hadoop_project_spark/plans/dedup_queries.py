@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
 from hadoop_project_spark.operators import dedup as dd
+from hadoop_project_spark.operators import ssjoin as sj
 from hadoop_project_spark.plans.registry import register
 
 SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -138,6 +139,102 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_pairs(docs)
+
+
+@register(
+    "dedup_lsh_recall_eval",
+    priority=10,  # new in round 7 -> first driver window
+    oracle=f"""
+    WITH {_sql_bands_ctes()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    ti AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT t.doc_a, t.doc_b
+      FROM ti t JOIN sz sx ON sx.doc_id = t.doc_a
+                JOIN sz sy ON sy.doc_id = t.doc_b
+      WHERE t.i * {sj.SSJOIN_TAU_DEN}
+            >= {sj.SSJOIN_TAU_NUM} * (sx.n + sy.n - t.i)
+    ),
+    m AS (
+      SELECT (SELECT COUNT(*) FROM truth) AS nt,
+             (SELECT COUNT(*) FROM cand) AS nc,
+             (SELECT COUNT(*) FROM truth t JOIN cand c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS nh
+    )
+    SELECT CAST(nt AS BIGINT) AS n_truth,
+           CAST(nc AS BIGINT) AS n_candidates,
+           CAST(nh AS BIGINT) AS n_hits,
+           CASE WHEN nt = 0 THEN 0.0
+                ELSE CAST(nh AS DOUBLE) / CAST(nt AS DOUBLE)
+           END AS candidate_recall,
+           CASE WHEN nc = 0 THEN 0.0
+                ELSE CAST(nh AS DOUBLE) / CAST(nc AS DOUBLE)
+           END AS candidate_precision
+    FROM m
+    """,
+    tags=("dedup", "minhash", "lsh", "evaluation", "extension"),
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration report: candidate recall/precision of the
+    MinHash band-collision blocker against the EXACT Jaccard >= tau
+    truth set from the AllPairs prefix-filtered join
+    (operators/ssjoin.py — complete recall by the prefix theorem,
+    same 3-shingle universe). The dedup twin of ann_recall_at_k:
+    sketch-blocked operators ship with a measured recall number,
+    not a hope.
+
+    Shape for 100 TB: both inputs are the already-blocked pair
+    relations (never all-pairs); the comparison is one full-outer
+    pair-key join + a single global aggregate of conditional sums
+    (one row out). The oracle recomputes BOTH pipelines from
+    scratch in SQL — truth via the unblocked shingle self-join
+    (sound there: any pair with J >= 1/2 shares a shingle), so a
+    hash match certifies the prefix filter's completeness too."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = sj.prefix_filtered_jaccard_pairs(docs).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    sh = dd.doc_shingles(docs)
+    cand = dd.lsh_candidate_pairs(
+        dd.lsh_band_keys(dd.minhash_signatures(sh))
+    ).select("doc_a", "doc_b", F.lit(1).alias("c"))
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    row = j.agg(
+        F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nt"),
+        F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nc"),
+        F.sum(
+            F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("nh"),
+    )
+    return row.select(
+        F.col("nt").alias("n_truth"),
+        F.col("nc").alias("n_candidates"),
+        F.col("nh").alias("n_hits"),
+        F.when(F.col("nt") == 0, F.lit(0.0))
+        .otherwise(F.col("nh").cast("double") / F.col("nt").cast("double"))
+        .alias("candidate_recall"),
+        F.when(F.col("nc") == 0, F.lit(0.0))
+        .otherwise(F.col("nh").cast("double") / F.col("nc").cast("double"))
+        .alias("candidate_precision"),
+    )
+
+
 
 
 def _sql_simhash_sigs_cte() -> str:

@@ -114,6 +114,52 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_model_filter",
+    priority=10,  # new in round 7 -> first driver window
+    oracle=f"""
+    SELECT doc_id, model_logit,
+           model_logit >= {ts.QUALITY_MODEL_THRESHOLD} AS admitted
+    FROM (
+      SELECT doc_id,
+             {ts.QUALITY_MODEL_BIAS}
+             + {ts.QUALITY_MODEL_W_LEN}
+               * least(CAST(n_tok AS DOUBLE) / 500.0, 1.0)
+             + {ts.QUALITY_MODEL_W_PUNCT} * punct_ratio
+             + {ts.QUALITY_MODEL_W_STOP}
+               * (CAST(s_en AS DOUBLE)
+                  / greatest(CAST(n_tok AS DOUBLE), 1.0))
+             + {ts.QUALITY_MODEL_W_FRAG}
+               * (CAST(n_bpe AS DOUBLE)
+                  / greatest(CAST(n_tok AS DOUBLE), 1.0))
+               AS model_logit
+      FROM (
+        SELECT doc_id,
+               CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+               {SQL_PUNCT_RATIO} AS punct_ratio,
+               CAST({_sql_stop_hits('en')} AS BIGINT) AS s_en,
+               CAST({SQL_NBPE} AS BIGINT) AS n_bpe
+        FROM documents
+      )
+    )
+    """,
+    tags=("text", "quality", "model-filter", "extension"),
+)
+def doc_quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (FineWeb-Edu-style classifier
+    gate), deployed as a frozen linear logit over scan-stage features —
+    see operators/textstats.quality_model_logit for why the exported-
+    weight form is the 100 TB deployment shape. Distinct from
+    doc_quality_scores' hand-tuned heuristic: this is the `score =
+    w·x, admit = score >= t` contract a trained classifier exports."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", ts.quality_model_logit("text").alias("model_logit")
+    ).withColumn(
+        "admitted", F.col("model_logit") >= F.lit(ts.QUALITY_MODEL_THRESHOLD)
+    )
+
+
+@register(
     "doc_lang_id",
     oracle=f"""
     SELECT doc_id, lang, {_sql_lang_case()} AS lang_pred

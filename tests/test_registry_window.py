@@ -64,6 +64,8 @@ MUST_VERIFY = {
     "semantic_dedup_bucketed",  # round-7 new: the SemDeDup scale twin
     "doc_winnowing_fingerprints",  # round-7 new (self-promoted prio=10)
     "winnowing_dup_candidates",  # round-7 new (self-promoted prio=10)
+    "doc_quality_model_filter",  # round-7 new: frozen-classifier gate
+    "dedup_lsh_recall_eval",  # round-7 new: LSH calibration report
     # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
     # regenerated-sf1 token-telemetry family
