@@ -21,28 +21,32 @@ N_QUERIES = 8
 NEARDUP_MIN_COSINE = 0.3
 
 
-def _sql_dot(a: str, b: str) -> str:
+def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
     return (
         f"list_sum([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
-        f"for i in range(1, {DIM + 1})])"
+        f"for i in range(1, {dim + 1})])"
     )
 
 
-def _sql_cosine(a: str, b: str) -> str:
+def _sql_cosine(a: str, b: str, dim: int = DIM) -> str:
     return (
-        f"round({_sql_dot(a, b)} / "
-        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})), 9)"
+        f"round({_sql_dot(a, b, dim)} / "
+        f"(sqrt({_sql_dot(a, a, dim)}) * sqrt({_sql_dot(b, b, dim)})), 9)"
     )
 
 
-_SQL_BRUTEFORCE = f"""
+def _sql_bruteforce_at(dim: int) -> str:
+    """Exact cosine top-K SQL, scoring on the FIRST ``dim`` dims (the
+    full-width form when dim == DIM; truncated-prefix scoring for the
+    matryoshka evaluation below)."""
+    return f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv
       FROM embeddings WHERE vec_id < {N_QUERIES}
     ),
     s AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
-             {_sql_cosine("q.qv", "c.embedding")} AS cosine
+             {_sql_cosine("q.qv", "c.embedding", dim)} AS cosine
       FROM embeddings c, q
       WHERE c.vec_id <> q.query_id
     )
@@ -54,6 +58,9 @@ _SQL_BRUTEFORCE = f"""
     )
     WHERE rn <= {K}
     """
+
+
+_SQL_BRUTEFORCE = _sql_bruteforce_at(DIM)
 
 
 @register(
@@ -456,6 +463,117 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.lit(float(K))
             ).alias("recall_at_k"),
         )
+    )
+
+
+TRUNC_DIMS = (8, 16, 32)
+
+_SQL_TRUNC_CTES = ",\n    ".join(
+    f"t{d} AS ({_sql_bruteforce_at(d)})" for d in TRUNC_DIMS
+)
+_SQL_TRUNC_UNION = "\n      UNION ALL ".join(
+    f"SELECT {d} AS trunc_dim, query_id, neighbor_id FROM t{d}"
+    for d in TRUNC_DIMS
+)
+
+
+@register(
+    "ann_truncated_dim_recall",
+    priority=10,  # new in round 7 -> first driver window
+    oracle=f"""
+    WITH bf AS ({_SQL_BRUTEFORCE}),
+    {_SQL_TRUNC_CTES},
+    u AS (
+      {_SQL_TRUNC_UNION}
+    ),
+    hits AS (
+      SELECT u.trunc_dim, bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN u ON bf.query_id = u.query_id
+                    AND bf.neighbor_id = u.neighbor_id
+      GROUP BY 1, 2
+    ),
+    base AS (SELECT DISTINCT query_id FROM bf),
+    dims AS (SELECT UNNEST([{", ".join(str(d) for d in TRUNC_DIMS)}])
+             AS trunc_dim)
+    SELECT CAST(d.trunc_dim AS INTEGER) AS trunc_dim,
+           CAST(b.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {K} AS recall_at_k
+    FROM base b CROSS JOIN dims d
+    LEFT JOIN hits h ON h.query_id = b.query_id
+                    AND h.trunc_dim = d.trunc_dim
+    """,
+    tags=("similarity", "ann", "evaluation", "matryoshka", "extension"),
+)
+def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: recall@K of
+    exact cosine top-K computed on only the FIRST d dims (d = 8/16/32)
+    against the full-width (64-dim) ground truth — the number that
+    decides whether a cheap truncated-prefix prefilter (score on d dims,
+    re-rank survivors at full width) is safe for a given corpus.
+
+    Shape for 100 TB: each truncated ranking is the same scale-safe
+    plan as ann_topk_bruteforce (broadcast queries, one corpus scan,
+    two-stage top-k) over sliced arrays — slicing costs nothing at scan
+    time and cuts the per-pair fold by 64/d; the evaluation join is K
+    rows per query per d. The full-width truth relation feeds one join
+    per d, so it is eager-pinned rather than recomputed per branch."""
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bf = eager_pin(
+        ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    )
+    parts = []
+    for d in TRUNC_DIMS:
+        queries = (
+            emb.filter(F.col("vec_id") < N_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.slice("embedding", 1, d).alias("q_vec"),
+            )
+            .select("query_id", "q_vec", l2_norm("q_vec").alias("q_norm"))
+        )
+        corpus = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.slice("embedding", 1, d).alias("c_vec"),
+        ).select("neighbor_id", "c_vec", l2_norm("c_vec").alias("c_norm"))
+        scored = (
+            corpus.crossJoin(F.broadcast(queries))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    dot("q_vec", "c_vec")
+                    / (F.col("q_norm") * F.col("c_norm")),
+                    9,
+                ).alias("cosine"),
+            )
+        )
+        parts.append(
+            sim.global_topk(scored, K).select(
+                F.lit(d).alias("trunc_dim"), "query_id", "neighbor_id"
+            )
+        )
+    u = reduce(lambda x, y: x.unionByName(y), parts)
+    hits = (
+        bf.join(u, ["query_id", "neighbor_id"])
+        .groupBy("trunc_dim", "query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    dims = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d) for d in TRUNC_DIMS])).alias("trunc_dim")
+    )
+    base = bf.select("query_id").distinct().crossJoin(F.broadcast(dims))
+    return base.join(hits, ["trunc_dim", "query_id"], "left").select(
+        F.col("trunc_dim").cast("int").alias("trunc_dim"),
+        F.col("query_id").cast("long").alias("query_id"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+            / F.lit(float(K))
+        ).alias("recall_at_k"),
     )
 
 

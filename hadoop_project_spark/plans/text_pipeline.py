@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import widen_for_compute
 from hadoop_project_spark.operators import textstats as ts
 from hadoop_project_spark.plans.registry import register
 
@@ -75,7 +76,9 @@ SQL_QUALITY = (
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counting: whitespace tokens + BPE-ish fragment
     count (letters / digit runs / single punctuation as separate tokens)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.select(
         "doc_id",
         ts.token_count("text").alias("n_tokens"),
@@ -104,7 +107,9 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic quality heuristic per document: length credit ×
     punctuation penalty × stopword-density credit."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.select(
         "doc_id",
         ts.token_count("text").alias("n_tokens"),
@@ -151,7 +156,9 @@ def doc_quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight form is the 100 TB deployment shape. Distinct from
     doc_quality_scores' hand-tuned heuristic: this is the `score =
     w·x, admit = score >= t` contract a trained classifier exports."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return docs.select(
         "doc_id", ts.quality_model_logit("text").alias("model_logit")
     ).withColumn(
@@ -174,7 +181,9 @@ def doc_quality_model_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-profile language ID vs the table's declared lang."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
     return docs.select("doc_id", "lang", ts.lang_id("text").alias("lang_pred"))
 
 
