@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import widen_for_compute
 from hadoop_project_spark.operators.multimodal import (
     extract_features,
     fake_image_decoder,
@@ -144,7 +145,12 @@ def multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_project_spark.operators.multimodal import pack_wav_pcm16
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # the synth+decode loops below are Python-per-row work behind a
+    # tiny two-column scan: widen or a single-row-group table runs
+    # the whole codec path on 1-2 tasks (fires from ~sf1 up)
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
 
     media_schema = T.StructType(
         [
@@ -249,7 +255,12 @@ def multimodal_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hadoop_project_spark.operators.multimodal import pack_bmp24
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # the synth+decode loops below are Python-per-row work behind a
+    # tiny two-column scan: widen or a single-row-group table runs
+    # the whole codec path on 1-2 tasks (fires from ~sf1 up)
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )
 
     media_schema = T.StructType(
         [
