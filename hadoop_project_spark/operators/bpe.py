@@ -1,0 +1,163 @@
+"""Distributed BPE tokenizer training over the `documents` corpus.
+
+The reference has no tokenizer; this is a training-data-pipeline
+extension (SURVEY.md §2 extension scope, next to token counting in
+operators/textstats.py): given a corpus, learn the first N byte-pair
+merges — the Sennrich et al. (ACL 2016) subword algorithm every modern
+LLM tokenizer descends from.
+
+Shape for 100 TB — the key design decision is WHAT the iterations run
+over. One corpus-scale aggregation builds the distinct-word frequency
+table; every BPE iteration after that runs over the VOCABULARY relation
+(|V| distinct words), not the corpus. A web-scale corpus has billions
+of documents but a vocabulary orders of magnitude smaller, so the
+trainer is: 1 heavy pass + N cheap passes, each a pair-explode +
+partial-aggregated SUM + a single TakeOrdered(1) — the same bounded
+O(iterations) driver state discipline as operators/kmeans.py (each
+iteration collects ONE (pair, count) row, never data-scale rows).
+
+Determinism: pair counts are exact integers; the argmax tie-break is
+total (count DESC, then left/right lexicographic), so the learned merge
+sequence is a pure function of the corpus. No end-of-word marker is
+appended (documented divergence from the classic formulation — merges
+here never span words anyway because symbols live inside per-word
+sequences).
+
+Semantics pinned by tests/test_bpe.py against an independent pure-
+Python reference: pair counting is per adjacent POSITION (so a run
+'aaa' contributes (a,a) twice — the classic get_stats behavior), and
+merge application is greedy left-to-right non-overlapping (the fold
+below replaces the accumulator's tail element, so after a merge the
+new symbol cannot immediately re-merge as the left half of the same
+rule — 'aaaa' under (a,a) becomes ['aa','aa'], not ['aaa','a']).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from hadoop_project_spark.functions.text import normalize_text
+
+#: iterations the registered trainer query runs (kept small so the
+#: bench cost stays honest; the shape is iteration-count-independent)
+N_MERGES = 8
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) distinct-word frequencies — the one corpus-scale pass.
+    Partial-aggregated groupBy: the shuffle carries one row per distinct
+    word per input partition, not one per token. The normalize/split
+    scan is CPU-heavy per row, so the narrow projection is widened
+    (execution.py conventions) before it."""
+    from hadoop_project_spark.execution import widen_for_compute
+
+    toks = widen_for_compute(docs.select(text_col)).select(
+        F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return toks.groupBy("word").agg(F.count("*").alias("n"))
+
+
+def with_symbols(words: DataFrame) -> DataFrame:
+    """Attach the initial symbol sequence: one single-character symbol
+    per character (``split(word, '')``)."""
+    return words.select("word", "n", F.split("word", "").alias("syms"))
+
+
+def pair_counts(state: DataFrame) -> DataFrame:
+    """(left, right, cnt): adjacent-position symbol-pair counts weighted
+    by word frequency. Overlapping positions all count (classic
+    get_stats): a word 'aaa' with frequency f contributes 2f to (a,a).
+    zip_with over the sequence and its shift-by-one materializes the
+    pairs without a posexplode + self-join."""
+    pairs = state.select(
+        "n",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                lambda x, y: F.struct(x.alias("lhs"), y.alias("rhs")),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.select("n", "p.lhs", "p.rhs")
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("n").alias("cnt"))
+    )
+
+
+def top_pair(state: DataFrame) -> DataFrame:
+    """The argmax pair under the total order (cnt DESC, lhs, rhs) —
+    a TakeOrdered(1) over the vocabulary-sized pair relation, never a
+    global sort."""
+    return (
+        pair_counts(state)
+        .orderBy(F.col("cnt").desc(), "lhs", "rhs")
+        .limit(1)
+    )
+
+
+def _merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right non-overlapping application of one merge
+    rule to a symbol sequence, as a single aggregate fold. The fold is
+    interpreted per element, which is exactly why the trainer runs it
+    over the vocabulary relation and not the corpus (module
+    docstring)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
+    """Rewrite every symbol sequence under one learned merge rule."""
+    return state.select(
+        "word", "n", _merge_fold(F.col("syms"), left, right).alias("syms")
+    )
+
+
+def train_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
+    """Learn the first ``n_merges`` BPE merges; returns
+    [{merge_idx, lhs, rhs, merged, pair_count}, ...] — O(n_merges)
+    driver state, one collected row per iteration.
+
+    Each iteration's rewritten state is persisted and materialized
+    before the next (a blocking count like execution.eager_pin, kept
+    inline here because the relation is vocabulary-sized): without the
+    barrier the folds nest n_merges deep in one interpreted expression
+    tree and each iteration re-runs all previous rewrites."""
+    state = with_symbols(word_freq_table(docs)).persist()
+    state.count()
+    merges: list[dict] = []
+    try:
+        for i in range(1, n_merges + 1):
+            rows = top_pair(state).collect()
+            if not rows:  # degenerate corpus: all 1-char words
+                break
+            r = rows[0]
+            merges.append(
+                {
+                    "merge_idx": i,
+                    "lhs": r["lhs"],
+                    "rhs": r["rhs"],
+                    "merged": r["lhs"] + r["rhs"],
+                    "pair_count": int(r["cnt"]),
+                }
+            )
+            nxt = apply_merge(state, r["lhs"], r["rhs"]).persist()
+            nxt.count()
+            state.unpersist()
+            state = nxt
+    finally:
+        state.unpersist()
+    return merges

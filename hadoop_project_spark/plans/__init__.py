@@ -15,6 +15,7 @@ from hadoop_project_spark.plans import relational3  # noqa: F401,E402
 from hadoop_project_spark.plans import correlated  # noqa: F401,E402
 from hadoop_project_spark.plans import reference_workloads  # noqa: F401,E402
 from hadoop_project_spark.plans import text_pipeline  # noqa: F401,E402
+from hadoop_project_spark.plans import bpe_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import dedup_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import corpus_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import similarity_queries  # noqa: F401,E402

@@ -67,6 +67,7 @@ MUST_VERIFY = {
     "doc_quality_model_filter",  # round-7 new: frozen-classifier gate
     "dedup_lsh_recall_eval",  # round-7 new: LSH calibration report
     "ann_truncated_dim_recall",  # round-7 new: matryoshka recall eval
+    "bpe_train_merges",  # round-7 new: oracle-replayed iterative trainer
     # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
     # regenerated-sf1 token-telemetry family
