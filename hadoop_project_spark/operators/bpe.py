@@ -126,6 +126,65 @@ def apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+def encode_token_counts(
+    docs: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    by_col: str = "source",
+) -> DataFrame:
+    """Deployment half of the trainer: apply a learned merge list to
+    the whole corpus and report per-group tokenization stats —
+    (group, n_words, n_chars, n_tokens, chars_per_token).
+
+    Shape for 100 TB: unlike training (vocabulary-sized iterations),
+    encoding IS corpus-scale — so it must stay in codegen. Symbol
+    sequences are the chr(1)-wrapped strings the SQL oracle uses
+    ('\\x01sym\\x01...'), and each merge is one literal
+    ``replace()`` — a JVM string op, not an interpreted per-element
+    fold — so the whole encode is a scan-stage expression chain of
+    len(merges) replaces followed by one partial-aggregated groupBy.
+    Token count falls out of the representation: every symbol carries
+    exactly two markers, so k = (len(s) - len(strip markers)) div 2."""
+    from hadoop_project_spark.execution import widen_for_compute
+
+    m = "\x01"
+    words = widen_for_compute(docs.select(by_col, text_col)).select(
+        by_col,
+        F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    s = F.concat(
+        F.lit(m), F.array_join(F.split("word", ""), m + m), F.lit(m)
+    )
+    for rule in merges:
+        s = F.replace(
+            s,
+            F.lit(m + rule["lhs"] + m + m + rule["rhs"] + m),
+            F.lit(m + rule["merged"] + m),
+        )
+    n_chars_w = F.length(F.replace(s, F.lit(m), F.lit("")))
+    enc = words.select(
+        by_col,
+        n_chars_w.alias("n_chars_w"),
+        # every symbol carries exactly 2 markers, so the division is
+        # exact per row (long arithmetic; no float sums anywhere)
+        ((F.length(s) - n_chars_w) / F.lit(2)).cast("long").alias("k"),
+    )
+    agg = enc.groupBy(by_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("n_chars_w").cast("long").alias("n_chars"),
+        F.sum("k").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        by_col,
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        (
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
 def train_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
     """Learn the first ``n_merges`` BPE merges; returns
     [{merge_idx, lhs, rhs, merged, pair_count}, ...] — O(n_merges)

@@ -40,9 +40,9 @@ _M = "chr(1)"  # symbol boundary marker
 _MM = f"{_M} || {_M}"
 
 
-def _sql_train_merges(n_merges: int) -> str:
-    """Generate the chained-CTE oracle: stages s0..s{n}, each m{i} the
-    argmax pair of s{i-1} and s{i} the rewrite under it."""
+def _sql_stages(n_merges: int) -> list[str]:
+    """Shared chained-CTE stages: s0..s{n}, each m{i} the argmax pair
+    of s{i-1} and s{i} the rewrite under it."""
     stages = [
         f"""w AS (
       SELECT word, COUNT(*) AS n FROM (
@@ -80,13 +80,68 @@ def _sql_train_merges(n_merges: int) -> str:
       FROM {prev}
     )"""
         )
+    return stages
+
+
+def _sql_train_merges(n_merges: int) -> str:
     finals = "\n      UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_idx, lhs, rhs,"
         f" lhs || rhs AS merged, cnt AS pair_count FROM m{i}"
         for i in range(1, n_merges + 1)
     )
     return (
-        "WITH " + ",\n    ".join(stages) + f"\n    {finals}"
+        "WITH " + ",\n    ".join(_sql_stages(n_merges)) + f"\n    {finals}"
+    )
+
+
+def _sql_encode_token_counts(n_merges: int) -> str:
+    """Train (shared stages), then re-encode the whole corpus under the
+    learned merges and roll token stats up per source."""
+    stages = _sql_stages(n_merges)
+    stages.append(
+        f"""wd AS (
+      SELECT source, word FROM (
+        SELECT source, UNNEST(string_split({SQL_NORM}, ' ')) AS word
+        FROM documents
+      ) WHERE word <> ''
+    ),
+    e0 AS MATERIALIZED (
+      SELECT source,
+             {_M} || array_to_string(
+               [word[i] for i in range(1, length(word) + 1)], {_MM})
+             || {_M} AS s
+      FROM wd
+    )"""
+    )
+    for i in range(1, n_merges + 1):
+        stages.append(
+            f"""e{i} AS MATERIALIZED (
+      SELECT source, replace(s,
+        {_M} || (SELECT lhs FROM m{i}) || {_MM} || (SELECT rhs FROM m{i}) || {_M},
+        {_M} || (SELECT lhs FROM m{i}) || (SELECT rhs FROM m{i}) || {_M}) AS s
+      FROM e{i - 1}
+    )"""
+        )
+    stages.append(
+        f"""fin AS (
+      SELECT source,
+             length(replace(s, {_M}, '')) AS n_chars_w,
+             (length(s) - length(replace(s, {_M}, ''))) // 2 AS k
+      FROM e{n_merges}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(stages)
+        + """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+           CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars_w) AS DOUBLE) / CAST(SUM(k) AS DOUBLE)
+             AS chars_per_token
+    FROM fin GROUP BY source
+    """
     )
 
 
@@ -114,3 +169,23 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged STRING, pair_count BIGINT"
     )
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "bpe_encode_token_counts",
+    priority=10,  # new in round 7 -> first driver window
+    oracle=_sql_encode_token_counts(bpe.N_MERGES),
+    tags=("text", "tokenizer", "bpe", "token-count", "extension"),
+)
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployment half of the tokenizer: train the N_MERGES merges,
+    then re-encode the WHOLE corpus under them and roll up per-source
+    (n_words, n_chars, n_tokens, chars_per_token) — the real token
+    budget the BPE-proxy regex in doc_token_stats approximates.
+    Encoding is corpus-scale, so it stays a codegen expression chain
+    (one literal replace() per merge over the wrapped symbol string —
+    see operators/bpe.encode_token_counts); the oracle replays
+    training AND encoding from scratch in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_merges(docs, bpe.N_MERGES)
+    return bpe.encode_token_counts(docs, merges)

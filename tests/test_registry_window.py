@@ -68,6 +68,7 @@ MUST_VERIFY = {
     "dedup_lsh_recall_eval",  # round-7 new: LSH calibration report
     "ann_truncated_dim_recall",  # round-7 new: matryoshka recall eval
     "bpe_train_merges",  # round-7 new: oracle-replayed iterative trainer
+    "bpe_encode_token_counts",  # round-7 new: corpus re-encode under merges
     # 6 dp cross-engine percentile rounding
     "price_quantile_histogram",
     # regenerated-sf1 token-telemetry family
