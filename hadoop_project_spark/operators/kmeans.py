@@ -23,14 +23,30 @@ deterministically. All math is JVM-side; no UDFs.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from hadoop_project_spark.functions.vector import (
     double_array_lit,
+    long_array_lit,
     squared_l2_distance,
 )
+
+# Fixed-point scale for the PINNED Lloyd fit: 4-dp micro-units. The
+# reference itself rounds centroids per iteration (HALF_UP 3 dp,
+# final/src/main/java/calc/KMeans.java:192-194); quantizing coordinates
+# at 1e4 generalizes that discipline one digit finer AND makes every
+# iteration integer-exact: distances are bigint sums of squared bigint
+# diffs, centroid updates are floor(sum/n + 0.5) of exact integer sums —
+# so the whole convergence loop replays bit-for-bit in any engine
+# (plans/ml_queries.py generates the chained-CTE DuckDB oracle; the BPE
+# trainer proved the replay pattern in round 7). Magnitudes: |coord| <
+# 1 → |q| < 1e4, per-pair squared distance < 64·(2e4)² ≈ 2.6e10, and
+# per-cluster sums stay far below 2^53 at every fixture scale, so the
+# one double division in the centroid update is exactly reproducible.
+KM_QUANT = 10_000
 
 
 @dataclass
@@ -159,6 +175,132 @@ def kmeans_fit(
         # model-selection sweep calls this once per k)
         if not assume_cached:
             points.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Pinned (fixed-point) Lloyd fit — the oracle-replayable variant.
+# ---------------------------------------------------------------------------
+@dataclass
+class PinnedKMeansResult:
+    centroids_q: list[list[int]]  # k × dim, in KM_QUANT micro-units
+    n_iters: int
+    converged: bool  # reached an exact fixed point within max_iter
+
+
+def quantized_vec(vec_col: str | Column = "embedding") -> Column:
+    """array<bigint> of floor(coord · KM_QUANT + 0.5) — round-half-up
+    fixed-point coordinates. float→double is exact, the multiply/add/
+    floor chain is IEEE-deterministic, so Spark and DuckDB produce the
+    same integers from the same parquet floats."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        c,
+        lambda v: F.floor(
+            v.cast("double") * F.lit(float(KM_QUANT)) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def pinned_distances(qcents: list[list[int]], q_col: str = "qv") -> Column:
+    """array<bigint> of exact integer squared-L2 distances from the
+    quantized vector column to each literal centroid — pure integer
+    arithmetic, so argmin/top-2 decisions are identical in any engine
+    (no rounding discipline needed, unlike the float single-step
+    queries' 9-dp trick)."""
+    carr = long_array_lit(qcents)
+    return F.transform(
+        carr,
+        lambda cvec: F.aggregate(
+            F.zip_with(F.col(q_col), cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def assign_clusters_pinned(
+    qpts: DataFrame, qcents: list[list[int]], q_col: str = "qv"
+) -> DataFrame:
+    """Add integer `cluster` (argmin, ties to the lowest index — exact,
+    both engines) and bigint `dist` (micro-unit² squared L2)."""
+    ds = pinned_distances(qcents, q_col)
+    scored = qpts.withColumn("_ds", ds)
+    best = F.array_min(F.col("_ds"))
+    cluster = (F.array_position(F.col("_ds"), best) - 1).cast("int")
+    return (
+        scored.withColumn("cluster", cluster)
+        .withColumn("dist", best)
+        .drop("_ds")
+    )
+
+
+def quantize_points(
+    points: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qv) projection — the relation every pinned stage consumes."""
+    return points.select(id_col, quantized_vec(vec_col).alias("qv"))
+
+
+def kmeans_fit_pinned(
+    points: DataFrame,
+    k: int,
+    dim: int,
+    max_iter: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    assume_quantized: bool = False,
+) -> PinnedKMeansResult:
+    """Lloyd's algorithm on KM_QUANT fixed-point coordinates — every
+    step integer-exact, so the full iterative loop is replayable as a
+    chained-CTE SQL oracle (plans/ml_queries.py) and hash-certifiable
+    by the driver, closing the last oracle-less registry entries
+    (VERDICT r7 item 1).
+
+    Per iteration: one argmin assignment projection + one (k × dim)-row
+    aggregate collect (O(k·dim) driver state, the same shape as the
+    float fit). Centroid update is floor(sum/n + 0.5) per dimension —
+    sum and n exact integers, one correctly-rounded double division, so
+    the new centroids are the same integers in any engine. Runs a FIXED
+    max_iter iterations (the oracle replays exactly that many stages);
+    the loop short-circuits only on an exact fixed point, after which
+    further iterations are provably no-ops. `converged` = fixed point
+    reached; `n_iters` = first iteration whose update changed nothing
+    (max_iter when none did) — both reproduced by the oracle's
+    per-stage change counts.
+
+    ``assume_quantized``: points is already the (id, qv) projection
+    (externally cached by the model-selection sweep so two fits share
+    one materialization).
+    """
+    qpts = points if assume_quantized else quantize_points(points, vec_col, id_col).cache()
+    try:
+        init_rows = qpts.orderBy(id_col).limit(k).collect()
+        cents = [[int(x) for x in r["qv"]] for r in init_rows]
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            assigned = assign_clusters_pinned(qpts, cents)
+            per_dim = (
+                assigned.select("cluster", F.posexplode("qv").alias("pos", "val"))
+                .groupBy("cluster", "pos")
+                .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            # empty cluster keeps its previous centroid (same policy as
+            # the float fit; the oracle's LEFT JOIN + COALESCE mirrors it)
+            new = [list(c) for c in cents]
+            for row in per_dim:
+                new[row["cluster"]][row["pos"]] = math.floor(
+                    row["s"] / row["n"] + 0.5
+                )
+            if new == cents:
+                converged = True
+                break
+            cents = new
+        return PinnedKMeansResult(cents, it, converged)
+    finally:
+        if not assume_quantized:
+            qpts.unpersist()
 
 
 def silhouette_score(

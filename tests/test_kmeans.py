@@ -105,3 +105,81 @@ def test_silhouette_in_range(spark, sf_dir, emb):
     s = silhouette_score(emb, res.centroids)
     # simplified silhouette (d2-d1)/d2 with d2>=d1>=0 lies in [0, 1]
     assert 0.0 <= s <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Pinned (fixed-point) fit: EXACT integer equality against a quantized
+# NumPy Lloyd twin — the local pin behind the driver's chained-CTE
+# oracle replay (plans/ml_queries.py).
+# ---------------------------------------------------------------------------
+def numpy_lloyd_pinned(Q: "np.ndarray", k: int, max_iter: int):
+    """Python-int Lloyd on quantized coordinates, replicating
+    kmeans_fit_pinned's exact recipe: integer squared distances, argmin
+    ties to the lowest index, update floor(sum/n + 0.5) via one double
+    division, empty cluster keeps its centroid, fixed-point early exit."""
+    import math
+
+    cents = [[int(x) for x in row] for row in Q[:k]]
+    converged, it = False, 0
+    for it in range(1, max_iter + 1):
+        C = np.array(cents, dtype=np.int64)
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties -> lowest index, same as Spark
+        new = [list(c) for c in cents]
+        for ci in range(k):
+            members = Q[assign == ci]
+            if len(members):
+                sums = members.sum(axis=0)
+                new[ci] = [
+                    math.floor(int(s) / len(members) + 0.5) for s in sums
+                ]
+        if new == cents:
+            converged = True
+            break
+        cents = new
+    return cents, it, converged
+
+
+def test_pinned_fit_matches_quantized_numpy_exactly(spark, sf_dir, emb):
+    from hadoop_project_spark.operators.kmeans import (
+        KM_QUANT,
+        assign_clusters_pinned,
+        kmeans_fit_pinned,
+        quantize_points,
+    )
+
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Q = np.floor(X * KM_QUANT + 0.5).astype(np.int64)
+    np_cents, np_iters, np_conv = numpy_lloyd_pinned(Q, K, 8)
+
+    res = kmeans_fit_pinned(emb, k=K, dim=DIM, max_iter=8)
+    assert res.centroids_q == np_cents  # exact integer equality
+    assert res.n_iters == np_iters
+    assert res.converged == np_conv
+
+    # assignments under the final centroids match exactly too
+    qpts = quantize_points(emb)
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in assign_clusters_pinned(qpts, res.centroids_q).collect()
+    }
+    C = np.array(np_cents, dtype=np.int64)
+    d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    for vid, dists in zip((r["vec_id"] for r in rows), d):
+        assert got[vid] == (int(dists.argmin()), int(dists.min()))
+
+
+def test_quantization_is_exact_fixed_point(spark, sf_dir, emb):
+    """floor(v·QUANT + 0.5) on the Spark side equals the same IEEE
+    chain in NumPy for every fixture coordinate (negative values round
+    half toward +inf on both)."""
+    from hadoop_project_spark.operators.kmeans import KM_QUANT, quantize_points
+
+    rows = emb.collect()
+    got = {r["vec_id"]: r["qv"] for r in quantize_points(emb).collect()}
+    for r in rows:
+        expect = [
+            int(np.floor(float(v) * KM_QUANT + 0.5)) for v in r["embedding"]
+        ]
+        assert got[r["vec_id"]] == expect

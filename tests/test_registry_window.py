@@ -120,19 +120,11 @@ def test_no_oracle_bearing_query_parked_forever():
     assert not parked, f"oracle-bearing queries with no path to a driver row: {parked}"
 
 
-def test_exiled_oracle_less_queries_are_by_design():
-    """Everything outside the window without an oracle must be one of
-    the known oracle-less-by-design iterative/approximate queries, each
-    covered by its own local test suite."""
-    ORACLE_LESS_BY_DESIGN = {
-        "kmeans_centroids",  # iterative; NumPy-Lloyd twin tests
-        "kmeans_cluster_sizes",
-        "kmeans_silhouette",
-    }
+def test_every_query_has_an_oracle():
+    """Round 8 closed the last oracle-less entries (the iterative
+    K-Means queries now run the pinned fixed-point fit with a chained-
+    CTE replay oracle, plans/ml_queries.py) — the whole registry is
+    oracle-bearing and must stay that way."""
     qs = all_queries()
-    unexplained = [
-        n
-        for n, s in qs.items()
-        if s.oracle is None and n not in ORACLE_LESS_BY_DESIGN
-    ]
-    assert not unexplained, f"oracle-less queries without a design note: {unexplained}"
+    oracle_less = [n for n, s in qs.items() if s.oracle is None]
+    assert not oracle_less, f"oracle-less queries: {oracle_less}"
