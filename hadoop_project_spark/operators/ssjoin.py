@@ -181,8 +181,17 @@ def prefix_candidates(
     dh = _hashed_stream(sets)
     dfc = dh.groupBy("h").agg(F.count("*").alias("df"))
     # (df, h) struct sorts lexicographically: ascending df, then hash —
-    # the most-selective (rarest-first) prefix order
-    ranked = (
+    # the most-selective (rarest-first) prefix order.
+    #
+    # The per-doc rank relation is eager-pinned (round 8): the prefix
+    # SELF-JOIN below consumes it on both sides, and the sf1 stage
+    # profile showed the entire upstream (hashed-stream exchange, df
+    # aggregate, doc-keyed collect_list) executing TWICE — one
+    # byte-identical stage pair per exchange (50.7 + 36.2 + 38.6 MB
+    # each, ~90 duplicated core-s) — because AQE does not reuse the
+    # identical exchanges across the self-join's two sides. Same
+    # pathology and fix as the minhash band-key pin (dedup.py).
+    ranked = eager_pin(
         dh.join(dfc, "h")
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("rhs"))
@@ -258,6 +267,21 @@ def prefix_filtered_jaccard_pairs(
     # eager pin: the set arrays feed the hashed candidate machinery AND
     # both verify sides — concurrent consumer stages (r6 profile pattern)
     sets = eager_pin(_doc_shingle_sets(docs, k))
+    return prefix_filtered_jaccard_pairs_from_sets(sets, tau_num, tau_den)
+
+
+def prefix_filtered_jaccard_pairs_from_sets(
+    sets: DataFrame,
+    tau_num: int = SSJOIN_TAU_NUM,
+    tau_den: int = SSJOIN_TAU_DEN,
+) -> DataFrame:
+    """prefix_filtered_jaccard_pairs over a PREBUILT (and already
+    pinned) _doc_shingle_sets relation — factored out (round 8) so
+    pipelines that need both the exact truth set and another
+    shingle-derived relation (the LSH calibration query,
+    plans/dedup_queries.dedup_lsh_recall_eval) derive everything from
+    ONE materialization of the per-doc shingle arrays instead of
+    re-running the normalize/shingle transform per pipeline."""
     # candidates arrive bitmap-pruned to near-truth (prefix_candidates
     # applies the _doc_bitmap necessary condition inside the join), so
     # the verify joins below ship each doc's string array for thousands

@@ -192,8 +192,18 @@ def winnowing_fingerprints(
     """
     from pyspark.sql.window import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
+    from hadoop_project_spark.execution import widen_for_compute
+
+    # widen on the RAW (id, text) projection: the normalize regex, the
+    # shingle transform and the per-position md5 all run BEFORE the
+    # doc-keyed window exchange, so a split-starved scan would
+    # serialize the whole CPU stage (the round-7 slope audit's
+    # signature — this operator was the one r7 CPU-heavy builder that
+    # missed the shim; VERDICT r7 item 3)
+    toks = widen_for_compute(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    ).select(
+        "doc_id",
         F.split(normalize_text(text_col), " ").alias("toks"),
     )
     sh = toks.select(
