@@ -37,7 +37,12 @@ a driver-side plan fold with no job and no RDD conversion.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
+_stats_probe_warned = False
 
 # Work floors for the shims, in Catalyst-estimate bytes. The estimate
 # is COMPRESSED, COLUMN-PRUNED input size (it propagates from the
@@ -70,10 +75,24 @@ def plan_size_bytes(df: DataFrame) -> int:
     propagated from file-scan statistics through projections/filters.
     A driver-side computation on the logical plan: no job, no RDD.
     Unknown (unresolvable) plans report "huge" so callers take the
-    conservative cluster-scale branch (no widen shuffle, eager pin)."""
+    conservative cluster-scale branch (no widen shuffle, eager pin).
+
+    Uses the classic-deploy-mode _jdf accessor; under Spark Connect it
+    doesn't exist, so every call takes the except path and the shims
+    degrade to their conservative branches permanently — warned ONCE
+    (ADVICE r7) so the degradation is visible instead of silent."""
+    global _stats_probe_warned
     try:
         return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:  # noqa: BLE001 — stats are advisory, never fatal
+        if not _stats_probe_warned:
+            _stats_probe_warned = True
+            _log.warning(
+                "Catalyst plan-statistics probe unavailable (Spark Connect "
+                "or non-classic deploy mode?) — execution-shape heuristics "
+                "degrade to their conservative branches: widen_for_compute "
+                "becomes a no-op and eager_pin always blocks."
+            )
         return 1 << 60
 
 
@@ -133,5 +152,23 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         max_split = 128 << 20
     est = plan_size_bytes(df)
     if SHIM_MIN_WORK_BYTES <= est < target * max_split:
+        # Already-wide guard (ADVICE r7): with est under target ×
+        # maxPartitionBytes, BYTE-splitting alone cannot reach target
+        # partitions — but MANY FILES can (Spark packs files into
+        # partitions charging openCostInBytes per file, so its planned
+        # partition count is ~ (bytes + files·openCost)/maxPartition-
+        # Bytes). Mirror that estimate from the driver-side file
+        # listing (no job) and skip the pointless exchange when the
+        # scan already yields enough splits. Single-file inputs (the
+        # local fixture case the shim exists for) are unaffected.
+        try:
+            n_files = len(df.inputFiles())
+            open_cost = int(
+                spark._jsparkSession.sessionState().conf().filesOpenCostInBytes()
+            )
+        except Exception:  # noqa: BLE001 — guard is advisory
+            n_files, open_cost = 1, 4 << 20
+        if (est + n_files * open_cost + max_split - 1) // max_split >= target:
+            return df
         return df.repartition(target)
     return df

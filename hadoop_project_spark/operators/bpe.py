@@ -42,6 +42,27 @@ from hadoop_project_spark.functions.text import normalize_text
 #: bench cost stays honest; the shape is iteration-count-independent)
 N_MERGES = 8
 
+#: Control characters are STRIPPED from words before any symbol work:
+#: chr(1)/chr(31) are the marker/separator bytes of the codegen encode
+#: representation and the SQL oracle's symbol strings, so a corpus word
+#: containing them would silently corrupt token counts (ADVICE r7).
+#: Enforced here in the operator — not just asserted against the ASCII
+#: fixture — and mirrored verbatim in the oracle's word CTEs
+#: (plans/bpe_queries.py); a no-op on printable text. The pattern is a
+#: regex-engine escape (Java regex / RE2 both take \\xNN), not a SQL
+#: literal escape, so both engines see the identical character class.
+CTRL_STRIP_RE = r"[\x00-\x1f]"
+
+
+def clean_words(tokens: DataFrame, word_col: str = "word") -> DataFrame:
+    """Strip control chars from a token stream and drop words that end
+    up empty — the shared guard of both the trainer's vocabulary pass
+    and the corpus encode."""
+    return tokens.select(
+        F.regexp_replace(word_col, CTRL_STRIP_RE, "").alias(word_col),
+        *[c for c in tokens.columns if c != word_col],
+    ).filter(F.col(word_col) != "")
+
 
 def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) distinct-word frequencies — the one corpus-scale pass.
@@ -51,9 +72,11 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (execution.py conventions) before it."""
     from hadoop_project_spark.execution import widen_for_compute
 
-    toks = widen_for_compute(docs.select(text_col)).select(
-        F.explode(F.split(normalize_text(text_col), " ")).alias("word")
-    ).filter(F.col("word") != "")
+    toks = clean_words(
+        widen_for_compute(docs.select(text_col)).select(
+            F.explode(F.split(normalize_text(text_col), " ")).alias("word")
+        )
+    )
     return toks.groupBy("word").agg(F.count("*").alias("n"))
 
 
@@ -148,10 +171,12 @@ def encode_token_counts(
     from hadoop_project_spark.execution import widen_for_compute
 
     m = "\x01"
-    words = widen_for_compute(docs.select(by_col, text_col)).select(
-        by_col,
-        F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
-    ).filter(F.col("word") != "")
+    words = clean_words(
+        widen_for_compute(docs.select(by_col, text_col)).select(
+            by_col,
+            F.explode(F.split(normalize_text(text_col), " ")).alias("word"),
+        )
+    )
     s = F.concat(
         F.lit(m), F.array_join(F.split("word", ""), m + m), F.lit(m)
     )

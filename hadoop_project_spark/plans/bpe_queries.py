@@ -22,8 +22,11 @@ cross-symbol false matches impossible (a match must span exactly two
 whole symbols), and replace()'s universal leftmost-nonoverlapping
 scan reproduces the Spark-side greedy fold exactly (an 'aaaa' run
 under the (a,a) rule becomes aa|aa on both engines). Symbols never
-contain chr(1)/chr(31): the corpus is ASCII text and merged symbols
-are concatenations of word characters (asserted in tests/test_bpe.py).
+contain chr(1)/chr(31): the operator STRIPS control characters from
+the word stream (operators/bpe.clean_words, mirrored in the word CTEs
+below — ADVICE r7 asked for enforcement on arbitrary input, not just
+the ASCII-fixture assertion), and merged symbols are concatenations
+of word characters (tests/test_bpe.py covers a chr(1)-bearing word).
 """
 
 from __future__ import annotations
@@ -46,7 +49,10 @@ def _sql_stages(n_merges: int) -> list[str]:
     stages = [
         f"""w AS (
       SELECT word, COUNT(*) AS n FROM (
-        SELECT UNNEST(string_split({SQL_NORM}, ' ')) AS word FROM documents
+        SELECT regexp_replace(word, '{bpe.CTRL_STRIP_RE}', '', 'g') AS word
+        FROM (
+          SELECT UNNEST(string_split({SQL_NORM}, ' ')) AS word FROM documents
+        )
       ) WHERE word <> '' GROUP BY word
     ),
     s0 AS MATERIALIZED (
@@ -101,8 +107,11 @@ def _sql_encode_token_counts(n_merges: int) -> str:
     stages.append(
         f"""wd AS (
       SELECT source, word FROM (
-        SELECT source, UNNEST(string_split({SQL_NORM}, ' ')) AS word
-        FROM documents
+        SELECT source, regexp_replace(word, '{bpe.CTRL_STRIP_RE}', '', 'g') AS word
+        FROM (
+          SELECT source, UNNEST(string_split({SQL_NORM}, ' ')) AS word
+          FROM documents
+        )
       ) WHERE word <> ''
     ),
     e0 AS MATERIALIZED (

@@ -9,7 +9,7 @@ from __future__ import annotations
 import re
 from collections import Counter
 
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from hadoop_project_spark.operators import bpe
 
@@ -98,3 +98,19 @@ def test_symbols_never_contain_oracle_markers(spark, sf_dir):
         docs.text.contains("\x01") | docs.text.contains("\x1f")
     ).count()
     assert bad == 0
+
+
+def test_control_chars_stripped_from_tokenization(spark):
+    """ADVICE r7: the marker invariant is ENFORCED by the operator, not
+    just asserted on the fixture — a corpus word carrying chr(1)/chr(31)
+    is cleaned before symbol work, so token counts stay exact, and a
+    word that is nothing but control chars vanishes."""
+    texts = ["ab\x01ab cd", "ab\x1fab \x01\x01 cd"]
+    docs = spark.createDataFrame([Row(text=t) for t in texts])
+    wf = {r["word"]: r["n"] for r in bpe.word_freq_table(docs).collect()}
+    assert wf == {"abab": 2, "cd": 2}
+
+    docs2 = docs.withColumn("source", F.lit("s"))
+    row = bpe.encode_token_counts(docs2, bpe.train_merges(docs, 2)).collect()[0]
+    # cleaned corpus = abab abab cd cd -> n_words 4, n_chars 12
+    assert (row["n_words"], row["n_chars"]) == (4, 12)
