@@ -24,8 +24,9 @@ VERDICT r6 nit 3):
 * Release contract: neither helper unpersists. Query entry points
   (bench.py, __main__, the driver) call ``spark.catalog.clearCache()``
   after each query; a library/notebook consumer embedding these
-  operators owns the same call (or ``unpersist()`` on the returned
-  frame) — documented here once instead of on every operator.
+  operators calls ``release_pins()`` after consuming a result (every
+  shim persist routes through the tracked ``pin()``) — documented here
+  once instead of on every operator.
 
 Both helpers decide from CATALYST PLAN STATISTICS (propagated from the
 file-scan size), not from ``df.rdd`` — the round-6 form's
@@ -96,6 +97,38 @@ def plan_size_bytes(df: DataFrame) -> int:
         return 1 << 60
 
 
+# Live pins registry: every DataFrame the shims persist in this
+# process, in pin order. The release contract's library-consumer hook
+# (module docstring): query entry points (bench.py, __main__, the
+# driver) still call spark.catalog.clearCache() between queries; a
+# notebook/pipeline embedding operators calls release_pins() after
+# consuming a result instead — no private JVM API, no job.
+_LIVE_PINS: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() + track for release_pins() — the lazy tracked persist
+    every shim (and operators' direct multi-consumer persists) route
+    through."""
+    out = df.persist()
+    _LIVE_PINS.append(out)
+    return out
+
+
+def release_pins() -> int:
+    """Unpersist every relation the shims have pinned in this process
+    (ADVICE r6): returns how many were released. Blocking=False — the
+    executors free blocks asynchronously, exactly like clearCache."""
+    n = 0
+    while _LIVE_PINS:
+        try:
+            _LIVE_PINS.pop().unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — a dead session's handles
+            pass
+    return n
+
+
 def eager_pin(df: DataFrame) -> DataFrame:
     """persist() a multi-consumer relation; BLOCK until cached only when
     its upstream is expensive enough to matter.
@@ -117,9 +150,9 @@ def eager_pin(df: DataFrame) -> DataFrame:
     (bench loop, CLI, notebook) accumulates them until driver GC +
     ContextCleaner get around to it — measured as a growing multi-second
     drag across a 142-query bench run. Cached relations are released
-    deterministically by clearCache()/unpersist() — see the release
-    contract in the module docstring."""
-    out = df.persist()
+    deterministically by clearCache()/unpersist()/release_pins() — see
+    the release contract in the module docstring."""
+    out = pin(df)
     if plan_size_bytes(df) >= PIN_MIN_WORK_BYTES:
         out.count()
     return out
@@ -154,21 +187,18 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if SHIM_MIN_WORK_BYTES <= est < target * max_split:
         # Already-wide guard (ADVICE r7): with est under target ×
         # maxPartitionBytes, BYTE-splitting alone cannot reach target
-        # partitions — but MANY FILES can (Spark packs files into
-        # partitions charging openCostInBytes per file, so its planned
-        # partition count is ~ (bytes + files·openCost)/maxPartition-
-        # Bytes). Mirror that estimate from the driver-side file
-        # listing (no job) and skip the pointless exchange when the
-        # scan already yields enough splits. Single-file inputs (the
-        # local fixture case the shim exists for) are unaffected.
+        # partitions — but MANY FILES can: Spark shrinks maxSplitBytes
+        # to max(openCost, totalBytes/defaultParallelism), so a scan of
+        # n_files ≥ target files packs into ~min(n_files, target)
+        # partitions, each holding ≥ 1 whole file (a real task — file
+        # boundaries, unlike byte-splits, can't land in row-group dead
+        # zones). Check the driver-side file listing (no job) and skip
+        # the pointless exchange; single-file inputs (the local fixture
+        # case the shim exists for) are unaffected.
         try:
-            n_files = len(df.inputFiles())
-            open_cost = int(
-                spark._jsparkSession.sessionState().conf().filesOpenCostInBytes()
-            )
+            if len(df.inputFiles()) >= target:
+                return df
         except Exception:  # noqa: BLE001 — guard is advisory
-            n_files, open_cost = 1, 4 << 20
-        if (est + n_files * open_cost + max_split - 1) // max_split >= target:
-            return df
+            pass
         return df.repartition(target)
     return df

@@ -223,7 +223,9 @@ def minhash_lsh_pairs(docs: DataFrame, k_shingle: int = 3) -> DataFrame:
     doc_shingles docstring records — the EXPLODED stream is what the
     min-hash aggregate wants, it's only the transform we avoid redoing).
     """
-    sh = doc_shingles(docs, k=k_shingle).persist()
+    from hadoop_project_spark.execution import pin
+
+    sh = pin(doc_shingles(docs, k=k_shingle))
     # band keys materialize BEFORE the candidate self-join: both join
     # sides would otherwise re-run the signature aggregate + 16-hash
     # md5 pass inside one job (lazy persist can't help two concurrent

@@ -115,8 +115,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     """
     # four consumers (degree union x2, orientation join, edge count) —
     # persist or the caller's edge derivation re-runs per branch
-    # (part_copurchase_triangles: 2.4 s -> ~1 s median at sf0.1)
-    edges = edges.persist()
+    # (part_copurchase_triangles: 2.4 s -> ~1 s median at sf0.1);
+    # tracked pin so release_pins() covers it (release contract,
+    # execution.py)
+    from hadoop_project_spark.execution import pin
+
+    edges = pin(edges)
     deg = (
         edges.select(F.col("a").alias("n"))
         .unionByName(edges.select(F.col("b").alias("n")))

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
-from hadoop_project_spark.execution import eager_pin
+from hadoop_project_spark.execution import eager_pin, pin
 from hadoop_project_spark.functions.text import normalize_text
 from hadoop_project_spark.plans.registry import register
 from hadoop_project_spark.plans.text_pipeline import SQL_NORM
@@ -318,11 +318,11 @@ def part_copurchase_rank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
-        # three consumers below (deg, contrib, nodes-assembly) — persist
-        # or the 2.4M-row join+distinct at sf0.1 re-runs per branch
-        # (measured: 3.11 s -> 2.0 s median)
-        .persist()
     )
+    # three consumers below (deg, contrib, nodes-assembly) — persist or
+    # the 2.4M-row join+distinct at sf0.1 re-runs per branch (measured:
+    # 3.11 s -> 2.0 s median); tracked pin so release_pins() covers it
+    edges = pin(edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     n_nodes = li.select("l_partkey").distinct().agg(
         F.count("*").alias("n")

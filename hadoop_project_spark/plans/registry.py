@@ -42,19 +42,20 @@ _ORDER: dict[str, int] = {}
 # — tests/test_registry_window.py enforces "driver-green in a prior
 # round's CORRECTNESS_r*.json OR in the current window".
 #
-# Round 7 (per VERDICT r6 items 1-7): all 141 oracle-bearing queries
-# are ever-green, so the window is now purely regression anchors —
-# the headline set plus a hash anchor for every query whose CODE this
-# round touched: the plan-statistics execution shims (every
-# eager_pin/widen_for_compute consumer), the hashed-key + bitmap
-# ssjoin rewrite, the widened banded-levenshtein fuzzy match, the
-# minhash oracle-CTE refactor behind the new gate twin, and the 6 dp
-# percentile rounding. neardup_gate_admissions (new in r7)
-# self-promotes with priority=10. Everything else green in r1-r6
-# demotes to 500, still oracle-tested every CI run by
-# tests/test_oracle_parity.py.
+# Round 8 (per VERDICT r7 items 1-4, 8): all 152 previously
+# oracle-bearing queries are ever-green and round 8 closed the last 3
+# oracle-less entries, so the window is the headline set, the three
+# NEWLY-ORACLED iterative K-Means queries (they self-promote at
+# registration priority=10), and a hash anchor for every query whose
+# CODE round 8 touched: the self-join pin fixes (ssjoin ranked
+# relation, LSH band relation — gate twin, recall eval, the whole
+# ssjoin/span family), the shared-shingle recall-eval rewrite, the
+# winnowing widen, the widen_for_compute already-wide guard
+# (representative consumer families), and the BPE control-char strip.
+# Everything else green in r1-r7 demotes to 500, still oracle-tested
+# every CI run by tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- round-7 regression anchors: keep in-window (prio 20) ---
+    # --- round-8 regression anchors: keep in-window (prio 20) ---
     **{
         name: 20
         for name in (
@@ -64,21 +65,44 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # ssjoin/span hashed-key + bitmap-prune rewrite (items 2, 4)
+            # self-join pin fixes + shared shingle-set refactor (items 2, 4)
             "ssjoin_prefix_pairs",
             "doc_duplicate_spans",
             "doc_duplicate_span_ratio",
-            # widened banded-levenshtein fuzzy match + CC on top (item 5)
+            "dedup_lsh_recall_eval",
+            "neardup_gate_admissions",
+            "dedup_minhash_lsh",
+            "dedup_clusters",
+            # winnowing widen (item 3)
+            "doc_winnowing_fingerprints",
+            "winnowing_dup_candidates",
+            # widen_for_compute already-wide guard (ADVICE r7):
+            # representative consumers across the shim's call sites
+            "dedup_exact",
+            "dedup_ngram_jaccard",
+            "doc_quality_model_filter",
+            "multimodal_bmp_features",
+            # BPE control-char strip (ADVICE r7) — operator + oracle CTEs
+            "bpe_train_merges",
+            "bpe_encode_token_counts",
+        )
+    },
+    # --- green in r1-r7, still CI-oracle-tested: demote (prio 500) ---
+    # Queries below self-promoted at registration (priority<100) to
+    # enter their first window and earned a green CORRECTNESS row, so
+    # the override now outranks the registration promotion and releases
+    # their slots; r7-window anchors released this round are listed
+    # too. (Anything not listed: see _effective_priority.)
+    **{
+        name: 500
+        for name in (
+            # r7-new, green in CORRECTNESS_r07, not touched this round
+            "semantic_dedup_decisions",
+            "semantic_dedup_bucketed",
+            "ann_truncated_dim_recall",
+            # r7 anchors released this round
             "part_name_fuzzy_pairs",
             "part_entity_clusters",
-            # execution-shim consumers (item 1): every operator family
-            # calling eager_pin / widen_for_compute re-certifies under
-            # the plan-statistics decision rule
-            "dedup_exact",
-            "dedup_minhash_lsh",
-            "dedup_ngram_jaccard",
-            "dedup_simhash_pairs",
-            "dedup_clusters",
             "source_overlap_matrix",
             "decontaminate_ngram",
             "heavy_hitter_bigrams",
@@ -86,31 +110,16 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "doc_lm_avgprob",
             "hll_source_distinct_shingles",
             "hll_source_overlap",
-            # minhash oracle-CTE refactor shared with the gate twin
             "dedup_simhash_signatures",
-            # 6 dp cross-engine percentile rounding (ADVICE r6)
+            "dedup_simhash_pairs",
             "price_quantile_histogram",
-            # fixture-telemetry family (item 3): certify the token-keyed
-            # dictionaries the regenerated-sf1 slopes lean on
             "tfidf_top_terms",
             "bigram_pmi_collocations",
-        )
-    },
-    # --- green in r1-r6, still CI-oracle-tested: demote (prio 500) ---
-    # Queries below self-promoted at registration (priority<100) to
-    # enter their first window and earned a green CORRECTNESS row, so
-    # the override now outranks the registration promotion and releases
-    # their slots; the r6-window anchors released this round are listed
-    # too. (Anything not listed: see _effective_priority.)
-    **{
-        name: 500
-        for name in (
-            # r6-new, green in CORRECTNESS_r06, not touched this round
+            # earlier-round self-promotions (registration priority<100)
             "quality_filter_funnel",
             "embedding_neardup_pairs_bucketed",
             "multimodal_wav_features",
             "events_decayed_engagement",
-            # r6 anchors released this round
             "dpp_partitioned_join_roundtrip",
             "embedding_neardup_pairs",
             "ann_topk_ivf",

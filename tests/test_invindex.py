@@ -1,0 +1,79 @@
+"""Inverted index / phrase search (operators/invindex.py): exact
+equality against a naive Python recount of the same fixture."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import Row
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators import invindex as ix
+from hadoop_project_spark.plans.invindex_queries import SEARCH_PHRASES
+
+
+def _norm_tokens(text: str) -> list[str]:
+    return " ".join(text.lower().split()).split()
+
+
+def test_directory_matches_naive_recount(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    df_c: Counter = Counter()
+    cf_c: Counter = Counter()
+    first: dict = {}
+    last: dict = {}
+    for r in rows:
+        toks = _norm_tokens(r["text"])
+        for t in set(toks):
+            df_c[t] += 1
+            first.setdefault(t, r["doc_id"])
+            first[t] = min(first[t], r["doc_id"])
+            last[t] = max(last.get(t, r["doc_id"]), r["doc_id"])
+        cf_c.update(toks)
+    got = {r["term"]: r for r in ix.index_directory(docs).collect()}
+    assert set(got) == set(df_c)
+    for t, r in got.items():
+        assert (r["df"], r["cf"], r["first_doc"], r["last_doc"]) == (
+            df_c[t], cf_c[t], first[t], last[t]
+        ), t
+
+
+def _naive_phrase_count(toks: list[str], words: list[str]) -> int:
+    k = len(words)
+    return sum(
+        1 for i in range(len(toks) - k + 1) if toks[i : i + k] == words
+    )
+
+
+def test_phrase_hits_match_naive_scan(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    want: dict[str, tuple[int, int]] = {}
+    for ph in SEARCH_PHRASES:
+        words = ph.split()
+        per_doc = [
+            _naive_phrase_count(_norm_tokens(r["text"]), words) for r in rows
+        ]
+        hits = [c for c in per_doc if c > 0]
+        if hits:
+            want[ph] = (len(hits), sum(hits))
+    got = {
+        r["phrase"]: (r["n_docs"], r["n_hits"])
+        for r in ix.phrase_search_stats(docs, SEARCH_PHRASES).collect()
+    }
+    assert got == want
+    assert want, "phrase workload must be non-degenerate on the fixture"
+
+
+def test_overlapping_occurrences_all_count(spark):
+    """'a a a a' contains 'a a' three times — the positional
+    intersection counts overlaps, like the oracle's start-pos scan."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a a b"), Row(doc_id=2, text="b a a")]
+    )
+    got = {
+        (r["phrase"], r["doc_id"]): r["n_occ"]
+        for r in ix.phrase_occurrences(docs, ["a a"]).collect()
+    }
+    assert got == {("a a", 1): 3, ("a a", 2): 1}

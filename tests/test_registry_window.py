@@ -24,10 +24,10 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 7 (VERDICT r6 items 1-7): all 141
-# oracle-bearing queries are ever-green, so the window is purely
-# regression anchors — the headline set plus a hash anchor for every
-# query whose code round 7 touched — must be proven green THIS round.
+# Regression anchors for round 8 (VERDICT r7 items 1-4, 8): the
+# headline set, the three newly-oracled iterative K-Means queries, and
+# a hash anchor for every query whose code round 8 touched — must be
+# proven green THIS round.
 MUST_VERIFY = {
     # headline (every round)
     "word_count",
@@ -35,45 +35,34 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # ssjoin/span hashed-key + bitmap-prune rewrite
+    # round-8 new oracles: the pinned fixed-point Lloyd fit replayed by
+    # chained MATERIALIZED CTEs (self-promoted prio=10 at registration)
+    "kmeans_centroids",
+    "kmeans_cluster_sizes",
+    "kmeans_silhouette",
+    # self-join pin fixes + shared shingle-set recall-eval rewrite
     "ssjoin_prefix_pairs",
     "doc_duplicate_spans",
     "doc_duplicate_span_ratio",
-    # widened banded-levenshtein fuzzy match + the CC loop on top
-    "part_name_fuzzy_pairs",
-    "part_entity_clusters",
-    # plan-statistics execution shims: every eager_pin /
-    # widen_for_compute consumer family re-certifies
-    "dedup_exact",
+    "dedup_lsh_recall_eval",
+    "neardup_gate_admissions",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash_pairs",
     "dedup_clusters",
-    "source_overlap_matrix",
-    "decontaminate_ngram",
-    "heavy_hitter_bigrams",
-    "bloom_decontaminate_fpr",
-    "doc_lm_avgprob",
-    "hll_source_distinct_shingles",
-    "hll_source_overlap",
-    # minhash oracle-CTE refactor shared with the new gate twin
-    "dedup_simhash_signatures",
-    "neardup_gate_admissions",  # round-7 new (self-promoted prio=10)
-    "semantic_dedup_decisions",  # round-7 new (self-promoted prio=10)
-    "multimodal_bmp_features",  # round-7 new (self-promoted prio=10)
-    "semantic_dedup_bucketed",  # round-7 new: the SemDeDup scale twin
-    "doc_winnowing_fingerprints",  # round-7 new (self-promoted prio=10)
-    "winnowing_dup_candidates",  # round-7 new (self-promoted prio=10)
-    "doc_quality_model_filter",  # round-7 new: frozen-classifier gate
-    "dedup_lsh_recall_eval",  # round-7 new: LSH calibration report
-    "ann_truncated_dim_recall",  # round-7 new: matryoshka recall eval
-    "bpe_train_merges",  # round-7 new: oracle-replayed iterative trainer
-    "bpe_encode_token_counts",  # round-7 new: corpus re-encode under merges
-    # 6 dp cross-engine percentile rounding
-    "price_quantile_histogram",
-    # regenerated-sf1 token-telemetry family
-    "tfidf_top_terms",
-    "bigram_pmi_collocations",
+    # winnowing widen_for_compute
+    "doc_winnowing_fingerprints",
+    "winnowing_dup_candidates",
+    # widen already-wide guard: representative consumer families
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "doc_quality_model_filter",
+    "multimodal_bmp_features",
+    # BPE control-char strip (operator + oracle word CTEs)
+    "bpe_train_merges",
+    "bpe_encode_token_counts",
+    # round-8 new: positional inverted index + phrase search
+    # (self-promoted prio=10 at registration)
+    "inverted_index_directory",
+    "phrase_search_hits",
 }
 
 
