@@ -112,3 +112,94 @@ def phrase_search_stats(docs: DataFrame, phrases: list[str]) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_occ").cast("long").alias("n_hits"),
     )
+
+
+# BM25 constants k1 = 1.2, b = 0.75 folded to the integer coefficients
+# of the cleared-denominator form (so every operand below is an exact
+# integer): tf_part = tf·(k1+1) / (tf + k1(1−b) + k1·b·dl/avgdl) with
+# avgdl = T/N becomes 22·T·tf / (10·T·tf + 3·T + 9·dl·N) after
+# multiplying through by 10·T.
+BM25_TFPART_NUM = 22  # 10·(k1+1)
+BM25_TFPART_TF = 10  # 10
+BM25_TFPART_T = 3  # 10·k1·(1−b)
+BM25_TFPART_DLN = 9  # 10·k1·b
+
+
+def bm25_topk(
+    docs: DataFrame, queries: list[str], k: int = 10
+) -> DataFrame:
+    """Top-k documents per bag-of-words query under BM25 — search
+    scoring over the index relations, cross-engine exact.
+
+    Determinism discipline (the tfidf.py rational-idf rule, extended):
+    ln-free rational idf (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1) and
+    the cleared-denominator tf part are each ONE correctly-rounded
+    double division over exact integer operands (products stay < 2^53
+    through ~10× the sf1 corpus; beyond that, widen to decimal), their
+    product is a correctly-rounded multiply — bit-identical doubles in
+    any IEEE engine. The per-(query, doc) SUM over matched terms is the
+    one order-sensitive step, so each term score is first cast to
+    DECIMAL(28,9) (9-dp house decision rounding): the sum is then exact
+    and partition-order independent, ranking compares decimals, and the
+    output score is one final decimal→double cast.
+
+    Shape for 100 TB: tf/df/dl are the index-build aggregates (all
+    partial-aggregated, vocabulary- or corpus-row-bounded); the query
+    relation is a broadcast literal; scoring touches only the query
+    terms' posting rows; the global (N, T) scalars ride in as 1-row
+    cross-joined aggregates. Top-k is a per-query window over scored
+    docs — bounded by matched docs, never the corpus."""
+    from pyspark.sql import Window
+
+    from hadoop_project_spark.operators.tfidf import doc_term_freqs
+
+    spark = docs.sparkSession
+    tf = eager_pin(doc_term_freqs(docs))
+    dfr = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    scal = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n"),
+        F.sum("tf").cast("long").alias("t"),
+    )
+    qt = spark.createDataFrame(
+        [(q, t) for q in queries for t in q.split()], "query string, term string"
+    )
+    n, t = F.col("n"), F.col("t")
+    idf = (2 * n - 2 * F.col("df") + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    tfpart = (F.lit(BM25_TFPART_NUM) * t * F.col("tf")).cast("double") / (
+        F.lit(BM25_TFPART_TF) * t * F.col("tf")
+        + F.lit(BM25_TFPART_T) * t
+        + F.lit(BM25_TFPART_DLN) * F.col("dl") * n
+    ).cast("double")
+    scored = (
+        F.broadcast(qt)
+        .join(tf, "term")
+        .join(dfr, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "query",
+            "doc_id",
+            (idf * tfpart).cast("decimal(28,9)").alias("s"),
+        )
+    )
+    agg = scored.groupBy("query", "doc_id").agg(
+        F.sum("s").alias("sdec"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("sdec"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query",
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_terms",
+            F.col("sdec").cast("double").alias("score"),
+        )
+    )

@@ -31,6 +31,15 @@ SEARCH_PHRASES = [
     "join part filter",
 ]
 
+# Bag-of-words retrieval workload for BM25 (vocabulary terms only, so
+# every query matches documents at every fixture scale).
+BM25_QUERIES = [
+    "table scan",
+    "hash join merge",
+    "spark stream window",
+]
+BM25_K = 10
+
 _SQL_TOKS = f"""toks AS (
       SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents
     )"""
@@ -105,3 +114,74 @@ def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     certifies the (doc_id, pos - i) intersection arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     return ix.phrase_search_stats(docs, SEARCH_PHRASES)
+
+
+def _sql_bm25_topk() -> str:
+    vals = ", ".join(
+        f"('{q}', '{t}')" for q in BM25_QUERIES for t in q.split()
+    )
+    return f"""
+    WITH {_SQL_TOKS},
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, UNNEST(toks) AS term FROM toks
+      ) GROUP BY doc_id, term
+    ),
+    dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    scal AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n,
+             CAST(SUM(tf) AS BIGINT) AS t
+      FROM tf
+    ),
+    qt(query, term) AS (VALUES {vals}),
+    scored AS (
+      SELECT q.query, tf.doc_id,
+             CAST(
+               (CAST(2 * s.n - 2 * d.df + 1 AS DOUBLE)
+                  / CAST(2 * d.df + 1 AS DOUBLE))
+               * (CAST({ix.BM25_TFPART_NUM} * s.t * tf.tf AS DOUBLE)
+                  / CAST({ix.BM25_TFPART_TF} * s.t * tf.tf
+                         + {ix.BM25_TFPART_T} * s.t
+                         + {ix.BM25_TFPART_DLN} * l.dl * s.n AS DOUBLE))
+               AS DECIMAL(28, 9)) AS sc
+      FROM qt q
+      JOIN tf ON tf.term = q.term
+      JOIN dfr d ON d.term = q.term
+      JOIN dl l ON l.doc_id = tf.doc_id
+      CROSS JOIN scal s
+    ),
+    agg AS (
+      SELECT query, doc_id, SUM(sc) AS sdec,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM scored GROUP BY query, doc_id
+    ),
+    rk AS (
+      SELECT query, doc_id, sdec, n_terms,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY sdec DESC, doc_id) AS rnk
+      FROM agg
+    )
+    SELECT query, CAST(rnk AS INT) AS rnk,
+           CAST(doc_id AS BIGINT) AS doc_id, n_terms,
+           CAST(sdec AS DOUBLE) AS score
+    FROM rk WHERE rnk <= {BM25_K}
+    """
+
+
+@register(
+    "bm25_topk",
+    priority=10,  # new in round 8 -> first driver window
+    oracle=_sql_bm25_topk(),
+    tags=("text", "index", "retrieval", "bm25", "extension"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents per bag-of-words query — search scoring
+    over the index relations (operators/invindex.bm25_topk). The
+    ln-free rational idf and the cleared-denominator tf part keep every
+    double a correctly-rounded function of exact integers (tfidf.py's
+    determinism discipline); per-term scores sum as DECIMAL(28,9) so
+    ranking is partition-order independent, and the oracle recomputes
+    tf/df/dl/N/T and the whole scoring pipeline from scratch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ix.bm25_topk(docs, BM25_QUERIES, BM25_K)

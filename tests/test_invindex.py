@@ -66,6 +66,55 @@ def test_phrase_hits_match_naive_scan(spark, sf_dir):
     assert want, "phrase workload must be non-degenerate on the fixture"
 
 
+def test_bm25_matches_naive_python(spark, sf_dir):
+    """Exact equality (scores included) against a pure-Python BM25
+    using the same integer-rational arithmetic."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hadoop_project_spark.plans.invindex_queries import BM25_K, BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    tf: dict = {}
+    dl: dict = {}
+    for r in rows:
+        toks = _norm_tokens(r["text"])
+        dl[r["doc_id"]] = len(toks)
+        c = Counter(toks)
+        for t, n in c.items():
+            tf[(r["doc_id"], t)] = n
+    df_c: Counter = Counter()
+    for (_, t) in tf:
+        df_c[t] += 1
+    N = len({d for (d, _) in tf})
+    T = sum(tf.values())
+
+    want: dict = {}
+    for q in BM25_QUERIES:
+        scores: dict = {}
+        terms: Counter = Counter()
+        for t in q.split():
+            for (d, tt), f in tf.items():
+                if tt != t:
+                    continue
+                idf = (2 * N - 2 * df_c[t] + 1) / (2 * df_c[t] + 1)
+                tfp = (22 * T * f) / (10 * T * f + 3 * T + 9 * dl[d] * N)
+                s = Decimal(repr(idf * tfp)).quantize(
+                    Decimal("1e-9"), rounding=ROUND_HALF_UP
+                )
+                scores[d] = scores.get(d, Decimal(0)) + s
+                terms[d] += 1
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rnk, (d, s) in enumerate(ranked[:BM25_K], start=1):
+            want[(q, d)] = (rnk, terms[d], float(s))
+
+    got = {
+        (r["query"], r["doc_id"]): (r["rnk"], r["n_terms"], r["score"])
+        for r in ix.bm25_topk(docs, BM25_QUERIES, BM25_K).collect()
+    }
+    assert got == want
+
+
 def test_overlapping_occurrences_all_count(spark):
     """'a a a a' contains 'a a' three times — the positional
     intersection counts overlaps, like the oracle's start-pos scan."""

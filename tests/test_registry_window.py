@@ -59,10 +59,11 @@ MUST_VERIFY = {
     # BPE control-char strip (operator + oracle word CTEs)
     "bpe_train_merges",
     "bpe_encode_token_counts",
-    # round-8 new: positional inverted index + phrase search
+    # round-8 new: positional inverted index + phrase search + BM25
     # (self-promoted prio=10 at registration)
     "inverted_index_directory",
     "phrase_search_hits",
+    "bm25_topk",
 }
 
 
