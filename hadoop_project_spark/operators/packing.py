@@ -78,8 +78,14 @@ def chunk_documents(
     normalize+split runs once per document, not once per chunk (see
     functions/text.py::shingles_from_tokens for the measured pitfall).
     """
+    from hadoop_project_spark.execution import widen_for_compute
+
     toks = F.split(normalize_text(text_col), " ")
-    with_toks = docs.select("doc_id", toks.alias("_toks"))
+    # widen the raw projection: normalize/split + per-chunk md5 are the
+    # CPU stage (round-8 slope audit, split-starvation family)
+    with_toks = widen_for_compute(docs.select("doc_id", text_col)).select(
+        "doc_id", toks.alias("_toks")
+    )
     starts = chunk_starts(F.col("_toks"), window, stride)
     exploded = with_toks.select(
         "doc_id", "_toks", F.posexplode(starts).alias("chunk_id", "chunk_start")

@@ -23,16 +23,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from hadoop_project_spark.execution import widen_for_compute
 from hadoop_project_spark.functions.text import normalize_text
 
 TOP_TERMS = 3
 
 
 def doc_term_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, term, tf) — term counts per document off one explode."""
+    """(doc_id, term, tf) — term counts per document off one explode.
+
+    The raw (id, text) projection is widened first (execution.py
+    conventions): the normalize regex + split + explode are the CPU
+    stage, and the round-8 slope audit caught this builder serializing
+    on a split-starved sf1 scan exactly like the winnowing case —
+    tfidf_top_terms r2 was 6.8×/decade before the widen, the worst
+    honest slope on the surface, and ~2× after."""
+    widened = widen_for_compute(docs.select("doc_id", text_col))
     toks = F.split(normalize_text(text_col), " ")
     return (
-        docs.select("doc_id", F.explode(toks).alias("term"))
+        widened.select("doc_id", F.explode(toks).alias("term"))
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))

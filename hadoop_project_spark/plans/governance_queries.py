@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
-from hadoop_project_spark.execution import eager_pin, pin
+from hadoop_project_spark.execution import eager_pin, pin, widen_for_compute
 from hadoop_project_spark.functions.text import normalize_text
 from hadoop_project_spark.plans.registry import register
 from hadoop_project_spark.plans.text_pipeline import SQL_NORM
@@ -140,8 +140,11 @@ def dedup_survivors_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # widen: the md5-of-normalized-text fingerprint is the CPU stage
+    # (round-8 slope audit: r2 4.6x from a split-starved sf1 scan)
+    widened = widen_for_compute(docs.select("doc_id", "source", "text"))
     groups = (
-        docs.select(
+        widened.select(
             F.md5(normalize_text("text")).alias("fp"),
             "doc_id",
             "source",
@@ -413,7 +416,9 @@ def doc_lm_avgprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window  # noqa: F401  (symmetry with siblings)
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # widen: normalize/split + interpreted zip_with bigram transform are
+    # the CPU stage (round-8 slope audit, split-starvation family)
+    toks = widen_for_compute(docs.select("doc_id", "text")).select(
         "doc_id", F.split(normalize_text("text"), " ").alias("t")
     ).filter(F.size("t") >= 2)
     n = F.size("t") - F.lit(1)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import widen_for_compute
 from hadoop_project_spark.functions.text import normalize_text
 from hadoop_project_spark.plans.registry import register
 from hadoop_project_spark.plans.text_pipeline import SQL_NORM
@@ -78,8 +79,6 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     names are 7-12 chars, so |len_a - len_b| <= 4 keeps 13.28M of
     13.33M pairs — it prunes nothing here.
     """
-    from hadoop_project_spark.execution import widen_for_compute
-
     p = load_table(spark, sf_dir, "part")
     a = widen_for_compute(
         p.select(
@@ -140,9 +139,11 @@ def doc_bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TakeOrdered (sort-limit), not a single-task full sort.
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.split(normalize_text("text"), " ").alias("t")).filter(
-        F.size("t") >= 2
-    )
+    # widen: the zip_with bigram transform is interpreted per element —
+    # the CPU stage (round-8 slope audit, split-starvation family)
+    toks = widen_for_compute(docs.select("text")).select(
+        F.split(normalize_text("text"), " ").alias("t")
+    ).filter(F.size("t") >= 2)
     n = F.size("t") - F.lit(1)
     big = toks.select(
         F.explode(
@@ -347,7 +348,10 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams), never O(tokens).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(F.split(normalize_text("text"), " ").alias("t"))
+    # widen: same interpreted-bigram CPU stage as doc_bigram_lm_top
+    toks = widen_for_compute(docs.select("text")).select(
+        F.split(normalize_text("text"), " ").alias("t")
+    )
     toks2 = toks.filter(F.size("t") >= 2)
     n = F.size("t") - F.lit(1)
     big = toks2.select(

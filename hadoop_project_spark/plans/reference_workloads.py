@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import widen_for_compute
 from hadoop_project_spark.functions.numeric import dec2
 from hadoop_project_spark.functions.text import tokenize
 from hadoop_project_spark.plans.registry import register
@@ -38,8 +39,12 @@ from hadoop_project_spark.plans.registry import register
 def word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts over the documents corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    # widen the raw text projection: the tokenize regex is the CPU
+    # stage (round-8 slope audit: r2 4.3x from a split-starved sf1
+    # scan, the same signature as the winnowing/tfidf cases)
+    widened = widen_for_compute(docs.select("text"))
     return (
-        docs.select(F.explode(tokenize("text")).alias("word"))
+        widened.select(F.explode(tokenize("text")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))

@@ -85,6 +85,15 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             # BPE control-char strip (ADVICE r7) — operator + oracle CTEs
             "bpe_train_merges",
             "bpe_encode_token_counts",
+            # round-8 widen slope audit: every query whose scan gained
+            # widen_for_compute re-certifies (tfidf/bm25 tf relation,
+            # bigram zip_with streams, survivor fingerprint, chunking)
+            "tfidf_top_terms",
+            "bigram_pmi_collocations",
+            "doc_bigram_lm_top",
+            "dedup_survivors_by_source",
+            "doc_lm_avgprob",
+            "doc_chunks_overlap",
         )
     },
     # --- green in r1-r7, still CI-oracle-tested: demote (prio 500) ---
@@ -107,14 +116,11 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "decontaminate_ngram",
             "heavy_hitter_bigrams",
             "bloom_decontaminate_fpr",
-            "doc_lm_avgprob",
             "hll_source_distinct_shingles",
             "hll_source_overlap",
             "dedup_simhash_signatures",
             "dedup_simhash_pairs",
             "price_quantile_histogram",
-            "tfidf_top_terms",
-            "bigram_pmi_collocations",
             # earlier-round self-promotions (registration priority<100)
             "quality_filter_funnel",
             "embedding_neardup_pairs_bucketed",
@@ -137,10 +143,8 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "ann_recall_at_k",
             "merge_upsert_roundtrip",
             "json_corrupt_records_audit",
-            "doc_bigram_lm_top",
             "events_value_outliers",
             "docs_split_assignment",
-            "dedup_survivors_by_source",
             "lineitem_winsorized_stats",
             "part_copurchase_rank_step",
             "training_mix_temperature",

@@ -64,6 +64,13 @@ MUST_VERIFY = {
     "inverted_index_directory",
     "phrase_search_hits",
     "bm25_topk",
+    # round-8 widen slope audit: scans that gained widen_for_compute
+    "tfidf_top_terms",
+    "bigram_pmi_collocations",
+    "doc_bigram_lm_top",
+    "dedup_survivors_by_source",
+    "doc_lm_avgprob",
+    "doc_chunks_overlap",
 }
 
 
