@@ -94,6 +94,10 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "dedup_survivors_by_source",
             "doc_lm_avgprob",
             "doc_chunks_overlap",
+            "training_data_mix",
+            "corpus_quality_by_lang",
+            "quality_filter_funnel",
+            "doc_fingerprints",
         )
     },
     # --- green in r1-r7, still CI-oracle-tested: demote (prio 500) ---
@@ -122,7 +126,6 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "dedup_simhash_pairs",
             "price_quantile_histogram",
             # earlier-round self-promotions (registration priority<100)
-            "quality_filter_funnel",
             "embedding_neardup_pairs_bucketed",
             "multimodal_wav_features",
             "events_decayed_engagement",

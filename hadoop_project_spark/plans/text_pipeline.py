@@ -206,7 +206,11 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact (md5-of-normalized) and locality-sensitive (min shingle
     md5) fingerprints per document."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: normalize/split + per-shingle md5 transform (round-8
+    # split-starvation audit; this was r7's one watch-list "regression")
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     from hadoop_project_spark.functions.text import normalize_text
 
     with_toks = docs.select(
@@ -251,7 +255,10 @@ def corpus_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus rollup per predicted language. The per-doc quality doubles
     are rounded to 6dp and summed as DECIMAL so the aggregate is
     order-independent (same strategy as the money aggregates)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: regex-heavy per-row features (round-8 split-starvation audit)
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
     scored = docs.select(
         ts.lang_id("text").alias("lang_pred"),
         ts.token_count("text").alias("n_tokens"),
@@ -324,14 +331,30 @@ def training_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same document in both engines; the oracle re-derives every
     stage in SQL, so the driver hash verifies the whole pipeline
     composition, not just the pieces."""
-    docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "source",
-        ts.lang_id("text").alias("lang_pred"),
-        ts.token_count("text").alias("n_tokens"),
-        ts.quality_score("text").alias("q"),
-        ts.fingerprint("text").alias("fp"),
+    # widen + PIN: four regex-heavy per-row features behind one scan —
+    # the round-8 profile showed them serializing on 2 byte-splits at
+    # sf1 (~4.6 s of the query's 7.5 s wall). The widen alone does NOT
+    # fix this query: the language/quality gate below is a filter on
+    # computed columns, and PushDownPredicates moves it (expressions
+    # and all) back through the round-robin exchange into the scan
+    # stage. The eager pin materializes the widened, feature-computed
+    # projection first — a filter cannot cross an InMemoryRelation —
+    # so the features evaluate 32-way in the pin job. The cached
+    # relation drops `text` (6 narrow columns), so it is small.
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    from hadoop_project_spark.execution import eager_pin
+
+    scored = eager_pin(
+        docs.select(
+            "doc_id",
+            "source",
+            ts.lang_id("text").alias("lang_pred"),
+            ts.token_count("text").alias("n_tokens"),
+            ts.quality_score("text").alias("q"),
+            ts.fingerprint("text").alias("fp"),
+        )
     )
     # round(q, 9) before the gate — every float-derived decision is made
     # on the same 9dp value in both engines (same rule as the ordering)
@@ -465,7 +488,10 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One scan-stage projection + one global aggregate (operators/
     textstats.filter_funnel); all-integer output, hash-exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widen: regex-heavy per-row features (round-8 split-starvation audit)
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("text")
+    )
     stats = docs.select(
         ts.token_count("text").alias("n_tok"),
         F.length("text").cast("long").alias("n_chars"),

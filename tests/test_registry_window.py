@@ -71,6 +71,12 @@ MUST_VERIFY = {
     "dedup_survivors_by_source",
     "doc_lm_avgprob",
     "doc_chunks_overlap",
+    # round-8 profile pass 2: widened feature scans + the filter-
+    # pushdown-through-exchange pin fix (training_data_mix)
+    "training_data_mix",
+    "corpus_quality_by_lang",
+    "quality_filter_funnel",
+    "doc_fingerprints",
 }
 
 
