@@ -115,6 +115,43 @@ def test_bm25_matches_naive_python(spark, sf_dir):
     assert got == want
 
 
+def test_streaming_index_directory_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental index-directory maintenance across forced
+    multi-batches equals the one-shot batch directory exactly (df/cf
+    add over disjoint doc batches, doc span folds by min/max) — tying
+    the streaming component to the driver-hash-certified
+    inverted_index_directory twin."""
+    from hadoop_project_spark.streaming.invindex import (
+        make_index_directory_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_idx_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    state_dir = str(tmp_path / "idx_state")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(make_index_directory_sink(state_dir))
+        .option("checkpointLocation", str(tmp_path / "idx_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["term"]: (r["df"], r["cf"], r["first_doc"], r["last_doc"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    exp = {
+        r["term"]: (r["df"], r["cf"], r["first_doc"], r["last_doc"])
+        for r in ix.index_directory(docs).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
 def test_overlapping_occurrences_all_count(spark):
     """'a a a a' contains 'a a' three times — the positional
     intersection counts overlaps, like the oracle's start-pos scan."""
