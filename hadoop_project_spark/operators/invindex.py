@@ -128,8 +128,9 @@ BM25_TFPART_DLN = 9  # 10·k1·b
 def bm25_topk(
     docs: DataFrame, queries: list[str], k: int = 10
 ) -> DataFrame:
-    """Top-k documents per bag-of-words query under BM25 — search
-    scoring over the index relations, cross-engine exact.
+    """Top-k documents per bag-of-words query under BM25 (Robertson et
+    al., the Okapi TREC-3 weighting; k1 = 1.2, b = 0.75 defaults) —
+    search scoring over the index relations, cross-engine exact.
 
     Determinism discipline (the tfidf.py rational-idf rule, extended):
     ln-free rational idf (N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1) and
