@@ -356,6 +356,149 @@ def part_copurchase_rank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# FULL iterative PageRank — the third end-to-end oracle-certified
+# iterative algorithm (after the BPE trainer and the pinned K-Means
+# fit), and the purest: every quantity is an integer, so there is no
+# rounding discipline at all, and the whole _PR_ITERS-iteration loop is
+# ONE lazy DataFrame plan with zero driver state (no collects — unlike
+# K-Means, PageRank's update needs no argmin/driver decision).
+#
+# Integer formulation (the original unnormalized form, ranks summing to
+# ~N): r0(v) = 1e12; r_i(v) = 0.15e12 + (17 · Σ_{u→v} r_{i-1}(u) div
+# deg(u)) div 20. Floor division on positive integers is bit-identical
+# in Spark (`div`) and DuckDB (`//`); sums of BIGINTs are exact and
+# partition-order independent. Magnitude bound: total mass stays ≈
+# N·1e12 (5e17 at sf1) and 17·msum < 2^63 through ~10× that; beyond,
+# drop the scale one decade.
+_PR_ITERS = 4
+_PRI_SCALE = 10**12  # initial rank units per node
+_PRI_BASE = 15 * 10**10  # 0.15 · scale
+_PRI_DAMP_NUM = 17  # 0.85 = 17/20
+_PRI_DAMP_DEN = 20
+
+_SQL_PR_EDGES = """e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS out_deg FROM e GROUP BY src),
+    nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS part_id FROM lineitem)"""
+
+
+def _sql_pagerank_iterated(iters: int = _PR_ITERS) -> str:
+    stages = [
+        _SQL_PR_EDGES,
+        f"""r0 AS MATERIALIZED (
+      SELECT part_id, CAST({_PRI_SCALE} AS BIGINT) AS r FROM nodes
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        stages.append(
+            f"""r{i} AS MATERIALIZED (
+      SELECT n.part_id,
+             CAST({_PRI_BASE} + ({_PRI_DAMP_NUM} * COALESCE(s.ms, 0))
+                  // {_PRI_DAMP_DEN} AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS part_id, SUM(p.r // d.out_deg) AS ms
+        FROM e
+        JOIN r{i - 1} p ON p.part_id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+      ) s ON s.part_id = n.part_id
+    )"""
+        )
+    return (
+        "WITH " + ",\n    ".join(stages) + f"""
+    SELECT CAST(part_id AS BIGINT) AS part_id,
+           r AS rank_units,
+           CAST(r AS DOUBLE) / {float(_PRI_SCALE)!r} AS rank_score
+    FROM r{iters}
+    """
+    )
+
+
+@register(
+    "part_pagerank_iterated",
+    priority=10,  # new in round 8 -> first driver window
+    oracle=_sql_pagerank_iterated(),
+    tags=("graph", "pagerank", "iterative", "C2", "extension"),
+)
+def part_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL {n}-iteration PageRank over the part co-purchase graph,
+    hash-certified end-to-end: integer fixed-point messages make every
+    iteration exact (see the block comment above), so the oracle
+    replays the whole power iteration as chained MATERIALIZED CTEs —
+    C2's convergence-loop row certified at the algorithm level, like
+    the BPE trainer and the pinned K-Means fit.
+
+    Scale shape: the edge relation builds once and is pinned (the
+    per-iteration message joins are its only consumers); each iteration
+    is one edge-keyed join + one dst-keyed partial-aggregated sum —
+    O(edges) rows of 16-byte messages per iteration, no driver
+    round-trip anywhere (the loop is a single lazy plan; contrast the
+    reference's one-MR-job-per-iteration K-Means driver,
+    final/src/main/java/program/KDriver.java)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = pin(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # out-degree folded into the cached edge relation ONCE; each
+    # iteration then joins the RANK side by BROADCAST (the rank vector
+    # is parts-sized — tiny next to edges), so an iteration is one
+    # in-place scan of the cache + a BroadcastHashJoin + a dst-keyed
+    # partial-aggregated sum whose shuffle is parts-sized. The first
+    # form (SMJ against the cached edges) re-sorted 2.4M edge rows per
+    # iteration — ~25 core-s each, profiled; broadcast drops it to ~5.
+    # At a scale where the rank vector outgrows broadcast, the scale
+    # path is src-bucketed edges + an SMJ that reuses the bucket sort.
+    edges_deg = pin(edges.join(deg, "src"))
+    nodes = pin(li.select(F.col("l_partkey").alias("part_id")).distinct())
+    r = nodes.select(
+        "part_id", F.lit(_PRI_SCALE).cast("long").alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        msgs = edges_deg.join(
+            F.broadcast(r.withColumnRenamed("part_id", "src")), "src"
+        ).select("dst", F.expr("r div out_deg").alias("m"))
+        agg = msgs.groupBy("dst").agg(F.sum("m").alias("ms"))
+        r = (
+            nodes.join(
+                F.broadcast(agg.withColumnRenamed("dst", "part_id")),
+                "part_id",
+                "left",
+            )
+            .select(
+                "part_id",
+                F.expr(
+                    f"cast({_PRI_BASE} + ({_PRI_DAMP_NUM} * coalesce(ms, 0))"
+                    f" div {_PRI_DAMP_DEN} as bigint)"
+                ).alias("r"),
+            )
+        )
+    return r.select(
+        F.col("part_id").cast("long").alias("part_id"),
+        F.col("r").alias("rank_units"),
+        (F.col("r").cast("double") / F.lit(float(_PRI_SCALE))).alias(
+            "rank_score"
+        ),
+    )
+
+
 # Fixed-point scale for LM probability scoring (floor-quantized: floor
 # has no .5 tie, and both engines compute the identical correctly-
 # rounded double for p*SCALE, so the BIGINT landing is bit-equal).

@@ -77,6 +77,8 @@ MUST_VERIFY = {
     "corpus_quality_by_lang",
     "quality_filter_funnel",
     "doc_fingerprints",
+    # round-8 new: full iterative PageRank, oracle-replayed end-to-end
+    "part_pagerank_iterated",
 }
 
 
