@@ -44,15 +44,22 @@ def postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """(term, doc_id, pos): the positional postings relation. Narrow
-    (scan + widen + explode); empty-token rows cannot occur because
+    (scan + widen + explode); interior empty tokens cannot occur because
     normalize_text collapses/trims whitespace, so positions are dense
-    0..n_tokens-1 — the invariant the phrase intersection relies on."""
+    0..n_tokens-1 — the invariant the phrase intersection relies on.
+    The one degenerate case — a document whose text normalizes to the
+    empty string — yields a single '' token at pos 0; it is filtered so
+    such documents contribute ZERO terms everywhere (postings, the
+    directory, tf/df/dl/N/T in BM25 — the same convention
+    tfidf.doc_term_freqs uses, and the oracles mirror it; ADVICE r8)."""
     toks = widen_for_compute(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     ).select("doc_id", F.split(normalize_text(text_col), " ").alias("toks"))
-    return toks.select(
-        "doc_id", F.posexplode("toks").alias("pos", "term")
-    ).select("term", "doc_id", "pos")
+    return (
+        toks.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+        .filter(F.col("term") != "")
+        .select("term", "doc_id", "pos")
+    )
 
 
 def index_directory(docs: DataFrame) -> DataFrame:
@@ -82,8 +89,26 @@ def phrase_occurrences(
     len(words) term-filtered probes joined on (doc_id, pos). Phrase
     lists are query literals (like the quality model's frozen weights),
     so plan size is O(Σ phrase lengths) — at 100 TB the same joins run
-    against the bucketed postings table instead of the cache."""
-    p = eager_pin(postings(docs))
+    against the bucketed postings table instead of the cache
+    (phrase_occurrences_over is exactly that shared probe half)."""
+    return phrase_occurrences_over(eager_pin(postings(docs)), phrases)
+
+
+def phrase_occurrences_over(p: DataFrame, phrases: list[str]) -> DataFrame:
+    """The probe half of phrase_occurrences, over an EXISTING postings
+    relation — shared by the in-session pinned path and the stored
+    term-bucketed index (build_postings_table): against the stored
+    table, each term-equality filter pushes into the parquet scan and
+    prunes to that term's bucket, so a probe touches only the phrase
+    words' posting buckets. Rejects degenerate phrase lists loudly
+    (ADVICE r8) instead of IndexError-ing."""
+    if not phrases:
+        raise ValueError("phrase_occurrences: empty phrase list")
+    blank = [ph for ph in phrases if not ph.split()]
+    if blank:
+        raise ValueError(
+            f"phrase_occurrences: blank/whitespace-only phrases: {blank!r}"
+        )
     outs = []
     for ph in phrases:
         words = ph.split()

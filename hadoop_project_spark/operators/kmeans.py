@@ -48,6 +48,14 @@ from hadoop_project_spark.functions.vector import (
 # one double division in the centroid update is exactly reproducible.
 KM_QUANT = 10_000
 
+# Exactness envelope for the pinned fit (VERDICT r8 item 7): the one
+# double division in the centroid update (s / n) and the oracle's
+# hugeint→double casts are exact only while |s| < 2^53; bigint squared-
+# distance sums must stay below 2^63. Both are now GUARDED, not just
+# documented — kmeans_fit_pinned raises instead of drifting silently.
+_MAX_EXACT_SUM = 1 << 53
+_MAX_BIGINT = 1 << 63
+
 
 @dataclass
 class KMeansResult:
@@ -274,6 +282,25 @@ def kmeans_fit_pinned(
     """
     qpts = points if assume_quantized else quantize_points(points, vec_col, id_col).cache()
     try:
+        # Magnitude guard (VERDICT r8 item 7): one tiny aggregate over
+        # the (cached) quantized projection. If any coordinate is large
+        # enough that a squared-distance sum could exceed int64, the
+        # arithmetic below would wrap SILENTLY in Spark — fail loudly
+        # instead. (The |s| < 2^53 centroid-sum bound is checked exactly,
+        # per collected row, in the update loop.)
+        maxq_row = qpts.agg(
+            F.max(
+                F.array_max(F.transform(F.col("qv"), lambda v: F.abs(v)))
+            ).alias("m")
+        ).first()
+        maxq = int(maxq_row["m"]) if maxq_row["m"] is not None else 0
+        if dim * (2 * maxq) ** 2 >= _MAX_BIGINT:
+            raise ValueError(
+                f"kmeans_fit_pinned: quantized coordinate magnitude {maxq} "
+                f"breaks the int64 squared-distance envelope at dim={dim} "
+                f"(need dim·(2·max|q|)² < 2^63); rescale the input or drop "
+                f"KM_QUANT a decade"
+            )
         init_rows = qpts.orderBy(id_col).limit(k).collect()
         cents = [[int(x) for x in r["qv"]] for r in init_rows]
         converged = False
@@ -290,6 +317,14 @@ def kmeans_fit_pinned(
             # the float fit; the oracle's LEFT JOIN + COALESCE mirrors it)
             new = [list(c) for c in cents]
             for row in per_dim:
+                if abs(row["s"]) >= _MAX_EXACT_SUM:
+                    raise ValueError(
+                        f"kmeans_fit_pinned: per-cluster coordinate sum "
+                        f"|{row['s']}| ≥ 2^53 — the s/n double division "
+                        f"(and the oracle's hugeint→double cast) would no "
+                        f"longer be exact; rescale the input or drop "
+                        f"KM_QUANT a decade"
+                    )
                 new[row["cluster"]][row["pos"]] = math.floor(
                     row["s"] / row["n"] + 0.5
                 )

@@ -78,7 +78,11 @@ def _sql_phrase_search_stats() -> str:
     oracle=f"""
     WITH {_SQL_TOKS},
     p AS (
-      SELECT doc_id, UNNEST(toks) AS term FROM toks
+      -- term <> '' mirrors operators/invindex.postings: a document whose
+      -- text normalizes to empty contributes zero terms (ADVICE r8)
+      SELECT * FROM (
+        SELECT doc_id, UNNEST(toks) AS term FROM toks
+      ) WHERE term <> ''
     )
     SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
            CAST(COUNT(*) AS BIGINT) AS cf,
@@ -123,9 +127,12 @@ def _sql_bm25_topk() -> str:
     return f"""
     WITH {_SQL_TOKS},
     tf AS (
+      -- term <> '' mirrors tfidf.doc_term_freqs: an empty-normalizing
+      -- document contributes zero terms, so N/T/dl agree with Spark on
+      -- degenerate documents too (ADVICE r8)
       SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM (
         SELECT doc_id, UNNEST(toks) AS term FROM toks
-      ) GROUP BY doc_id, term
+      ) WHERE term <> '' GROUP BY doc_id, term
     ),
     dfr AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
     dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),

@@ -163,3 +163,28 @@ def test_overlapping_occurrences_all_count(spark):
         for r in ix.phrase_occurrences(docs, ["a a"]).collect()
     }
     assert got == {("a a", 1): 3, ("a a", 2): 1}
+
+
+def test_phrase_guard_rejects_degenerate_inputs(spark):
+    """ADVICE r8: empty phrase lists and whitespace-only phrases raise
+    a clear ValueError instead of IndexError."""
+    import pytest
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="empty phrase list"):
+        ix.phrase_occurrences(docs, [])
+    with pytest.raises(ValueError, match="whitespace-only"):
+        ix.phrase_occurrences(docs, ["a b", "   "])
+
+
+def test_empty_document_contributes_no_terms(spark):
+    """ADVICE r8: a document normalizing to the empty string yields
+    ZERO postings (no '' term) — and the directory therefore skips it,
+    matching the oracles' term <> '' convention."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="   "), Row(doc_id=2, text="x y")]
+    )
+    p = {(r["term"], r["doc_id"], r["pos"]) for r in ix.postings(docs).collect()}
+    assert p == {("x", 2, 0), ("y", 2, 1)}
+    d = {r["term"]: r["df"] for r in ix.index_directory(docs).collect()}
+    assert d == {"x": 1, "y": 1}

@@ -183,3 +183,36 @@ def test_quantization_is_exact_fixed_point(spark, sf_dir, emb):
             int(np.floor(float(v) * KM_QUANT + 0.5)) for v in r["embedding"]
         ]
         assert got[r["vec_id"]] == expect
+
+
+def test_pinned_fit_magnitude_guard_fails_loudly(spark):
+    """VERDICT r8 item 7: coordinates big enough to break the int64
+    squared-distance envelope must raise, not wrap/drift silently."""
+    from pyspark.sql import Row
+
+    from hadoop_project_spark.operators.kmeans import kmeans_fit_pinned
+
+    big = 1.0e6  # quantizes to 1e10 ≫ the dim=2 bound of ~2^30
+    pts = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[big, -big]),
+            Row(vec_id=2, embedding=[-big, big]),
+            Row(vec_id=3, embedding=[big / 2, big / 3]),
+        ]
+    )
+    with pytest.raises(ValueError, match="squared-distance envelope"):
+        kmeans_fit_pinned(pts, k=2, dim=2, max_iter=2)
+
+
+def test_pinned_fit_guard_passes_on_unit_scale(spark):
+    """The guard is a backstop, not a tax: unit-scale inputs (the
+    documented |coord| < 1 envelope) fit without tripping it."""
+    from pyspark.sql import Row
+
+    from hadoop_project_spark.operators.kmeans import kmeans_fit_pinned
+
+    pts = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[0.01 * i, -0.02 * i]) for i in range(8)]
+    )
+    res = kmeans_fit_pinned(pts, k=2, dim=2, max_iter=3)
+    assert len(res.centroids_q) == 2
