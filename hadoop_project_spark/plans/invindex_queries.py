@@ -176,6 +176,58 @@ def _sql_bm25_topk() -> str:
     """
 
 
+def _build_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (overwrite) the stored index tables for this sf; returns
+    the table prefix. Each stored-probe query rebuilds — self-contained
+    and immune to stale warehouse state, and the build cost IS the
+    roundtrip being measured."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    prefix = f"rt_idx_{sf}"
+    ix.build_index_tables(docs, prefix)
+    return prefix
+
+
+@register(
+    "inverted_index_build_roundtrip",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_phrase_search_stats(),
+    tags=("text", "index", "phrase-search", "roundtrip", "S7", "extension"),
+)
+def inverted_index_build_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored-index roundtrip: write the postings as a term-bucketed
+    sorted parquet table (operators/invindex.build_index_tables), then
+    answer the phrase workload FROM THE STORED TABLE — each word's
+    term-equality filter prunes to its bucket at the scan, so the probe
+    reads only the phrase words' posting buckets (plan-gated in
+    tests/test_plan_shapes.py). Hash-matching the from-scratch oracle
+    certifies build → bucketed write → catalog read → positional
+    intersection end-to-end — the 100 TB shape the module docstring
+    prescribes, measured instead of asserted (VERDICT r8 #1)."""
+    prefix = _build_index(spark, sf_dir)
+    p = spark.table(ix.index_table_names(prefix)[0])
+    return ix.phrase_search_stats_over(p, SEARCH_PHRASES)
+
+
+@register(
+    "bm25_topk_stored",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_bm25_topk(),
+    tags=("text", "index", "retrieval", "bm25", "roundtrip", "extension"),
+)
+def bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k probing the STORED index: tf/df recovered off the
+    term-bucketed postings table with zero exchange (bucket-local
+    aggregates + co-located term join), document lengths read from the
+    doc_id-bucketed length table, and the same two-stage top-k as the
+    in-session path. Same oracle as bm25_topk — the stored layout must
+    not change a single score bit."""
+    prefix = _build_index(spark, sf_dir)
+    return ix.bm25_topk_stored(spark, prefix, BM25_QUERIES, BM25_K)
+
+
 @register(
     "bm25_topk",
     priority=10,  # new in round 8 -> first driver window
