@@ -499,6 +499,103 @@ def part_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "part_pagerank_bucketed",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_pagerank_iterated(),
+    tags=("graph", "pagerank", "iterative", "C2", "roundtrip", "extension"),
+)
+def part_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part_pagerank_iterated's BROADCAST-OVERFLOW twin (VERDICT r8 #2):
+    the same integer power iteration, same oracle, but the rank vector
+    is never broadcast — proving the family survives a rank vector too
+    big for the driver/executor broadcast path at 100 TB.
+
+    Layout does the work the broadcast did: the degree-annotated edge
+    relation is stored src-BUCKETED AND SORTED (one file per bucket),
+    the node set part_id-bucketed with the SAME bucket count, so
+    - every per-iteration edges⋈rank join is a sort-merge join with NO
+      exchange and NO sort on either side: the rank vector inherits the
+      nodes table's bucket partitioning/ordering through the previous
+      iteration's join (alias-aware propagation), and
+    - the only shuffle per iteration is the dst-keyed message aggregate
+      (parts-sized, partial-aggregated).
+    The merge hints pin the join strategy the layout is designed for
+    (small fixtures would otherwise broadcast and prove nothing);
+    plan-gated in tests/test_plan_shapes.py — zero edge re-sorts, per
+    governance_queries' own prescription at the iterated twin."""
+    import os
+
+    from hadoop_project_spark.sources.sinks import write_bucketed
+
+    # Bucket count = the session's shuffle parallelism, so the per-
+    # iteration message aggregate's output partitioning (dst, n) aliases
+    # straight into the node join's required (part_id, n) — a mismatch
+    # would re-exchange the rank delta every iteration.
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    et, nt = f"rt_pr_edges_{sf}", f"rt_pr_nodes_{sf}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = pin(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    write_bucketed(
+        edges.join(deg, "src").repartition(nb, F.col("src")),
+        et,
+        ["src"],
+        nb,
+        sort_cols=["src"],
+    )
+    nodes = li.select(F.col("l_partkey").alias("part_id")).distinct()
+    write_bucketed(
+        nodes.repartition(nb, F.col("part_id")),
+        nt,
+        ["part_id"],
+        nb,
+        sort_cols=["part_id"],
+    )
+    e, nd = spark.table(et), spark.table(nt)
+    r = nd.select("part_id", F.lit(_PRI_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_ITERS):
+        msgs = e.hint("merge").join(
+            r.withColumnRenamed("part_id", "src"), "src"
+        ).select("dst", F.expr("r div out_deg").alias("m"))
+        agg = msgs.groupBy("dst").agg(F.sum("m").alias("ms"))
+        r = (
+            nd.hint("merge")
+            .join(agg.withColumnRenamed("dst", "part_id"), "part_id", "left")
+            .select(
+                "part_id",
+                F.expr(
+                    f"cast({_PRI_BASE} + ({_PRI_DAMP_NUM} * coalesce(ms, 0))"
+                    f" div {_PRI_DAMP_DEN} as bigint)"
+                ).alias("r"),
+            )
+        )
+    return r.select(
+        F.col("part_id").cast("long").alias("part_id"),
+        F.col("r").alias("rank_units"),
+        (F.col("r").cast("double") / F.lit(float(_PRI_SCALE))).alias(
+            "rank_score"
+        ),
+    )
+
+
 # Fixed-point scale for LM probability scoring (floor-quantized: floor
 # has no .5 tie, and both engines compute the identical correctly-
 # rounded double for p*SCALE, so the BIGINT landing is bit-equal).

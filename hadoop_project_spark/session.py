@@ -55,6 +55,15 @@ def get_spark(
         # of every small table with 5-6x more task overhead (+15 s
         # across the 142-query sf0.1 bench). The targeted fix is
         # execution.widen_for_compute at the expensive text operators.
+        # Honor sortBy ordering when reading bucketed tables whose
+        # buckets each hold ONE file (off by default since Spark 3.0
+        # because multi-file buckets can't guarantee it). Every bucketed
+        # writer here repartitions to exactly n_buckets on the bucket
+        # column first, so the one-file-per-bucket precondition holds by
+        # construction — and the iterative SMJ consumers (the bucketed
+        # PageRank twin) exist precisely to NOT re-sort the edge
+        # relation every iteration.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -436,3 +436,27 @@ def test_stored_index_tf_df_join_no_shuffle(spark, sf_dir):
     dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
     plan = _plan(tf.join(dfr, "term"))
     assert _shuffle_exchanges(plan) == 0, plan
+
+
+def test_pagerank_bucketed_never_resorts_edges(spark, sf_dir):
+    """part_pagerank_bucketed (VERDICT r8 #2): per iteration the plan
+    may shuffle/sort ONLY the parts-sized message aggregate — the
+    src-bucketed sorted edge relation and the part_id-bucketed node set
+    feed their sort-merge joins with neither an Exchange nor a Sort
+    (bucket layout + one-file-per-bucket ordering do the work the
+    broadcast did in the iterated twin)."""
+    from hadoop_project_spark.plans.governance_queries import _PR_ITERS
+
+    df = SPECS["part_pagerank_bucketed"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") == 2 * _PR_ITERS
+    assert "BroadcastHashJoin" not in plan  # the whole point of the twin
+    shuffles = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(shuffles) == _PR_ITERS, shuffles
+    assert all("dst#" in l for l in shuffles), shuffles  # agg side only
+    sorts = [l for l in plan.splitlines() if "+- Sort [" in l or ":- Sort [" in l]
+    assert len(sorts) == _PR_ITERS, sorts
+    assert all("part_id#" in l for l in sorts), sorts  # never the edges
+    assert "Bucketed: true" in plan
