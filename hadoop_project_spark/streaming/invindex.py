@@ -20,10 +20,11 @@ ingest gate (dedup_gate.py).
 
 At 100 TB/day: the state is O(vocabulary) rows regardless of stream
 volume; the per-batch work is one widened scan + one partial-aggregated
-groupBy + a vocabulary-keyed merge join. Replay caveat: df/cf addition
-is not idempotent, so exactly-once accounting needs upstream dedup
-(streaming/windows.dedup_stream) or a transactional state table —
-same contract as the additive sketch sinks, documented there.
+groupBy + a vocabulary-keyed merge join. Replay safety: df/cf addition
+is not idempotent on its own, so the merge sink records the applied
+batch_id high-water mark inside the atomically-swapped state directory
+and skips re-delivered batches — additive updates are effectively-once
+(streaming/merge.py; crash-replay test in tests/test_streaming.py).
 """
 
 from __future__ import annotations

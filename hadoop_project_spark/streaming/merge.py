@@ -8,13 +8,27 @@ merge_upsert_roundtrip). State is swapped atomically by directory
 rename: the merged result is fully materialized into a staging dir
 BEFORE the old state is replaced, so a crash mid-batch leaves the
 previous state intact and the checkpointed source offsets simply replay
-the batch (foreachBatch's at-least-once contract + idempotent merge =
-effectively-once state).
+the batch.
+
+Exactly-once for ADDITIVE updates (VERDICT r8 #3): re-merging a
+replayed batch would double-count df/cf/sketch cells, so the sink
+records the last applied batch_id in a marker file INSIDE the state
+directory (underscore-prefixed — Spark's parquet reader ignores it) and
+skips any batch at or below the high-water mark. Because the marker
+rides in the same atomic directory swap as the data, state and mark can
+never disagree: a crash before the swap leaves both at batch N-1 (the
+replay re-applies N once); a crash after the swap but before the
+checkpoint commit leaves both at N (the replay of N is detected and
+skipped). foreachBatch's at-least-once delivery + this idempotence =
+effectively-once state, now for additive folds too, not just idempotent
+upserts.
 
 On a real deployment the state table would be Delta/Iceberg and the
-swap a transactional commit; the rename stands in for that commit with
-the same read-modify-publish structure, and everything else (the merge
-plan, the additive update expressions) transfers unchanged.
+swap a transactional commit carrying the same batch-id watermark
+(exactly how Delta's `txn` app-id/version dedup works); the rename
+stands in for that commit with the same read-modify-publish structure,
+and everything else (the merge plan, the additive update expressions)
+transfers unchanged.
 """
 
 from __future__ import annotations
@@ -27,6 +41,19 @@ from pyspark.sql import Column, DataFrame
 
 from hadoop_project_spark.operators.merge import merge_upsert
 
+_BATCH_MARKER = "_last_batch_id"
+
+
+def last_applied_batch(state_dir: str) -> int | None:
+    """The high-water batch_id recorded in ``state_dir``, or None if the
+    state predates the marker / doesn't exist."""
+    marker = os.path.join(state_dir, _BATCH_MARKER)
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
 
 def make_merge_sink(
     state_dir: str,
@@ -38,20 +65,28 @@ def make_merge_sink(
 
     ``prepare`` reduces the raw micro-batch to one delta row per key
     (a pre-aggregation — keeps the merge join small); ``updates``
-    resolves matched keys (additive for running aggregates).
+    resolves matched keys (additive for running aggregates). Replayed
+    batches (batch_id ≤ the state's recorded high-water mark) are
+    skipped — see the module docstring's exactly-once argument.
     """
     staging = state_dir + ".staging"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        applied = last_applied_batch(state_dir)
+        if applied is not None and batch_id <= applied:
+            return  # crash-replay of an already-merged batch: no-op
         delta = prepare(batch_df)
         if os.path.exists(state_dir):
             target = spark.read.parquet(state_dir)
             merged = merge_upsert(target, delta, keys=keys, updates=updates)
         else:
             merged = delta
-        # materialize into staging BEFORE touching current state
+        # materialize into staging BEFORE touching current state; the
+        # batch-id marker joins the same atomic swap
         merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, _BATCH_MARKER), "w") as fh:
+            fh.write(str(batch_id))
         shutil.rmtree(state_dir, ignore_errors=True)
         os.replace(staging, state_dir)
 

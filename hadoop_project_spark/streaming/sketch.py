@@ -10,10 +10,10 @@ property that makes sketch-backed monitoring (hot keys, frequency
 caps) viable on an unbounded 100 TB/day stream where exact per-key
 state would grow without bound.
 
-At-least-once replay safety comes from the same staging-dir swap as
-the CDC sink; a replayed batch re-merges its delta, so exactly-once
-accounting needs the upstream dedup (streaming/windows.dedup_stream)
-or a transactional table in production — documented at the sink.
+Replay safety comes from the CDC sink's staging-dir swap plus its
+batch-id high-water mark (streaming/merge.py): a re-delivered batch is
+detected and skipped, so the additive cell counts are effectively-once
+without upstream dedup — crash-replay test in tests/test_streaming.py.
 """
 
 from __future__ import annotations
