@@ -33,6 +33,7 @@ import os
 import statistics
 import time
 import urllib.request
+from hadoop_project_spark.execution import clear_query_state
 
 
 def _completed_stages(spark) -> list[dict]:
@@ -222,7 +223,7 @@ def main() -> None:
         # plan-cache matching, but across 134 queries the entries would
         # otherwise accumulate until ContextCleaner got to them,
         # pressuring executor memory and distorting later timings.
-        spark.catalog.clearCache()
+        clear_query_state(spark)
         if build_s:  # partial runs still report (fault isolation)
             totals = [b + e for b, e in zip(build_s, exec_s)]
             timings[name] = round(statistics.median(totals), 4)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from hadoop_project_spark.execution import clear_query_state
 
 
 def _spark(cpus: str):
@@ -125,8 +126,8 @@ def main(argv: list[str] | None = None) -> int:
         # several operators pin multi-consumer relations (shingle sets,
         # edge lists) for the duration of the query; release them so a
         # long-lived CLI session doesn't accumulate executor memory
-        # (same discipline as bench.py's per-query clearCache)
-        spark.catalog.clearCache()
+        # (same discipline as bench.py's per-query release)
+        clear_query_state(spark)
 
 
 if __name__ == "__main__":

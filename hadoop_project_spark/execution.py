@@ -129,6 +129,17 @@ def release_pins() -> int:
     return n
 
 
+def clear_query_state(spark) -> None:
+    """The between-queries release for entry points (bench.py,
+    __main__, scaling, plan_report): clearCache() frees the executor
+    blocks, and draining the pin registry frees the driver-side
+    DataFrame/JVM plan references that a bare clearCache() left
+    accumulating one-per-pin across a long run (ADVICE r8). Library
+    consumers keep calling release_pins() alone."""
+    release_pins()
+    spark.catalog.clearCache()
+
+
 def eager_pin(df: DataFrame) -> DataFrame:
     """persist() a multi-consumer relation; BLOCK until cached only when
     its upstream is expensive enough to matter.
@@ -195,6 +206,16 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         # zones). Check the driver-side file listing (no job) and skip
         # the pointless exchange; single-file inputs (the local fixture
         # case the shim exists for) are unaffected.
+        #
+        # Deliberately the bare FILE-COUNT heuristic, not a packed-split
+        # estimate (ADVICE r8): it assumes openCostInBytes sits at (or
+        # near) its 4 MB default, under which n_files ≥ target always
+        # yields ~target real tasks. A session that lowers openCost far
+        # below default could pack many tiny files into fewer than
+        # target partitions and this guard would skip a still-useful
+        # widen — a perf-only miss we accept, since this repo pins
+        # openCost at default (session.py's rejected-tuning note) and
+        # file count is the model that matched measured task counts.
         try:
             if len(df.inputFiles()) >= target:
                 return df

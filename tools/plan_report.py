@@ -18,6 +18,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from hadoop_project_spark.execution import clear_query_state
+
 QUERIES = [
     "pricing_summary",
     "regional_revenue",
@@ -143,7 +145,7 @@ def main() -> None:
                 f"- scan {i}: `{rs[:140]}`\n" for i, rs in enumerate(read_schemas)
             )
         )
-        spark.catalog.clearCache()  # release per-query pinned relations
+        clear_query_state(spark)  # release pins + cached blocks
     out += ["", "## Read schemas (column pruning)", ""] + details
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out) + "\n")
