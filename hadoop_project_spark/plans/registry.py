@@ -42,20 +42,20 @@ _ORDER: dict[str, int] = {}
 # — tests/test_registry_window.py enforces "driver-green in a prior
 # round's CORRECTNESS_r*.json OR in the current window".
 #
-# Round 8 (per VERDICT r7 items 1-4, 8): all 152 previously
-# oracle-bearing queries are ever-green and round 8 closed the last 3
-# oracle-less entries, so the window is the headline set, the three
-# NEWLY-ORACLED iterative K-Means queries (they self-promote at
-# registration priority=10), and a hash anchor for every query whose
-# CODE round 8 touched: the self-join pin fixes (ssjoin ranked
-# relation, LSH band relation — gate twin, recall eval, the whole
-# ssjoin/span family), the shared-shingle recall-eval rewrite, the
-# winnowing widen, the widen_for_compute already-wide guard
-# (representative consumer families), and the BPE control-char strip.
-# Everything else green in r1-r7 demotes to 500, still oracle-tested
-# every CI run by tests/test_oracle_parity.py.
+# Round 9 (per VERDICT r8 items 1-3, 8): the window is the headline
+# set, the THREE new stored-layout queries (inverted_index_build_
+# roundtrip, bm25_topk_stored, part_pagerank_bucketed — self-promoted
+# at registration priority=10), and a hash anchor for every query whose
+# CODE round 9 touched: the invindex family (postings empty-term
+# filter, shared probe halves, two-stage BM25 top-k, oracle tf/'' CTE
+# edits), the pinned K-Means fit (magnitude guard), part_pagerank_
+# iterated (shares the edge-relation code path with the bucketed twin),
+# and bucketed_join_roundtrip (the legacy bucketed-scan outputOrdering
+# conf changes every bucketed read's plan). The r8-only anchors are
+# demoted to 500, still oracle-tested every CI run by
+# tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- round-8 regression anchors: keep in-window (prio 20) ---
+    # --- round-9 regression anchors: keep in-window (prio 20) ---
     **{
         name: 20
         for name in (
@@ -65,7 +65,24 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # self-join pin fixes + shared shingle-set refactor (items 2, 4)
+            # bucketed-scan outputOrdering conf touches every bucketed
+            # table read (session.py) — re-certify the S7 roundtrip
+            "bucketed_join_roundtrip",
+            "dpp_partitioned_join_roundtrip",
+        )
+    },
+    # --- green in r1-r8, still CI-oracle-tested: demote (prio 500) ---
+    # Queries below self-promoted at registration (priority<100) to
+    # enter their first window and earned a green CORRECTNESS row, so
+    # the override now outranks the registration promotion and releases
+    # their slots; r8-window anchors released this round are listed
+    # too. (Anything not listed: see _effective_priority.)
+    **{
+        name: 500
+        for name in (
+            # r8 anchors released this round (code untouched in r9; the
+            # ssjoin-pin family's r8 deltas were re-adjudicated by the
+            # round-9 within-session A/B — SCALING.md)
             "ssjoin_prefix_pairs",
             "doc_duplicate_spans",
             "doc_duplicate_span_ratio",
@@ -73,21 +90,14 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "neardup_gate_admissions",
             "dedup_minhash_lsh",
             "dedup_clusters",
-            # winnowing widen (item 3)
             "doc_winnowing_fingerprints",
             "winnowing_dup_candidates",
-            # widen_for_compute already-wide guard (ADVICE r7):
-            # representative consumers across the shim's call sites
             "dedup_exact",
             "dedup_ngram_jaccard",
             "doc_quality_model_filter",
             "multimodal_bmp_features",
-            # BPE control-char strip (ADVICE r7) — operator + oracle CTEs
             "bpe_train_merges",
             "bpe_encode_token_counts",
-            # round-8 widen slope audit: every query whose scan gained
-            # widen_for_compute re-certifies (tfidf/bm25 tf relation,
-            # bigram zip_with streams, survivor fingerprint, chunking)
             "tfidf_top_terms",
             "bigram_pmi_collocations",
             "doc_bigram_lm_top",
@@ -98,22 +108,11 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "corpus_quality_by_lang",
             "quality_filter_funnel",
             "doc_fingerprints",
-        )
-    },
-    # --- green in r1-r7, still CI-oracle-tested: demote (prio 500) ---
-    # Queries below self-promoted at registration (priority<100) to
-    # enter their first window and earned a green CORRECTNESS row, so
-    # the override now outranks the registration promotion and releases
-    # their slots; r7-window anchors released this round are listed
-    # too. (Anything not listed: see _effective_priority.)
-    **{
-        name: 500
-        for name in (
-            # r7-new, green in CORRECTNESS_r07, not touched this round
+            # r7-new, green in CORRECTNESS_r07
             "semantic_dedup_decisions",
             "semantic_dedup_bucketed",
             "ann_truncated_dim_recall",
-            # r7 anchors released this round
+            # r7 anchors released in r8
             "part_name_fuzzy_pairs",
             "part_entity_clusters",
             "source_overlap_matrix",
@@ -129,7 +128,6 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "embedding_neardup_pairs_bucketed",
             "multimodal_wav_features",
             "events_decayed_engagement",
-            "dpp_partitioned_join_roundtrip",
             "embedding_neardup_pairs",
             "ann_topk_ivf",
             "events_hourly_rollup",

@@ -24,10 +24,10 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 8 (VERDICT r7 items 1-4, 8): the
-# headline set, the three newly-oracled iterative K-Means queries, and
-# a hash anchor for every query whose code round 8 touched — must be
-# proven green THIS round.
+# Regression anchors for round 9 (VERDICT r8 items 1-3, 8): the
+# headline set, the three new stored-layout queries, and a hash anchor
+# for every query whose code round 9 touched — must be proven green
+# THIS round.
 MUST_VERIFY = {
     # headline (every round)
     "word_count",
@@ -35,50 +35,26 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # round-8 new oracles: the pinned fixed-point Lloyd fit replayed by
-    # chained MATERIALIZED CTEs (self-promoted prio=10 at registration)
-    "kmeans_centroids",
-    "kmeans_cluster_sizes",
-    "kmeans_silhouette",
-    # self-join pin fixes + shared shingle-set recall-eval rewrite
-    "ssjoin_prefix_pairs",
-    "doc_duplicate_spans",
-    "doc_duplicate_span_ratio",
-    "dedup_lsh_recall_eval",
-    "neardup_gate_admissions",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    # winnowing widen_for_compute
-    "doc_winnowing_fingerprints",
-    "winnowing_dup_candidates",
-    # widen already-wide guard: representative consumer families
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "doc_quality_model_filter",
-    "multimodal_bmp_features",
-    # BPE control-char strip (operator + oracle word CTEs)
-    "bpe_train_merges",
-    "bpe_encode_token_counts",
-    # round-8 new: positional inverted index + phrase search + BM25
-    # (self-promoted prio=10 at registration)
+    # round-9 new: stored term-bucketed index probes + the bucketed
+    # (broadcast-overflow) PageRank twin (self-promoted prio=10)
+    "inverted_index_build_roundtrip",
+    "bm25_topk_stored",
+    "part_pagerank_bucketed",
+    # round-9 code-touch anchors: postings empty-term filter + shared
+    # probe halves + two-stage BM25 top-k + oracle '' CTE edits
     "inverted_index_directory",
     "phrase_search_hits",
     "bm25_topk",
-    # round-8 widen slope audit: scans that gained widen_for_compute
-    "tfidf_top_terms",
-    "bigram_pmi_collocations",
-    "doc_bigram_lm_top",
-    "dedup_survivors_by_source",
-    "doc_lm_avgprob",
-    "doc_chunks_overlap",
-    # round-8 profile pass 2: widened feature scans + the filter-
-    # pushdown-through-exchange pin fix (training_data_mix)
-    "training_data_mix",
-    "corpus_quality_by_lang",
-    "quality_filter_funnel",
-    "doc_fingerprints",
-    # round-8 new: full iterative PageRank, oracle-replayed end-to-end
+    # the pinned fit gained the magnitude guard (extra agg job)
+    "kmeans_centroids",
+    "kmeans_cluster_sizes",
+    "kmeans_silhouette",
+    # shares the edge-relation build with the bucketed twin
     "part_pagerank_iterated",
+    # the legacy bucketedTableScan.outputOrdering conf (session.py)
+    # changes every bucketed read's plan — re-certify the S7 roundtrips
+    "bucketed_join_roundtrip",
+    "dpp_partitioned_join_roundtrip",
 }
 
 
