@@ -17,11 +17,12 @@ were exactly this). Build and execution are timed separately: roundtrip
 queries do their parquet (re)writes eagerly inside build(), so the
 build-phase median isolates write amplification from the read-side
 query a DPP/layout regression would actually show up in. Phase medians
-land in bench_results.json ("phases"); the stdout line keeps the
-per-query total-median map the driver records.
+land in the detail file ("phases") — committed as bench_results.json
+only via an explicit SPARK_GRAFT_BENCH_OUT opt-in, see main(); the
+stdout line keeps the per-query total-median map the driver records.
 
 Shuffle telemetry (round 6): per-query shuffle read/write MB medians
-from the app's REST stage store land in bench_results.json
+from the app's REST stage store land in the detail file
 ("shuffle_mb") — wall time at sf0.1 cannot see a shuffle-volume
 regression that only dominates at 100x scale; bytes can.
 """
@@ -257,12 +258,18 @@ def main() -> None:
     # Full detail (per-run timings, build/exec phase medians) lands on
     # disk only — the stdout line stays compact so tail-truncation of
     # captured output can't eat the per-query map (r2 lesson).
-    # SPARK_GRAFT_BENCH_OUT redirects the detail file (iteration runs
-    # point it at a temp path so the committed artifact only changes on
-    # the round's one final measured run — the write+commit is atomic
-    # and the tree stays clean, VERDICT r6 item 8).
+    #
+    # The detail file DEFAULTS to a non-repo path (round 9, closing
+    # VERDICT r6 item 8 / r7 item 5 / r8 item 4 for good): any bench
+    # invocation that does not explicitly opt in — iteration re-rolls
+    # AND the round driver's own post-commit run — can no longer dirty
+    # the committed bench_results.json with jitter. Refreshing the
+    # committed artifact is the explicit act
+    #   SPARK_GRAFT_BENCH_OUT=bench_results.json python bench.py
+    # followed by the round-closing commit; the stdout JSON line (what
+    # the driver records) is unaffected either way.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+        "/tmp", "bench_results_latest.json"
     )
     try:
         with open(out_path, "w") as fh:
