@@ -125,10 +125,19 @@ def build_index_tables(
     dl (tokens per doc) doubles as the BM25 document length; the corpus
     scalars N and T are its COUNT/SUM — probe-time one-row aggregates
     over the doc-sized table, not a third table."""
+    return write_index_tables(eager_pin(postings(docs)), prefix, n_buckets)
+
+
+def write_index_tables(
+    p: DataFrame, prefix: str, n_buckets: int = POSTINGS_BUCKETS
+) -> tuple[str, str]:
+    """The write half of build_index_tables, over an EXISTING postings
+    relation — shared with the streaming segment compaction
+    (streaming/index_segments.py), which folds per-batch segments into
+    the same serving layout."""
     from hadoop_project_spark.sources.sinks import write_bucketed
 
     pt, dt = index_table_names(prefix)
-    p = eager_pin(postings(docs))
     write_bucketed(
         p.repartition(n_buckets, F.col("term")),
         pt,

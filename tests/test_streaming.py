@@ -772,3 +772,79 @@ def test_merge_sink_skips_replayed_batches(spark, sf_dir, tmp_path):
     after = snap(cm_state)
     cm_sink(ev, 0)  # replay: additive cells must NOT double
     assert snap(cm_state) == after
+
+
+def test_segment_ingest_then_compaction_equals_oneshot_index(
+    spark, sf_dir, tmp_path
+):
+    """LSM ingest for the stored index: per-batch postings segments
+    (atomic, batch_id-named, replay-idempotent) union to exactly the
+    one-shot postings relation, and compaction into the term-bucketed
+    serving tables answers the phrase and BM25 probes identically to
+    the one-shot build the driver hash-certifies."""
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.plans.invindex_queries import (
+        BM25_K,
+        BM25_QUERIES,
+        SEARCH_PHRASES,
+    )
+    from hadoop_project_spark.streaming.index_segments import (
+        compact_segments,
+        make_postings_segment_sink,
+        read_segments,
+        segment_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_seg_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    seg_root = str(tmp_path / "segments")
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(make_postings_segment_sink(seg_root))
+        .option("checkpointLocation", str(tmp_path / "seg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    import os
+
+    n_segs = len(os.listdir(seg_root))
+    assert n_segs >= 2  # genuinely multi-batch
+
+    # union of segments == the one-shot postings relation (multiset)
+    def multiset(df):
+        from collections import Counter
+
+        return Counter(
+            (r["term"], r["doc_id"], r["pos"]) for r in df.collect()
+        )
+
+    assert multiset(read_segments(spark, seg_root)) == multiset(
+        ix.postings(docs)
+    )
+
+    # replaying a published batch is a no-op (segment dir is the mark)
+    seg0 = segment_dir(seg_root, 0)
+    before = sorted(os.listdir(seg0))
+    make_postings_segment_sink(seg_root)(docs.limit(3), 0)
+    assert sorted(os.listdir(seg0)) == before
+
+    # compaction == one-shot build, through both probe families
+    compact_segments(spark, seg_root, "seg_idx_test")
+    pt, _ = ix.index_table_names("seg_idx_test")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        ix.phrase_search_stats_over(spark.table(pt), SEARCH_PHRASES)
+    ) == rows(ix.phrase_search_stats(docs, SEARCH_PHRASES))
+    assert rows(
+        ix.bm25_topk_stored(spark, "seg_idx_test", BM25_QUERIES, BM25_K)
+    ) == rows(ix.bm25_topk(docs, BM25_QUERIES, BM25_K))
