@@ -13,7 +13,7 @@ positional intersection arithmetic, not just the counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
 from hadoop_project_spark.operators import invindex as ix
@@ -226,6 +226,47 @@ def bm25_topk_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
     not change a single score bit."""
     prefix = _build_index(spark, sf_dir)
     return ix.bm25_topk_stored(spark, prefix, BM25_QUERIES, BM25_K)
+
+
+@register(
+    "index_segment_compaction_roundtrip",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_phrase_search_stats(),
+    tags=("text", "index", "streaming", "roundtrip", "S7", "extension"),
+)
+def index_segment_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LSM ingest path, hash-certified end to end: the corpus is
+    ingested as FOUR deterministic batches through the streaming
+    postings-segment sink (streaming/index_segments.py — the real
+    foreachBatch function, atomic batch_id-named publishes, one replay
+    deliberately included to exercise the idempotence skip), compacted
+    into the term-bucketed serving tables, and the phrase workload is
+    answered from the compacted index. Matching the from-scratch oracle
+    proves segment ingest → replay-skip → compaction → bucketed probe
+    loses nothing vs the one-shot build."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_project_spark.streaming.index_segments import (
+        compact_segments,
+        make_postings_segment_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    seg_root = os.path.join(tempfile.gettempdir(), f"rt_idx_segs_{sf}")
+    shutil.rmtree(seg_root, ignore_errors=True)
+    sink = make_postings_segment_sink(seg_root)
+    for b in range(4):
+        sink(docs.filter(F.col("doc_id") % 4 == b), b)
+    sink(docs.filter(F.col("doc_id") % 4 == 1), 1)  # replayed batch: no-op
+    prefix = f"rt_idx_seg_{sf}"
+    compact_segments(spark, seg_root, prefix)
+    p = spark.table(ix.index_table_names(prefix)[0])
+    return ix.phrase_search_stats_over(p, SEARCH_PHRASES)
 
 
 @register(

@@ -39,6 +39,7 @@ MUST_VERIFY = {
     # (broadcast-overflow) PageRank twin (self-promoted prio=10)
     "inverted_index_build_roundtrip",
     "bm25_topk_stored",
+    "index_segment_compaction_roundtrip",
     "part_pagerank_bucketed",
     # round-9 code-touch anchors: postings empty-term filter + shared
     # probe halves + two-stage BM25 top-k + oracle '' CTE edits
