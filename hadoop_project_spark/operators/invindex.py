@@ -218,6 +218,59 @@ def phrase_occurrences_over(p: DataFrame, phrases: list[str]) -> DataFrame:
     return res
 
 
+def proximity_cooccurrence(
+    docs: DataFrame, pairs: list[tuple[str, str]], window: int
+) -> DataFrame:
+    """(pair, n_docs, n_pairs): proximity search — for each term pair
+    (a, b), the number of documents where they co-occur within
+    ``window`` token positions and the total count of qualifying
+    (pos_a, pos_b) occurrence pairs. The third classic positional-index
+    probe (exact term → phrase → proximity): same postings relation,
+    the position equality of the phrase intersection relaxed to a band.
+
+    Shape: each pair is a doc_id-keyed equi-join of two term-filtered
+    posting lists with the |pos_a − pos_b| ≤ W band as a join residual
+    — O(Σ posting-list lengths) probe cost, never a corpus scan; output
+    per doc is bounded by occurrences² within the band, and against the
+    stored index the term filters bucket-prune exactly like the phrase
+    probe."""
+    return proximity_cooccurrence_over(
+        eager_pin(postings(docs)), pairs, window
+    )
+
+
+def proximity_cooccurrence_over(
+    p: DataFrame, pairs: list[tuple[str, str]], window: int
+) -> DataFrame:
+    """The probe half of proximity_cooccurrence, over an existing
+    postings relation. Pairs must be distinct-term (a == b would count
+    each occurrence against itself)."""
+    if not pairs:
+        raise ValueError("proximity_cooccurrence: empty pair list")
+    bad = [(a, b) for a, b in pairs if a == b or not a.strip() or not b.strip()]
+    if bad:
+        raise ValueError(
+            f"proximity_cooccurrence: degenerate pairs (blank or a==b): {bad!r}"
+        )
+    outs = []
+    for a, b in pairs:
+        pa = p.filter(F.col("term") == a).select("doc_id", F.col("pos").alias("pos_a"))
+        pb = p.filter(F.col("term") == b).select("doc_id", F.col("pos").alias("pos_b"))
+        j = pa.join(pb, "doc_id").filter(
+            F.abs(F.col("pos_a") - F.col("pos_b")) <= window
+        )
+        outs.append(
+            j.agg(
+                F.countDistinct("doc_id").cast("long").alias("n_docs"),
+                F.count("*").cast("long").alias("n_pairs"),
+            ).select(F.lit(f"{a} {b}").alias("pair"), "n_docs", "n_pairs")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def phrase_search_stats(docs: DataFrame, phrases: list[str]) -> DataFrame:
     """(phrase, n_docs, n_hits): the per-phrase rollup of
     phrase_occurrences — the result page header of a search engine."""

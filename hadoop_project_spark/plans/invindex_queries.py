@@ -120,6 +120,62 @@ def phrase_search_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.phrase_search_stats(docs, SEARCH_PHRASES)
 
 
+# Proximity workload: distinct-term pairs verified co-occurring within
+# the window at sf0.001 AND sf0.01 AND sf0.1 (130-1600 docs each —
+# non-degenerate everywhere).
+PROX_PAIRS = [
+    ("table", "scan"),
+    ("hash", "join"),
+    ("query", "filter"),
+    ("stream", "window"),
+    ("sort", "merge"),
+]
+PROX_WINDOW = 4
+
+
+def _sql_proximity() -> str:
+    legs = "\n      UNION ALL\n      ".join(
+        f"""SELECT '{a} {b}' AS pair,
+             CAST(COUNT(DISTINCT x.doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM (
+        SELECT pa.doc_id
+        FROM p pa JOIN p pb
+          ON pa.doc_id = pb.doc_id
+         AND pa.term = '{a}' AND pb.term = '{b}'
+         AND abs(pa.pos - pb.pos) <= {PROX_WINDOW}
+      ) x"""
+        for a, b in PROX_PAIRS
+    )
+    return f"""
+    WITH {_SQL_TOKS},
+    p AS (
+      SELECT doc_id, UNNEST(toks) AS term,
+             UNNEST(range(0, len(toks))) AS pos
+      FROM toks
+    )
+    {legs}
+    """
+
+
+@register(
+    "proximity_search_pairs",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_proximity(),
+    tags=("text", "index", "proximity", "extension"),
+)
+def proximity_search_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search over the positional index: for each term pair,
+    documents and occurrence pairs co-occurring within PROX_WINDOW
+    token positions (operators/invindex.proximity_cooccurrence) — the
+    third classic positional probe after exact term and phrase. The
+    oracle recomputes positions with zipped UNNESTs and replays the
+    banded self-join, so the hash-match certifies the position-band
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ix.proximity_cooccurrence(docs, PROX_PAIRS, PROX_WINDOW)
+
+
 def _sql_bm25_topk() -> str:
     vals = ", ".join(
         f"('{q}', '{t}')" for q in BM25_QUERIES for t in q.split()

@@ -188,3 +188,26 @@ def test_empty_document_contributes_no_terms(spark):
     assert p == {("x", 2, 0), ("y", 2, 1)}
     d = {r["term"]: r["df"] for r in ix.index_directory(docs).collect()}
     assert d == {"x": 1, "y": 1}
+
+
+def test_proximity_counts_banded_pairs_exactly(spark):
+    """|pos_a - pos_b| <= W counts every qualifying occurrence pair:
+    'a x b a' with (a,b) W=2 has pairs (0,2) and (3,2) -> n_pairs=2."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a x b a"), Row(doc_id=2, text="b y y y a")]
+    )
+    got = {
+        r["pair"]: (r["n_docs"], r["n_pairs"])
+        for r in ix.proximity_cooccurrence(docs, [("a", "b")], 2).collect()
+    }
+    assert got == {"a b": (1, 2)}  # doc 2's a-b distance is 4 > W
+
+
+def test_proximity_guard_rejects_degenerate_pairs(spark):
+    import pytest
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError, match="empty pair list"):
+        ix.proximity_cooccurrence(docs, [], 2)
+    with pytest.raises(ValueError, match="degenerate"):
+        ix.proximity_cooccurrence(docs, [("a", "a")], 2)

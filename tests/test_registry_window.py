@@ -40,6 +40,7 @@ MUST_VERIFY = {
     "inverted_index_build_roundtrip",
     "bm25_topk_stored",
     "index_segment_compaction_roundtrip",
+    "proximity_search_pairs",
     "part_pagerank_bucketed",
     # round-9 code-touch anchors: postings empty-term filter + shared
     # probe halves + two-stage BM25 top-k + oracle '' CTE edits
