@@ -121,9 +121,26 @@ def lsh_band_keys(signatures: DataFrame) -> DataFrame:
     (integer hashes are variable-width in decimal, so the separator
     keeps the band encoding injective — the old fixed-width hex concat
     didn't need one). Equal key ⇔ all ROWS_PER_BAND min-hashes equal."""
+    return lsh_band_keys_config(signatures, NUM_BANDS)
+
+
+def lsh_band_keys_config(signatures: DataFrame, n_bands: int) -> DataFrame:
+    """lsh_band_keys for an arbitrary band count dividing NUM_HASHES —
+    the (bands × rows) trade-off knob the band-sweep calibration query
+    measures (plans/dedup_queries.lsh_band_sweep): more bands ⇒ higher
+    collision probability per true pair (recall↑) and more spurious
+    collisions (precision↓); the S-curve midpoint sits at
+    J ≈ (1/bands)^(1/rows)."""
+    if n_bands < 1 or NUM_HASHES % n_bands:
+        raise ValueError(
+            f"n_bands must divide NUM_HASHES={NUM_HASHES}, got {n_bands}"
+        )
+    rows_per_band = NUM_HASHES // n_bands
     bands = []
-    for b in range(NUM_BANDS):
-        cols = [F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+    for b in range(n_bands):
+        cols = [
+            F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
         bands.append(
             F.struct(
                 F.lit(b).alias("band"),

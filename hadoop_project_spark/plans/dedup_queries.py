@@ -252,6 +252,156 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Band-count sweep over the 16-hash signature: every divisor-based
+# split from conservative (2 bands × 8 rows, S-curve midpoint J≈0.92)
+# to aggressive (16 × 1, J≈0.0625). The production LSH-tuning table.
+SWEEP_BAND_COUNTS = (2, 4, 8, 16)
+
+
+def _sql_band_sweep() -> str:
+    sig_cols = ",\n           ".join(
+        f"MIN(CAST(('0x' || substr(md5('{i}|' || sh), 1, 15)) AS UBIGINT))"
+        f" AS h{i}"
+        for i in range(dd.NUM_HASHES)
+    )
+    parts = [
+        f"{SQL_SHINGLES_CTE}",
+        f"sig AS MATERIALIZED (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id)",
+        "sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)",
+        """ti AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )""",
+        f"""truth AS MATERIALIZED (
+      SELECT t.doc_a, t.doc_b
+      FROM ti t JOIN sz sx ON sx.doc_id = t.doc_a
+                JOIN sz sy ON sy.doc_id = t.doc_b
+      WHERE t.i * {sj.SSJOIN_TAU_DEN}
+            >= {sj.SSJOIN_TAU_NUM} * (sx.n + sy.n - t.i)
+    )""",
+    ]
+    legs = []
+    for nb in SWEEP_BAND_COUNTS:
+        rows = dd.NUM_HASHES // nb
+        band_selects = "\n        UNION ALL\n        ".join(
+            "SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig".format(
+                b=b,
+                cols=" || '|' || ".join(
+                    f"CAST(h{b * rows + r} AS VARCHAR)" for r in range(rows)
+                ),
+            )
+            for b in range(nb)
+        )
+        parts.append(f"""bands_{nb} AS MATERIALIZED (
+        {band_selects}
+    )""")
+        parts.append(f"""cand_{nb} AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{nb} a JOIN bands_{nb} b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )""")
+        legs.append(f"""SELECT CAST({nb} AS INT) AS n_bands,
+           CAST({rows} AS INT) AS rows_per_band,
+           CAST(nt AS BIGINT) AS n_truth,
+           CAST(nc AS BIGINT) AS n_candidates,
+           CAST(nh AS BIGINT) AS n_hits,
+           CASE WHEN nt = 0 THEN 0.0
+                ELSE CAST(nh AS DOUBLE) / CAST(nt AS DOUBLE)
+           END AS candidate_recall,
+           CASE WHEN nc = 0 THEN 0.0
+                ELSE CAST(nh AS DOUBLE) / CAST(nc AS DOUBLE)
+           END AS candidate_precision
+    FROM (
+      SELECT (SELECT COUNT(*) FROM truth) AS nt,
+             (SELECT COUNT(*) FROM cand_{nb}) AS nc,
+             (SELECT COUNT(*) FROM truth t JOIN cand_{nb} c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS nh
+    )""")
+    unioned = "\n    UNION ALL\n    ".join(legs)
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes}
+    {unioned}
+    """
+
+
+@register(
+    "lsh_band_sweep",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_band_sweep(),
+    tags=("dedup", "minhash", "lsh", "evaluation", "calibration", "extension"),
+)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table: candidate count, recall and precision of
+    EVERY (bands × rows) split of the 16-hash MinHash signature against
+    the exact Jaccard ≥ τ truth set — dedup_lsh_recall_eval generalized
+    from one operating point to the full trade-off curve a deployment
+    actually chooses from (the S-curve midpoint (1/b)^(1/r) runs
+    J≈0.92 → 0.0625 across the sweep).
+
+    Shape for 100 TB: the shingle sets, the exact truth relation and
+    the 16-hash signature relation each materialize ONCE (pinned) and
+    are shared by all four configurations; each configuration adds only
+    its band-key derivation (a projection of the cached signatures), a
+    band-collision self-join (pinned per config — the r8 lesson), and a
+    one-row full-outer metric aggregate. Sweep cost is therefore
+    ~4 candidate joins, not 4 whole pipelines — the cheap way to tune
+    r×b before committing a corpus-scale dedup run."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = eager_pin(sj._doc_shingle_sets(docs, sj.SPAN_K))
+    truth = eager_pin(
+        sj.prefix_filtered_jaccard_pairs_from_sets(sets).select(
+            "doc_a", "doc_b", F.lit(1).alias("t")
+        )
+    )
+    sh = sets.select("doc_id", F.explode("shs").alias("sh"))
+    sig = eager_pin(dd.minhash_signatures(sh))
+    outs = []
+    for nb in SWEEP_BAND_COUNTS:
+        cand = dd.lsh_candidate_pairs(
+            eager_pin(dd.lsh_band_keys_config(sig, nb))
+        ).select("doc_a", "doc_b", F.lit(1).alias("c"))
+        j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+        row = j.agg(
+            F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nt"),
+            F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("nc"),
+            F.sum(
+                F.when(F.col("t").isNotNull() & F.col("c").isNotNull(), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("nh"),
+        )
+        outs.append(
+            row.select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(dd.NUM_HASHES // nb).cast("int").alias("rows_per_band"),
+                F.col("nt").alias("n_truth"),
+                F.col("nc").alias("n_candidates"),
+                F.col("nh").alias("n_hits"),
+                F.when(F.col("nt") == 0, F.lit(0.0))
+                .otherwise(
+                    F.col("nh").cast("double") / F.col("nt").cast("double")
+                )
+                .alias("candidate_recall"),
+                F.when(F.col("nc") == 0, F.lit(0.0))
+                .otherwise(
+                    F.col("nh").cast("double") / F.col("nc").cast("double")
+                )
+                .alias("candidate_precision"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 def _sql_simhash_sigs_cte() -> str:
     h = "CAST(('0x' || substr(md5('0|' || tok), 1, 15)) AS BIGINT)"
     bit_sums = ",\n             ".join(

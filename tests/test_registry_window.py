@@ -41,6 +41,7 @@ MUST_VERIFY = {
     "bm25_topk_stored",
     "index_segment_compaction_roundtrip",
     "proximity_search_pairs",
+    "lsh_band_sweep",
     "part_pagerank_bucketed",
     # round-9 code-touch anchors: postings empty-term filter + shared
     # probe halves + two-stage BM25 top-k + oracle '' CTE edits
