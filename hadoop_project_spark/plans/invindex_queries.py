@@ -326,6 +326,50 @@ def index_segment_compaction_roundtrip(
 
 
 @register(
+    "index_base_plus_segments_probe",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_phrase_search_stats(),
+    tags=("text", "index", "streaming", "serving", "extension"),
+)
+def index_base_plus_segments_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BETWEEN-compactions serving state, hash-certified: half the
+    corpus lives in the term-bucketed base table (an older build), the
+    other half arrives as two fresh uncompacted postings segments, and
+    the phrase workload is answered over base ∪ segments — the read
+    path a live search index actually serves while segments await the
+    next compaction. Term filters push into both union legs (bucket-
+    pruned on the base, row-group-pruned on the segments); matching the
+    whole-corpus oracle proves the union serving view loses nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_project_spark.streaming.index_segments import (
+        make_postings_segment_sink,
+        read_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    prefix = f"rt_idx_mix_{sf}"
+    ix.build_index_tables(docs.filter(F.col("doc_id") % 2 == 0), prefix)
+    seg_root = os.path.join(tempfile.gettempdir(), f"rt_idx_mix_segs_{sf}")
+    shutil.rmtree(seg_root, ignore_errors=True)
+    sink = make_postings_segment_sink(seg_root)
+    sink(docs.filter(F.col("doc_id") % 4 == 1), 0)
+    sink(docs.filter(F.col("doc_id") % 4 == 3), 1)
+    base = spark.table(ix.index_table_names(prefix)[0]).select(
+        "term", "doc_id", "pos"
+    )
+    p = base.unionByName(
+        read_segments(spark, seg_root).select("term", "doc_id", "pos")
+    )
+    return ix.phrase_search_stats_over(p, SEARCH_PHRASES)
+
+
+@register(
     "bm25_topk",
     priority=10,  # new in round 8 -> first driver window
     oracle=_sql_bm25_topk(),
