@@ -363,6 +363,82 @@ def bm25_topk_stored(
     return _bm25_score_topk(spark, tf, dfr, dl, scal, queries, k)
 
 
+def bm25_relevance_eval(
+    docs: DataFrame, queries: list[str], k: int = 10
+) -> DataFrame:
+    """(query, n_relevant, first_rel_rank, mrr, precision_at_k):
+    retrieval-quality evaluation of the BM25 top-k against a
+    DETERMINISTIC relevance set — documents containing ALL the query's
+    terms (conjunctive boolean match, the classic pseudo-relevance
+    baseline when no human labels exist). The retrieval twin of
+    ann_recall_at_k / lsh recall: ranking operators ship with a measured
+    quality number, not a hope.
+
+    mrr = 1/rank of the first relevant document inside the top-k (0.0
+    if none); precision_at_k = |relevant ∩ top-k| / k. Both divisions
+    are single correctly-rounded doubles over small exact integers —
+    cross-engine bit-exact. Shape: the tf relation is pinned and shared
+    by scoring and relevance; relevance is one broadcast-literal join +
+    a (query, doc)-keyed aggregate; the metric join touches only k rows
+    per query."""
+    from hadoop_project_spark.operators.tfidf import doc_term_freqs
+
+    spark = docs.sparkSession
+    tf = eager_pin(doc_term_freqs(docs))
+    dfr = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    scal = tf.agg(
+        F.countDistinct("doc_id").cast("long").alias("n"),
+        F.sum("tf").cast("long").alias("t"),
+    )
+    topk = _bm25_score_topk(spark, tf, dfr, dl, scal, queries, k)
+    qt = spark.createDataFrame(
+        [(q, t) for q in queries for t in q.split()], "query string, term string"
+    )
+    nqdf = spark.createDataFrame(
+        [(q, len(set(q.split()))) for q in queries], "query string, nq long"
+    )
+    rel = eager_pin(
+        F.broadcast(qt)
+        .join(tf, "term")
+        .groupBy("query", "doc_id")
+        .agg(F.countDistinct("term").alias("nm"))
+        .join(F.broadcast(nqdf), "query")
+        .filter(F.col("nm") == F.col("nq"))
+        .select("query", "doc_id")
+    )
+    hit = topk.join(rel, ["query", "doc_id"]).groupBy("query").agg(
+        F.min("rnk").alias("frr"),
+        F.count("*").cast("long").alias("n_hits"),
+    )
+    nrel = rel.groupBy("query").agg(
+        F.count("*").cast("long").alias("n_relevant")
+    )
+    qdf = spark.createDataFrame([(q,) for q in queries], "query string")
+    return (
+        qdf.join(nrel, "query", "left")
+        .join(hit, "query", "left")
+        .select(
+            "query",
+            F.coalesce(F.col("n_relevant"), F.lit(0).cast("long")).alias(
+                "n_relevant"
+            ),
+            F.coalesce(F.col("frr"), F.lit(0)).cast("int").alias(
+                "first_rel_rank"
+            ),
+            F.when(F.col("frr").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.col("frr").cast("double"))
+            .alias("mrr"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / F.lit(float(k))
+            ).alias("precision_at_k"),
+        )
+    )
+
+
 def _bm25_score_topk(
     spark,
     tf: DataFrame,

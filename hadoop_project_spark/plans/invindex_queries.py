@@ -176,12 +176,14 @@ def proximity_search_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ix.proximity_cooccurrence(docs, PROX_PAIRS, PROX_WINDOW)
 
 
-def _sql_bm25_topk() -> str:
+def _sql_bm25_ctes(queries: list[str] = BM25_QUERIES) -> str:
+    """The WITH-body through rk(query, doc_id, sdec, n_terms, rnk) —
+    shared by the top-k oracle and the MRR/precision eval oracle
+    (which scores a HARDER query workload, see EVAL_QUERIES)."""
     vals = ", ".join(
-        f"('{q}', '{t}')" for q in BM25_QUERIES for t in q.split()
+        f"('{q}', '{t}')" for q in queries for t in q.split()
     )
-    return f"""
-    WITH {_SQL_TOKS},
+    return f"""{_SQL_TOKS},
     tf AS (
       -- term <> '' mirrors tfidf.doc_term_freqs: an empty-normalizing
       -- document contributes zero terms, so N/T/dl agree with Spark on
@@ -224,7 +226,12 @@ def _sql_bm25_topk() -> str:
              row_number() OVER (PARTITION BY query
                                 ORDER BY sdec DESC, doc_id) AS rnk
       FROM agg
-    )
+    )"""
+
+
+def _sql_bm25_topk() -> str:
+    return f"""
+    WITH {_sql_bm25_ctes()}
     SELECT query, CAST(rnk AS INT) AS rnk,
            CAST(doc_id AS BIGINT) AS doc_id, n_terms,
            CAST(sdec AS DOUBLE) AS score
@@ -367,6 +374,76 @@ def index_base_plus_segments_probe(
         read_segments(spark, seg_root).select("term", "doc_id", "pos")
     )
     return ix.phrase_search_stats_over(p, SEARCH_PHRASES)
+
+
+# Eval workload: the 'dup' term (the fixture's one selective token,
+# df≈5%) makes conjunctive relevance sets small enough that BM25's
+# top-10 contains real misses — metrics spread across (0, 1) at every
+# fixture scale (mrr 0.14-1.0, p@10 0.1-1.0) instead of saturating; the
+# 7-term query is the saturated easy control.
+EVAL_QUERIES = [
+    "dup line small",
+    "dup group data row",
+    "dup hash join",
+    "query window scan merge sort key fast",
+]
+
+
+def _sql_bm25_mrr_eval() -> str:
+    return f"""
+    WITH {_sql_bm25_ctes(EVAL_QUERIES)},
+    qn AS (
+      SELECT query, CAST(COUNT(DISTINCT term) AS BIGINT) AS nq
+      FROM qt GROUP BY query
+    ),
+    rel AS (
+      SELECT m.query, m.doc_id FROM (
+        SELECT q.query, tf.doc_id, COUNT(DISTINCT q.term) AS nm
+        FROM qt q JOIN tf ON tf.term = q.term
+        GROUP BY q.query, tf.doc_id
+      ) m JOIN qn ON qn.query = m.query
+      WHERE m.nm = qn.nq
+    ),
+    topk AS (SELECT query, doc_id, rnk FROM rk WHERE rnk <= {BM25_K}),
+    hit AS (
+      SELECT k.query, MIN(k.rnk) AS frr, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM topk k JOIN rel r ON r.query = k.query AND r.doc_id = k.doc_id
+      GROUP BY k.query
+    ),
+    nrel AS (
+      SELECT query, CAST(COUNT(*) AS BIGINT) AS n_relevant
+      FROM rel GROUP BY query
+    )
+    SELECT q.query,
+           COALESCE(n.n_relevant, 0) AS n_relevant,
+           CAST(COALESCE(h.frr, 0) AS INT) AS first_rel_rank,
+           CASE WHEN h.frr IS NULL THEN 0.0
+                ELSE 1.0 / CAST(h.frr AS DOUBLE)
+           END AS mrr,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {float(BM25_K)!r}
+             AS precision_at_k
+    FROM (SELECT DISTINCT query FROM qt) q
+    LEFT JOIN nrel n ON n.query = q.query
+    LEFT JOIN hit h ON h.query = q.query
+    """
+
+
+@register(
+    "bm25_mrr_eval",
+    priority=10,  # new in round 9 -> first driver window
+    oracle=_sql_bm25_mrr_eval(),
+    tags=("text", "index", "retrieval", "evaluation", "extension"),
+)
+def bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality report for the BM25 ranking: per query, MRR
+    and precision@k of the top-k against the deterministic conjunctive
+    relevance set (documents containing ALL query terms) — the
+    retrieval twin of ann_recall_at_k and lsh_band_sweep: every ranked
+    operator here ships with a measured quality number. The oracle
+    recomputes the whole scoring chain AND the relevance set from
+    scratch."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ix.bm25_relevance_eval(docs, EVAL_QUERIES, BM25_K)
 
 
 @register(

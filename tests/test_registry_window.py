@@ -43,6 +43,7 @@ MUST_VERIFY = {
     "proximity_search_pairs",
     "lsh_band_sweep",
     "index_base_plus_segments_probe",
+    "bm25_mrr_eval",
     "part_pagerank_bucketed",
     # round-9 code-touch anchors: postings empty-term filter + shared
     # probe halves + two-stage BM25 top-k + oracle '' CTE edits
