@@ -268,8 +268,11 @@ def main() -> None:
     #   SPARK_GRAFT_BENCH_OUT=bench_results.json python bench.py
     # followed by the round-closing commit; the stdout JSON line (what
     # the driver records) is unaffected either way.
+    import sys
+    import tempfile
+
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        "/tmp", "bench_results_latest.json"
+        tempfile.gettempdir(), f"bench_results_latest.{os.getuid()}.json"
     )
     try:
         with open(out_path, "w") as fh:
@@ -277,8 +280,9 @@ def main() -> None:
                 {**result, "phases": phases, "runs": runs,
                  "shuffle_mb": shuffle_mb},
                 fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    except OSError as exc:
+        print(f"bench: detail file {out_path} not written: {exc}",
+              file=sys.stderr)
     print(json.dumps(result))
     spark.stop()
 

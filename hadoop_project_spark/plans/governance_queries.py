@@ -377,6 +377,32 @@ _PRI_BASE = 15 * 10**10  # 0.15 · scale
 _PRI_DAMP_NUM = 17  # 0.85 = 17/20
 _PRI_DAMP_DEN = 20
 
+# The rank-update expression and the co-purchase edge build are shared
+# by BOTH PageRank twins (broadcast and bucketed) — one definition, so
+# an edit cannot diverge the twins from their shared oracle.
+_PRI_UPDATE_EXPR = (
+    f"cast({_PRI_BASE} + ({_PRI_DAMP_NUM} * coalesce(ms, 0))"
+    f" div {_PRI_DAMP_DEN} as bigint)"
+)
+
+
+def _pr_copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct (src, dst) part co-purchase edges — parts sharing an
+    order; per-order fanout bounded by order size, linear in lineitem."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
 _SQL_PR_EDGES = """e AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       FROM lineitem a
@@ -443,19 +469,7 @@ def part_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    edges = pin(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = pin(_pr_copurchase_edges(li))
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     # out-degree folded into the cached edge relation ONCE; each
     # iteration then joins the RANK side by BROADCAST (the rank vector
@@ -482,13 +496,7 @@ def part_pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part_id",
                 "left",
             )
-            .select(
-                "part_id",
-                F.expr(
-                    f"cast({_PRI_BASE} + ({_PRI_DAMP_NUM} * coalesce(ms, 0))"
-                    f" div {_PRI_DAMP_DEN} as bigint)"
-                ).alias("r"),
-            )
+            .select("part_id", F.expr(_PRI_UPDATE_EXPR).alias("r"))
         )
     return r.select(
         F.col("part_id").cast("long").alias("part_id"),
@@ -540,19 +548,7 @@ def part_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
-    edges = pin(
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edges = pin(_pr_copurchase_edges(li))
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
     write_bucketed(
         edges.join(deg, "src").repartition(nb, F.col("src")),
@@ -579,13 +575,7 @@ def part_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = (
             nd.hint("merge")
             .join(agg.withColumnRenamed("dst", "part_id"), "part_id", "left")
-            .select(
-                "part_id",
-                F.expr(
-                    f"cast({_PRI_BASE} + ({_PRI_DAMP_NUM} * coalesce(ms, 0))"
-                    f" div {_PRI_DAMP_DEN} as bigint)"
-                ).alias("r"),
-            )
+            .select("part_id", F.expr(_PRI_UPDATE_EXPR).alias("r"))
         )
     return r.select(
         F.col("part_id").cast("long").alias("part_id"),

@@ -14,14 +14,17 @@ on (Lucene segments, LSM memtables → SSTables, Delta OPTIMIZE):
   sees its segment already published and skips — the same
   exactly-once-by-watermark argument as streaming/merge.py, with the
   directory name as the mark);
-* probes between compactions read base ∪ segments (read_segments —
-  the postings schema is identical, so every *_over probe works on the
-  union unchanged);
-* a periodic COMPACTION folds all segments into the bucketed base
-  table (operators/invindex.write_index_tables — the SAME write path
-  the one-shot build uses), restoring bucket-local probes; it is
-  O(index) but amortized over many batches, exactly Lucene's merge /
-  Delta's OPTIMIZE cadence.
+* probes between compactions read base ∪ LIVE segments (read_segments
+  skips segments at or below the compaction watermark — the postings
+  schema is identical, so every *_over probe works on the union
+  unchanged);
+* a periodic COMPACTION folds base + live segments into the bucketed
+  base table (operators/invindex.write_index_tables — the SAME write
+  path the one-shot build uses) and then advances the watermark,
+  RETIRING the folded segments from the serving union; it is O(index)
+  but amortized over many batches, exactly Lucene's merge / Delta's
+  OPTIMIZE cadence, and re-running a half-finished compaction is
+  self-healing (see compact_segments' crash contract).
 
 At 100 TB/day: segment writes are embarrassingly parallel and never
 touch the base table; compaction is one repartition-by-term write whose
@@ -45,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hadoop_project_spark.operators.invindex import (
     POSTINGS_BUCKETS,
+    index_table_names,
     postings,
     write_index_tables,
 )
@@ -81,16 +85,40 @@ def make_postings_segment_sink(
     return sink
 
 
-def read_segments(spark: SparkSession, seg_root: str) -> DataFrame:
-    """All published segments as one postings relation (term, doc_id,
-    pos) — the interim probe target (base ∪ segments) and the
-    compaction input. Staging dirs are excluded by construction (their
-    suffix never matches the published name)."""
-    segs = sorted(
-        os.path.join(seg_root, d)
-        for d in os.listdir(seg_root)
-        if d.startswith(_SEG_PREFIX) and not d.endswith(".staging")
-    )
+_COMPACTED_MARKER = "_compacted_through"
+
+
+def compacted_through(seg_root: str) -> int:
+    """Highest batch_id already folded into the base by a completed
+    compaction, or -1 if none. Segments at or below it are RETIRED:
+    read_segments skips them, so the serving union (base ∪ live
+    segments) never double-counts a folded posting."""
+    try:
+        with open(os.path.join(seg_root, _COMPACTED_MARKER)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def _published_segments(seg_root: str) -> list[tuple[int, str]]:
+    if not os.path.isdir(seg_root):
+        raise ValueError(f"no published segments under {seg_root}")
+    out = []
+    for d in os.listdir(seg_root):
+        if d.startswith(_SEG_PREFIX) and not d.endswith(".staging"):
+            out.append((int(d[len(_SEG_PREFIX):]), os.path.join(seg_root, d)))
+    return sorted(out)
+
+
+def read_segments(
+    spark: SparkSession, seg_root: str, include_retired: bool = False
+) -> DataFrame:
+    """LIVE (not-yet-compacted) segments as one postings relation
+    (term, doc_id, pos) — the interim probe target (base ∪ segments).
+    Staging dirs are excluded by construction; segments at or below the
+    compaction watermark are retired unless ``include_retired``."""
+    floor = -1 if include_retired else compacted_through(seg_root)
+    segs = [p for bid, p in _published_segments(seg_root) if bid > floor]
     if not segs:
         raise ValueError(f"no published segments under {seg_root}")
     return spark.read.parquet(*segs)
@@ -102,10 +130,40 @@ def compact_segments(
     prefix: str,
     n_buckets: int = POSTINGS_BUCKETS,
 ) -> tuple[str, str]:
-    """Fold every published segment into the term-bucketed serving
-    tables (the SAME layout and write path as the one-shot build) —
-    Lucene merge / Delta OPTIMIZE for this index. Returns the table
-    names. Each document must live in exactly one segment (the sink
-    above guarantees it per-batch); compaction itself is a pure
-    repartition-by-term rewrite, safe to re-run."""
-    return write_index_tables(read_segments(spark, seg_root), prefix, n_buckets)
+    """Fold the live segments (and any existing base) into the
+    term-bucketed serving tables — Lucene merge / Delta OPTIMIZE for
+    this index — then advance the compaction watermark so the folded
+    segments retire from the serving union. Returns the table names.
+
+    Crash contract: the watermark is written (atomic temp + rename)
+    only AFTER the base tables land, so a crash mid-compaction leaves
+    yesterday's watermark and the folded-but-unretired segments serve
+    twice only until compaction re-runs — and re-running is SELF-
+    HEALING because (term, doc_id, pos) is a primary key: the base ∪
+    segments union is deduplicated by DISTINCT before the rewrite, so
+    a posting present in both the half-published base and its segment
+    folds back to one row."""
+    live = read_segments(spark, seg_root)
+    pt = index_table_names(prefix)[0]
+    hi = max(bid for bid, _ in _published_segments(seg_root))
+    tmp_dir = os.path.join(seg_root, "_compact_input.tmp")
+    if spark.catalog.tableExists(pt):
+        # the rewrite drops the base table it reads from — spill the
+        # deduplicated union to a temp dir first (the compact_parquet
+        # overwrite-via-temp discipline), never write-while-reading
+        (
+            spark.table(pt)
+            .select("term", "doc_id", "pos")
+            .unionByName(live)
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(tmp_dir)
+        )
+        live = spark.read.parquet(tmp_dir)
+    names = write_index_tables(live, prefix, n_buckets)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    tmp = os.path.join(seg_root, _COMPACTED_MARKER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(hi))
+    os.replace(tmp, os.path.join(seg_root, _COMPACTED_MARKER))
+    return names

@@ -38,11 +38,13 @@ from hadoop_project_spark.streaming.merge import make_merge_sink
 
 
 def make_index_directory_sink(
-    state_dir: str,
+    state_dir: str, app_id: str = "default"
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function maintaining a live per-term index
     directory (term, df, cf, first_doc, last_doc) at ``state_dir``
-    from a stream of documents (each doc in exactly one batch)."""
+    from a stream of documents (each doc in exactly one batch).
+    ``app_id`` identifies the query+checkpoint lineage for the replay
+    watermark (streaming/merge.py)."""
 
     def _prepare(batch: DataFrame) -> DataFrame:
         return index_directory(batch)
@@ -58,6 +60,7 @@ def make_index_directory_sink(
 
     return make_merge_sink(
         state_dir,
+        app_id=app_id,
         keys=["term"],
         updates={
             "df": _add,

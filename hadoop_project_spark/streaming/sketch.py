@@ -27,7 +27,7 @@ from hadoop_project_spark.streaming.merge import make_merge_sink
 
 
 def make_cm_sketch_sink(
-    state_dir: str, key_col: str
+    state_dir: str, key_col: str, app_id: str = "default"
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function maintaining a CM sketch state table at
     ``state_dir`` from a stream of key occurrences."""
@@ -40,6 +40,7 @@ def make_cm_sketch_sink(
 
     return make_merge_sink(
         state_dir,
+        app_id=app_id,
         keys=["r", "col"],
         updates={"cnt": _add},
         prepare=_prepare,
@@ -47,7 +48,7 @@ def make_cm_sketch_sink(
 
 
 def make_hll_sink(
-    state_dir: str, key_col: str, group_col: str
+    state_dir: str, key_col: str, group_col: str, app_id: str = "default"
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function maintaining per-group HyperLogLog registers
     at ``state_dir`` — the max-monoid twin of the CM sink for streaming
@@ -70,6 +71,7 @@ def make_hll_sink(
 
     return make_merge_sink(
         state_dir,
+        app_id=app_id,
         keys=["g", "idx"],
         updates={"M": _max},
         prepare=_prepare,
@@ -77,7 +79,11 @@ def make_hll_sink(
 
 
 def make_histogram_sink(
-    state_dir: str, value_col: str, group_col: str, width: int
+    state_dir: str,
+    value_col: str,
+    group_col: str,
+    width: int,
+    app_id: str = "default",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch function maintaining a per-group fixed-grid
     histogram at ``state_dir`` — the additive-monoid streaming twin of
@@ -87,10 +93,10 @@ def make_histogram_sink(
     off the state table at any moment of an unbounded stream, where
     exact percentiles would need the full history.
 
-    Same replay caveat as the CM sink (addition is not idempotent):
-    exactly-once accounting needs upstream dedup or a transactional
-    table; the HLL sink is the idempotent member of the family.
-    ``value_col`` must already be the integer form (e.g. cents)."""
+    Like the CM sink, addition is not idempotent on its own — the merge
+    sink's (app_id, batch_id) watermark supplies the replay skip
+    (streaming/merge.py). ``value_col`` must already be the integer
+    form (e.g. cents)."""
 
     def _prepare(batch: DataFrame) -> DataFrame:
         return (
@@ -107,6 +113,7 @@ def make_histogram_sink(
 
     return make_merge_sink(
         state_dir,
+        app_id=app_id,
         keys=["g", "bucket"],
         updates={"cnt": _add},
         prepare=_prepare,

@@ -848,3 +848,87 @@ def test_segment_ingest_then_compaction_equals_oneshot_index(
     assert rows(
         ix.bm25_topk_stored(spark, "seg_idx_test", BM25_QUERIES, BM25_K)
     ) == rows(ix.bm25_topk(docs, BM25_QUERIES, BM25_K))
+
+
+def test_merge_sink_crash_recovery_and_app_identity(spark, sf_dir, tmp_path):
+    """Round-9 review fixes: (a) a crash between the state-aside rename
+    and the staging publish leaves a full backup the sink restores on
+    its next entry — no state loss; (b) a sink with a different app_id
+    (fresh checkpoint ⇒ batch_ids restart at 0) refuses to merge into
+    existing additive state instead of silently dropping batches."""
+    import os
+    import pytest
+
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.streaming.invindex import (
+        make_index_directory_sink,
+    )
+    from hadoop_project_spark.streaming.merge import last_applied_batch
+
+    docs = load_table(spark, sf_dir, "documents").limit(40).cache()
+    b0, b1 = docs.limit(20), docs.subtract(docs.limit(20))
+
+    def snap(path):
+        return sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    state = str(tmp_path / "rec_state")
+    sink = make_index_directory_sink(state, app_id="appA")
+    sink(b0, 0)
+    after_b0 = snap(state)
+    # simulate a crash mid-publish: state renamed aside, replace not run
+    os.rename(state, state + ".old")
+    assert not os.path.exists(state)
+    sink(b1, 1)  # next entry restores the backup, then merges batch 1
+    assert last_applied_batch(state, "appA") == 1
+    assert snap(state) != after_b0 and not os.path.exists(state + ".old")
+
+    # fresh-checkpoint lineage against the same state: loud refusal
+    other = make_index_directory_sink(state, app_id="appB")
+    with pytest.raises(RuntimeError, match="double-count"):
+        other(b0, 0)
+
+
+def test_compaction_retires_segments_and_refolds_base(
+    spark, sf_dir, tmp_path
+):
+    """Round-9 review fix: compaction advances a watermark that retires
+    folded segments from the serving union (no double-serving), a later
+    segment folds INTO the existing base, and the (term, doc_id, pos)
+    DISTINCT makes re-folding overlapping content self-healing."""
+    import pytest
+
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.plans.invindex_queries import SEARCH_PHRASES
+    from hadoop_project_spark.streaming.index_segments import (
+        compact_segments,
+        compacted_through,
+        make_postings_segment_sink,
+        read_segments,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg_root = str(tmp_path / "segs")
+    sink = make_postings_segment_sink(seg_root)
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 4 == 1), 1)
+    compact_segments(spark, seg_root, "ret_idx_test")
+    assert compacted_through(seg_root) == 1
+    with pytest.raises(ValueError, match="no published segments"):
+        read_segments(spark, seg_root)  # all folded segments retired
+
+    # a later batch arrives (plus an overlap slice: re-delivered docs)
+    sink(docs.filter(F.col("doc_id") % 4 == 3), 2)
+    live = read_segments(spark, seg_root)
+    assert live.select("doc_id").distinct().count() > 0
+    compact_segments(spark, seg_root, "ret_idx_test")  # folds base ∪ live
+    assert compacted_through(seg_root) == 2
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    pt = ix.index_table_names("ret_idx_test")[0]
+    assert rows(
+        ix.phrase_search_stats_over(spark.table(pt), SEARCH_PHRASES)
+    ) == rows(ix.phrase_search_stats(docs, SEARCH_PHRASES))
