@@ -343,12 +343,15 @@ def index_base_plus_segments_probe(
 ) -> DataFrame:
     """The BETWEEN-compactions serving state, hash-certified: half the
     corpus lives in the term-bucketed base table (an older build), the
-    other half arrives as two fresh uncompacted postings segments, and
-    the phrase workload is answered over base ∪ segments — the read
-    path a live search index actually serves while segments await the
-    next compaction. Term filters push into both union legs (bucket-
-    pruned on the base, row-group-pruned on the segments); matching the
-    whole-corpus oracle proves the union serving view loses nothing."""
+    other half arrives as two fresh uncompacted postings segments
+    (published via the object-store-safe MANIFEST protocol — the
+    atomic unit is one manifest PUT, never a directory rename; VERDICT
+    r9 #2), and the phrase workload is answered over base ∪ segments —
+    the read path a live search index actually serves while segments
+    await the next compaction. Term filters push into both union legs
+    (bucket-pruned on the base, row-group-pruned on the segments);
+    matching the whole-corpus oracle proves the union serving view
+    loses nothing."""
     import os
     import shutil
     import tempfile
@@ -364,7 +367,7 @@ def index_base_plus_segments_probe(
     ix.build_index_tables(docs.filter(F.col("doc_id") % 2 == 0), prefix)
     seg_root = os.path.join(tempfile.gettempdir(), f"rt_idx_mix_segs_{sf}")
     shutil.rmtree(seg_root, ignore_errors=True)
-    sink = make_postings_segment_sink(seg_root)
+    sink = make_postings_segment_sink(seg_root, publish="manifest")
     sink(docs.filter(F.col("doc_id") % 4 == 1), 0)
     sink(docs.filter(F.col("doc_id") % 4 == 3), 1)
     base = spark.table(ix.index_table_names(prefix)[0]).select(

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
 from pyspark.sql import functions as F
 
 from hadoop_project_spark.catalog import load_table
@@ -744,7 +745,10 @@ def test_merge_sink_skips_replayed_batches(spark, sf_dir, tmp_path):
     from hadoop_project_spark.streaming.sketch import make_cm_sketch_sink
 
     docs = load_table(spark, sf_dir, "documents").limit(40).cache()
-    b0, b1 = docs.limit(20), docs.subtract(docs.limit(20))
+    # deterministic disjoint split (limit-without-order is not stable
+    # across evaluations — ADVICE r9)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
 
     def snap(path):
         return sorted(
@@ -774,14 +778,17 @@ def test_merge_sink_skips_replayed_batches(spark, sf_dir, tmp_path):
     assert snap(cm_state) == after
 
 
+@pytest.mark.parametrize("publish", ["rename", "manifest"])
 def test_segment_ingest_then_compaction_equals_oneshot_index(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, publish
 ):
     """LSM ingest for the stored index: per-batch postings segments
     (atomic, batch_id-named, replay-idempotent) union to exactly the
     one-shot postings relation, and compaction into the term-bucketed
     serving tables answers the phrase and BM25 probes identically to
-    the one-shot build the driver hash-certifies."""
+    the one-shot build the driver hash-certifies. Parametrized over
+    both publish protocols: POSIX rename and the object-store-safe
+    manifest commit (VERDICT r9 #2)."""
     from hadoop_project_spark.catalog import load_table
     from hadoop_project_spark.operators import invindex as ix
     from hadoop_project_spark.plans.invindex_queries import (
@@ -790,10 +797,10 @@ def test_segment_ingest_then_compaction_equals_oneshot_index(
         SEARCH_PHRASES,
     )
     from hadoop_project_spark.streaming.index_segments import (
+        _published_segments,
         compact_segments,
         make_postings_segment_sink,
         read_segments,
-        segment_dir,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -805,17 +812,17 @@ def test_segment_ingest_then_compaction_equals_oneshot_index(
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .writeStream.foreachBatch(make_postings_segment_sink(seg_root))
+        .writeStream.foreachBatch(
+            make_postings_segment_sink(seg_root, publish)
+        )
         .option("checkpointLocation", str(tmp_path / "seg_ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
 
-    import os
-
-    n_segs = len(os.listdir(seg_root))
-    assert n_segs >= 2  # genuinely multi-batch
+    segs = _published_segments(seg_root)
+    assert len(segs) >= 2  # genuinely multi-batch
 
     # union of segments == the one-shot postings relation (multiset)
     def multiset(df):
@@ -825,19 +832,19 @@ def test_segment_ingest_then_compaction_equals_oneshot_index(
             (r["term"], r["doc_id"], r["pos"]) for r in df.collect()
         )
 
-    assert multiset(read_segments(spark, seg_root)) == multiset(
-        ix.postings(docs)
-    )
+    oneshot = multiset(ix.postings(docs))
+    assert multiset(read_segments(spark, seg_root)) == oneshot
 
-    # replaying a published batch is a no-op (segment dir is the mark)
-    seg0 = segment_dir(seg_root, 0)
-    before = sorted(os.listdir(seg0))
-    make_postings_segment_sink(seg_root)(docs.limit(3), 0)
-    assert sorted(os.listdir(seg0)) == before
+    # replaying a published batch is a no-op under either protocol
+    # (the publish artifact is the mark)
+    make_postings_segment_sink(seg_root, publish)(docs.limit(3), 0)
+    assert _published_segments(seg_root) == segs
+    assert multiset(read_segments(spark, seg_root)) == oneshot
 
     # compaction == one-shot build, through both probe families
-    compact_segments(spark, seg_root, "seg_idx_test")
-    pt, _ = ix.index_table_names("seg_idx_test")
+    prefix = f"seg_idx_{publish}"
+    compact_segments(spark, seg_root, prefix)
+    pt, _ = ix.index_table_names(prefix)
 
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
@@ -846,7 +853,7 @@ def test_segment_ingest_then_compaction_equals_oneshot_index(
         ix.phrase_search_stats_over(spark.table(pt), SEARCH_PHRASES)
     ) == rows(ix.phrase_search_stats(docs, SEARCH_PHRASES))
     assert rows(
-        ix.bm25_topk_stored(spark, "seg_idx_test", BM25_QUERIES, BM25_K)
+        ix.bm25_topk_stored(spark, prefix, BM25_QUERIES, BM25_K)
     ) == rows(ix.bm25_topk(docs, BM25_QUERIES, BM25_K))
 
 
@@ -866,7 +873,9 @@ def test_merge_sink_crash_recovery_and_app_identity(spark, sf_dir, tmp_path):
     from hadoop_project_spark.streaming.merge import last_applied_batch
 
     docs = load_table(spark, sf_dir, "documents").limit(40).cache()
-    b0, b1 = docs.limit(20), docs.subtract(docs.limit(20))
+    # deterministic disjoint split (ADVICE r9)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
 
     def snap(path):
         return sorted(tuple(r) for r in spark.read.parquet(path).collect())
@@ -888,15 +897,16 @@ def test_merge_sink_crash_recovery_and_app_identity(spark, sf_dir, tmp_path):
         other(b0, 0)
 
 
+@pytest.mark.parametrize("publish", ["rename", "manifest"])
 def test_compaction_retires_segments_and_refolds_base(
-    spark, sf_dir, tmp_path
+    spark, sf_dir, tmp_path, publish
 ):
     """Round-9 review fix: compaction advances a watermark that retires
     folded segments from the serving union (no double-serving), a later
     segment folds INTO the existing base, and the (term, doc_id, pos)
-    DISTINCT makes re-folding overlapping content self-healing."""
-    import pytest
-
+    DISTINCT makes re-folding overlapping content self-healing. An idle
+    tick (all segments retired) is a NO-OP, and the retired serving
+    state reads as an empty relation, not an error (ADVICE r9)."""
     from hadoop_project_spark.catalog import load_table
     from hadoop_project_spark.operators import invindex as ix
     from hadoop_project_spark.plans.invindex_queries import SEARCH_PHRASES
@@ -906,29 +916,190 @@ def test_compaction_retires_segments_and_refolds_base(
         make_postings_segment_sink,
         read_segments,
     )
-    from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
     seg_root = str(tmp_path / "segs")
-    sink = make_postings_segment_sink(seg_root)
+    prefix = f"ret_idx_{publish}"
+    sink = make_postings_segment_sink(seg_root, publish)
     sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
     sink(docs.filter(F.col("doc_id") % 4 == 1), 1)
-    compact_segments(spark, seg_root, "ret_idx_test")
+    assert compact_segments(spark, seg_root, prefix) is not None
     assert compacted_through(seg_root) == 1
-    with pytest.raises(ValueError, match="no published segments"):
-        read_segments(spark, seg_root)  # all folded segments retired
+    # all folded segments retired: base-only serving state is an EMPTY
+    # live relation (the base ∪ segments union degrades gracefully)
+    assert read_segments(spark, seg_root).count() == 0
+    # idle compaction tick: nothing to fold -> no-op, watermark holds
+    assert compact_segments(spark, seg_root, prefix) is None
+    assert compacted_through(seg_root) == 1
 
     # a later batch arrives (plus an overlap slice: re-delivered docs)
     sink(docs.filter(F.col("doc_id") % 4 == 3), 2)
     live = read_segments(spark, seg_root)
     assert live.select("doc_id").distinct().count() > 0
-    compact_segments(spark, seg_root, "ret_idx_test")  # folds base ∪ live
+    compact_segments(spark, seg_root, prefix)  # folds base ∪ live
     assert compacted_through(seg_root) == 2
 
     def rows(df):
         return sorted(tuple(r) for r in df.collect())
 
-    pt = ix.index_table_names("ret_idx_test")[0]
+    pt = ix.index_table_names(prefix)[0]
     assert rows(
         ix.phrase_search_stats_over(spark.table(pt), SEARCH_PHRASES)
     ) == rows(ix.phrase_search_stats(docs, SEARCH_PHRASES))
+
+
+@pytest.mark.parametrize("publish", ["rename", "manifest"])
+def test_compaction_snapshot_vs_concurrent_ingest(
+    spark, sf_dir, tmp_path, publish, monkeypatch
+):
+    """VERDICT r9 #1 (the TOCTOU race): a segment published DURING
+    compaction — after the fold's segment snapshot, before the
+    watermark write — must stay LIVE (above the watermark), so the
+    base ∪ segments probe still serves its postings and the next
+    compaction folds it. The old code re-listed the directory for the
+    watermark and retired such a segment unfolded."""
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.plans.invindex_queries import SEARCH_PHRASES
+    from hadoop_project_spark.streaming import index_segments as seg
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg_root = str(tmp_path / "race_segs")
+    prefix = f"race_idx_{publish}"
+    sink = seg.make_postings_segment_sink(seg_root, publish)
+    sink(docs.filter(F.col("doc_id") % 4 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 4 == 1), 1)
+
+    # interleave: publish batch 2 mid-compaction, after the snapshot
+    # (write_index_tables runs strictly after _published_segments)
+    real_write = seg.write_index_tables
+
+    def write_with_concurrent_ingest(p, pfx, n_buckets):
+        sink(docs.filter(F.col("doc_id") % 4 == 2), 2)
+        return real_write(p, pfx, n_buckets)
+
+    monkeypatch.setattr(
+        seg, "write_index_tables", write_with_concurrent_ingest
+    )
+    seg.compact_segments(spark, seg_root, prefix)
+    monkeypatch.setattr(seg, "write_index_tables", real_write)
+
+    # the concurrently published segment is NOT retired...
+    assert seg.compacted_through(seg_root) == 1
+    live = seg.read_segments(spark, seg_root)
+    assert live.select("doc_id").distinct().count() > 0
+
+    # ...the serving union (base ∪ live) already sees its postings...
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    pt = ix.index_table_names(prefix)[0]
+    part = docs.filter(F.col("doc_id") % 4 <= 2)
+    union = (
+        spark.table(pt)
+        .select("term", "doc_id", "pos")
+        .unionByName(live.select("term", "doc_id", "pos"))
+    )
+    assert rows(
+        ix.phrase_search_stats_over(union, SEARCH_PHRASES)
+    ) == rows(ix.phrase_search_stats(part, SEARCH_PHRASES))
+
+    # ...and the next compaction folds it
+    seg.compact_segments(spark, seg_root, prefix)
+    assert seg.compacted_through(seg_root) == 2
+    assert rows(
+        ix.phrase_search_stats_over(
+            spark.table(pt), SEARCH_PHRASES
+        )
+    ) == rows(ix.phrase_search_stats(part, SEARCH_PHRASES))
+
+
+@pytest.mark.parametrize("publish", ["rename", "manifest"])
+def test_compaction_rebuilds_lost_base_from_retired_segments(
+    spark, sf_dir, tmp_path, publish
+):
+    """ADVICE r9 (crash during the base rewrite): write_index_tables
+    DROPs the base table before rewriting it, so a crash in between
+    leaves no base at all. Because retired segments are never deleted,
+    the next compaction detects (no base + a completed-compaction
+    watermark) and rebuilds from ALL published segments — nothing
+    previously folded is lost."""
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.plans.invindex_queries import SEARCH_PHRASES
+    from hadoop_project_spark.streaming.index_segments import (
+        compact_segments,
+        compacted_through,
+        make_postings_segment_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg_root = str(tmp_path / "crash_segs")
+    prefix = f"crash_idx_{publish}"
+    sink = make_postings_segment_sink(seg_root, publish)
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 4 == 1), 1)
+    compact_segments(spark, seg_root, prefix)
+    assert compacted_through(seg_root) == 1
+
+    # simulate the crash window: base dropped, rewrite never finished
+    pt = ix.index_table_names(prefix)[0]
+    spark.sql(f"DROP TABLE {pt}")
+
+    # a later batch arrives; the recovery compaction folds EVERYTHING
+    sink(docs.filter(F.col("doc_id") % 4 == 3), 2)
+    compact_segments(spark, seg_root, prefix)
+    assert compacted_through(seg_root) == 2
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(
+        ix.phrase_search_stats_over(spark.table(pt), SEARCH_PHRASES)
+    ) == rows(ix.phrase_search_stats(docs, SEARCH_PHRASES))
+
+
+def test_manifest_publish_hides_orphan_data(spark, sf_dir, tmp_path):
+    """Manifest protocol crash contract: data files without a
+    committed manifest are invisible to readers (the crash-mid-write
+    state on an object store), and the re-delivered batch publishes
+    over them cleanly."""
+    import os
+
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.streaming.index_segments import (
+        _DATA_DIR,
+        _SEG_PREFIX,
+        make_postings_segment_sink,
+        read_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 40
+    )
+    seg_root = str(tmp_path / "orph_segs")
+    sink = make_postings_segment_sink(seg_root, "manifest")
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+
+    # crash mid-write of batch 1: data lands, manifest never commits
+    orphan = os.path.join(seg_root, _DATA_DIR, f"{_SEG_PREFIX}{1:012d}")
+    ix.postings(docs.filter(F.col("doc_id") % 2 == 1)).write.mode(
+        "overwrite"
+    ).parquet(orphan)
+
+    def multiset(df):
+        from collections import Counter
+
+        return Counter(
+            (r["term"], r["doc_id"], r["pos"]) for r in df.collect()
+        )
+
+    only_b0 = multiset(ix.postings(docs.filter(F.col("doc_id") % 2 == 0)))
+    assert multiset(read_segments(spark, seg_root)) == only_b0
+
+    # the re-run of batch 1 publishes normally over the orphan
+    sink(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    assert multiset(read_segments(spark, seg_root)) == multiset(
+        ix.postings(docs)
+    )
