@@ -129,12 +129,17 @@ def build_index_tables(
 
 
 def write_index_tables(
-    p: DataFrame, prefix: str, n_buckets: int = POSTINGS_BUCKETS
+    p: DataFrame,
+    prefix: str,
+    n_buckets: int = POSTINGS_BUCKETS,
+    paths: tuple[str, str] | None = None,
 ) -> tuple[str, str]:
     """The write half of build_index_tables, over an EXISTING postings
     relation — shared with the streaming segment compaction
     (streaming/index_segments.py), which folds per-batch segments into
-    the same serving layout."""
+    the same serving layout. With ``paths`` the two tables are written
+    EXTERNAL at those locations (serving.py's attach-or-build
+    registry), so a fresh session can probe them without rebuilding."""
     from hadoop_project_spark.sources.sinks import write_bucketed
 
     pt, dt = index_table_names(prefix)
@@ -144,6 +149,7 @@ def write_index_tables(
         ["term"],
         n_buckets,
         sort_cols=["term", "doc_id", "pos"],
+        path=paths[0] if paths else None,
     )
     dl = p.groupBy("doc_id").agg(F.count("*").cast("long").alias("dl"))
     write_bucketed(
@@ -152,6 +158,7 @@ def write_index_tables(
         ["doc_id"],
         DOCLEN_BUCKETS,
         sort_cols=["doc_id"],
+        path=paths[1] if paths else None,
     )
     return pt, dt
 

@@ -565,6 +565,17 @@ def part_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb,
         sort_cols=["part_id"],
     )
+    return _pagerank_over_bucketed_graph(spark, et, nt)
+
+
+def _pagerank_over_bucketed_graph(
+    spark: SparkSession, et: str, nt: str
+) -> DataFrame:
+    """The exchange-free power iteration over a bucketed graph layout
+    (src-bucketed sorted degree-annotated edges, part_id-bucketed
+    nodes, matching bucket counts) — shared by the build-per-run twin
+    above and the attached serving twin (part_pagerank_served). Merge
+    hints pin the SMJ the layout is designed for."""
     e, nd = spark.table(et), spark.table(nt)
     r = nd.select("part_id", F.lit(_PRI_SCALE).cast("long").alias("r"))
     for _ in range(_PR_ITERS):
@@ -584,6 +595,27 @@ def part_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_score"
         ),
     )
+
+
+@register(
+    "part_pagerank_served",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_pagerank_iterated(),
+    tags=("graph", "pagerank", "iterative", "C2", "serving", "extension"),
+)
+def part_pagerank_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed PageRank twin over the ATTACHED pre-built graph
+    layout (serving.ensure_served_pagerank_graph — VERDICT r9 #3):
+    identical exchange-free iteration plan and oracle as
+    part_pagerank_bucketed, but the edge build + two bucketed writes
+    are paid once per corpus version instead of per run, so the bench
+    prices the iteration itself. Layout staleness (fixture regen, or a
+    session whose shuffle parallelism no longer matches the stored
+    bucket count) fingerprints and rebuilds."""
+    from hadoop_project_spark.serving import ensure_served_pagerank_graph
+
+    et, nt = ensure_served_pagerank_graph(spark, sf_dir)
+    return _pagerank_over_bucketed_graph(spark, et, nt)
 
 
 # Fixed-point scale for LM probability scoring (floor-quantized: floor

@@ -1,0 +1,300 @@
+"""Attach-or-build registry for PRE-BUILT serving tables (VERDICT r9
+#3: split serving from build).
+
+Spark's default catalog here is in-memory and dies with the session, so
+round 9's stored-index queries rebuilt their tables every run —
+`bm25_topk_stored` was ~90% build cost, and the engine never measured
+what a SERVING probe costs on its own. This module gives stored layouts
+a life beyond the session:
+
+* the physical layout (term-bucketed sorted postings, doc_id-bucketed
+  lengths; src-bucketed PageRank edges + part_id-bucketed nodes) is
+  written ONCE as EXTERNAL parquet at a stable warehouse path
+  (``<spark.sql.warehouse.dir>/served/...``);
+* any later session ATTACHES with one ``CREATE TABLE ... CLUSTERED BY
+  ... LOCATION`` statement — no data is read or moved, and the bucket
+  spec re-enters the catalog so every bucket-local/bucket-pruned plan
+  the build session had is reproduced exactly (gated in
+  tests/test_serving.py over a drop-and-reattach);
+* staleness is governed by a FINGERPRINT of the source parquet
+  (per-file name/size/mtime) plus the layout version and bucket
+  counts, persisted next to the data: a regenerated fixture or a
+  layout change forces a rebuild, a matching fingerprint makes
+  ``ensure_*`` an O(1) metadata operation. The marker is published
+  LAST (temp + atomic rename), so a crash mid-build leaves only a
+  marker-less layout the next call rebuilds — never a fresh marker
+  over half-written tables.
+
+This is the serve/build split every warehouse engine makes (Hive
+metastore external tables, Iceberg/Delta attach-by-path): build cost is
+paid once per corpus version and amortized over every probe, which the
+bench can now price separately (`bm25_topk_served` vs the roundtrip
+`bm25_topk_stored`).
+
+At 100 TB nothing changes shape: the stable path lives on the object
+store, the fingerprint is the table's snapshot/version id, and attach
+stays a metadata-only operation against a real (persistent) metastore.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from collections.abc import Callable
+from dataclasses import dataclass
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import eager_pin
+from hadoop_project_spark.operators.invindex import (
+    DOCLEN_BUCKETS,
+    POSTINGS_BUCKETS,
+    index_table_names,
+    postings,
+    write_index_tables,
+)
+
+# Bump when a physical layout changes (bucket spec, sort order,
+# schema): old on-disk layouts then fingerprint-mismatch and rebuild.
+LAYOUT_VERSION = 1
+
+_MARKER = "_SERVED_FINGERPRINT"
+
+
+@dataclass(frozen=True)
+class ServedTable:
+    """One external bucketed table inside a served layout: everything
+    attach needs to re-register it without touching data."""
+
+    name: str
+    subdir: str
+    schema_ddl: str
+    bucket_cols: tuple[str, ...]
+    n_buckets: int
+    sort_cols: tuple[str, ...]
+
+    def location(self, root: str) -> str:
+        return os.path.join(root, self.subdir)
+
+
+def warehouse_path(spark: SparkSession) -> str:
+    """Local filesystem path of the session's warehouse dir (the
+    stable root every served layout lives under)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or wh
+    return wh  # object-store URI: pass through
+
+
+def source_fingerprint(src: str, extra: str = "") -> str:
+    """Cheap content-version fingerprint of a parquet file/directory:
+    per-file (relative name, size, mtime_ns), no data read. ``extra``
+    folds in layout parameters so a layout change is a staleness
+    event too."""
+    h = hashlib.sha256()
+    h.update(extra.encode())
+    if os.path.isdir(src):
+        names = sorted(
+            os.path.join(d, f)
+            for d, _, fs in os.walk(src)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    else:
+        names = [src]
+    for name in names:
+        st = os.stat(name)
+        rel = os.path.relpath(name, src) if os.path.isdir(src) else name
+        h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def attach_bucketed_table(
+    spark: SparkSession, t: ServedTable, root: str
+) -> None:
+    """Re-register an existing bucketed parquet layout in a fresh
+    catalog — metadata only, no data touched. Spark recovers each
+    file's bucket id from its name (`part-*_000NN.c000...`), so the
+    attached table prunes and co-locates exactly like the one the
+    build session registered."""
+    if spark.catalog.tableExists(t.name):
+        return
+    spark.sql(
+        f"CREATE TABLE {t.name} ({t.schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(t.bucket_cols)}) "
+        f"SORTED BY ({', '.join(t.sort_cols)}) "
+        f"INTO {t.n_buckets} BUCKETS LOCATION '{t.location(root)}'"
+    )
+
+
+def attach_or_build(
+    spark: SparkSession,
+    root: str,
+    fp: str,
+    tables: list[ServedTable],
+    build: Callable[[], None],
+) -> bool:
+    """The serve/build decision: attach when the persisted fingerprint
+    matches and every table's write completed, otherwise invalidate,
+    run ``build`` (which must write each table external at its
+    location — write_bucketed(path=...)), and publish the fingerprint
+    last. Returns True when a build ran."""
+    marker = os.path.join(root, _MARKER)
+    current = None
+    try:
+        with open(marker) as fh:
+            current = fh.read().strip()
+    except OSError:
+        pass
+    complete = all(
+        os.path.exists(os.path.join(t.location(root), "_SUCCESS"))
+        for t in tables
+    )
+    if current == fp and complete:
+        for t in tables:
+            attach_bucketed_table(spark, t, root)
+        return False
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    build()
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(fp)
+    os.replace(tmp, marker)
+    return True
+
+
+def ensure_served_index(
+    spark: SparkSession, sf_dir: str, n_buckets: int = POSTINGS_BUCKETS
+) -> str:
+    """Attach-or-build the served inverted index for ``sf_dir``;
+    returns the table prefix (index_table_names(prefix) are registered
+    when this returns)."""
+    tag = _sf_tag(sf_dir)
+    prefix = f"srv_idx_{tag}"
+    pt, dt = index_table_names(prefix)
+    root = os.path.join(warehouse_path(spark), "served", f"idx_{tag}")
+    tables = [
+        ServedTable(
+            pt,
+            "postings",
+            "term STRING, doc_id BIGINT, pos INT",
+            ("term",),
+            n_buckets,
+            ("term", "doc_id", "pos"),
+        ),
+        ServedTable(
+            dt,
+            "doclens",
+            "doc_id BIGINT, dl BIGINT",
+            ("doc_id",),
+            DOCLEN_BUCKETS,
+            ("doc_id",),
+        ),
+    ]
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "documents.parquet"),
+        extra=f"v{LAYOUT_VERSION}:pb{n_buckets}:db{DOCLEN_BUCKETS}",
+    )
+
+    def build() -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        write_index_tables(
+            eager_pin(postings(docs)),
+            prefix,
+            n_buckets,
+            paths=(tables[0].location(root), tables[1].location(root)),
+        )
+
+    attach_or_build(spark, root, fp, tables, build)
+    return prefix
+
+
+def ensure_served_pagerank_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Attach-or-build the bucketed PageRank graph layout (the
+    broadcast-overflow twin's physical design, externalized): the
+    degree-annotated co-purchase edge relation src-bucketed + sorted,
+    the node set part_id-bucketed with the SAME bucket count. Returns
+    (edges_table, nodes_table).
+
+    Bucket count is the session's shuffle parallelism (the iteration
+    plan's zero-exchange property needs the message aggregate's
+    partitioning to alias onto the node join's), so it participates in
+    the fingerprint — a session with different parallelism rebuilds
+    rather than serving a layout its plans can't use exchange-free."""
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.plans.governance_queries import (
+        _pr_copurchase_edges,
+    )
+    from hadoop_project_spark.sources.sinks import write_bucketed
+
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tag = _sf_tag(sf_dir)
+    # the bucket count is part of the layout identity: sessions with
+    # different shuffle parallelism keep separate layouts (and table
+    # names) instead of thrashing one path through rebuilds
+    et, nt = f"srv_pr_edges_{tag}_b{nb}", f"srv_pr_nodes_{tag}_b{nb}"
+    root = os.path.join(warehouse_path(spark), "served", f"pr_{tag}_b{nb}")
+    tables = [
+        ServedTable(
+            et,
+            "edges",
+            "src BIGINT, dst BIGINT, out_deg BIGINT",
+            ("src",),
+            nb,
+            ("src",),
+        ),
+        ServedTable(
+            nt, "nodes", "part_id BIGINT", ("part_id",), nb, ("part_id",)
+        ),
+    ]
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        extra=f"v{LAYOUT_VERSION}:nb{nb}",
+    )
+
+    def build() -> None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        edges = eager_pin(_pr_copurchase_edges(li))
+        deg = edges.groupBy("src").agg(
+            F.count("*").cast("long").alias("out_deg")
+        )
+        write_bucketed(
+            edges.join(deg, "src").repartition(nb, F.col("src")),
+            et,
+            ["src"],
+            nb,
+            sort_cols=["src"],
+            path=tables[0].location(root),
+        )
+        nodes = li.select(F.col("l_partkey").alias("part_id")).distinct()
+        write_bucketed(
+            nodes.repartition(nb, F.col("part_id")),
+            nt,
+            ["part_id"],
+            nb,
+            sort_cols=["part_id"],
+            path=tables[1].location(root),
+        )
+
+    attach_or_build(spark, root, fp, tables, build)
+    return et, nt

@@ -57,9 +57,14 @@ def write_bucketed(
     n_buckets: int,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table (bucketing requires saveAsTable — the
-    bucket spec lives in the catalog, not the files).
+    """Bucketed table (bucketing requires saveAsTable — the bucket spec
+    lives in the catalog, not the files). With ``path`` the table is
+    EXTERNAL at that location: the files outlive the in-memory
+    catalog, and a later session can re-register them with one DDL
+    statement (serving.attach_bucketed_table) instead of rebuilding —
+    the serve-vs-build split of VERDICT r9 #3.
 
     Two tables bucketed identically on their join key join with NO
     Exchange on either side (asserted in tests/test_sinks.py); the same
@@ -73,6 +78,7 @@ def write_bucketed(
     warehouses (os.path can't see hdfs:// or s3a:// paths — there the
     DROP TABLE is the whole cleanup), and maps a db-qualified name to
     the managed layout `<warehouse>/<db>.db/<tbl>`, not a literal join.
+    For an external ``path`` the sweep clears that path instead.
     """
     if mode == "overwrite":
         import os
@@ -83,22 +89,28 @@ def write_bucketed(
         # If the catalog still knows the table, this drop also removes a
         # managed table's files regardless of filesystem scheme.
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        parsed = urlparse(wh)
-        if parsed.scheme in ("", "file"):
-            root = parsed.path or wh
-            parts = table.lower().split(".")
-            rel = (
-                parts[-1]
-                if len(parts) == 1
-                else os.path.join(f"{parts[-2]}.db", parts[-1])
-            )
-            loc = os.path.join(root, rel)
-            if os.path.exists(loc):
-                shutil.rmtree(loc, ignore_errors=True)
+        if path is not None:
+            if os.path.exists(path):
+                shutil.rmtree(path, ignore_errors=True)
+        else:
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            parsed = urlparse(wh)
+            if parsed.scheme in ("", "file"):
+                root = parsed.path or wh
+                parts = table.lower().split(".")
+                rel = (
+                    parts[-1]
+                    if len(parts) == 1
+                    else os.path.join(f"{parts[-2]}.db", parts[-1])
+                )
+                loc = os.path.join(root, rel)
+                if os.path.exists(loc):
+                    shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

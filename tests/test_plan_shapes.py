@@ -438,6 +438,28 @@ def test_stored_index_tf_df_join_no_shuffle(spark, sf_dir):
     assert _shuffle_exchanges(plan) == 0, plan
 
 
+def test_pagerank_served_keeps_bucketed_plan(spark, sf_dir):
+    """part_pagerank_served (VERDICT r9 #3): the ATTACHED external
+    graph layout must reproduce the bucketed twin's plan exactly —
+    exchange-free, sort-free SMJs on both per-iteration joins, only
+    the dst-keyed message aggregate shuffles."""
+    from hadoop_project_spark.plans.governance_queries import _PR_ITERS
+
+    df = SPECS["part_pagerank_served"].build(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("SortMergeJoin") == 2 * _PR_ITERS
+    assert "BroadcastHashJoin" not in plan
+    shuffles = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(shuffles) == _PR_ITERS, shuffles
+    assert all("dst#" in l for l in shuffles), shuffles
+    sorts = [
+        l for l in plan.splitlines() if "+- Sort [" in l or ":- Sort [" in l
+    ]
+    assert len(sorts) == _PR_ITERS, sorts
+
+
 def test_pagerank_bucketed_never_resorts_edges(spark, sf_dir):
     """part_pagerank_bucketed (VERDICT r8 #2): per iteration the plan
     may shuffle/sort ONLY the parts-sized message aggregate — the
