@@ -570,3 +570,75 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="doc_a", dst_col="doc_b",
     )
     return comp.select(F.col("n").alias("doc_id"), "component")
+
+
+def _sql_exact_substring_spans() -> str:
+    from hadoop_project_spark.operators.substring import (
+        K_GRAM,
+        MAX_GRAM_OCC,
+        MIN_SPAN,
+    )
+
+    k = K_GRAM
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+    ),
+    kg AS (
+      -- 0-based window starts, mirroring the engine's postings positions
+      SELECT doc_id, i - 1 AS pos,
+             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
+        FROM kg
+      ) WHERE n_occ <= {MAX_GRAM_OCC}
+    ),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM capped a JOIN capped b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY da, db, diag ORDER BY pa) AS isl
+      FROM m
+    ),
+    spans AS (
+      SELECT da, db, diag, MIN(pa) AS sa,
+             MAX(pa) - MIN(pa) + {k} AS len
+      FROM runs GROUP BY da, db, diag, isl
+    )
+    SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
+           CAST(sa AS BIGINT) AS start_a,
+           CAST(sa - diag AS BIGINT) AS start_b,
+           CAST(len AS BIGINT) AS len_tokens
+    FROM spans WHERE len >= {MIN_SPAN}
+    """
+
+
+@register(
+    "exact_substring_spans",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_exact_substring_spans(),
+    tags=("text", "dedup", "substring", "extension"),
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (VERDICT r9 #4): every MAXIMAL
+    run of >= MIN_SPAN consecutive tokens shared verbatim between two
+    documents, found by k-gram anchoring + diagonal gaps-and-islands
+    extension (operators/substring.py) — blocked on repeated grams,
+    occurrence-capped against boilerplate, never all-pairs. The oracle
+    replays anchoring, the cap, the diagonal join and the island
+    windows from scratch, so a hash-match certifies span extents and
+    alignments position-exactly, not just pair counts."""
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_spans as spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return spans(docs)

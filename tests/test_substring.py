@@ -1,0 +1,80 @@
+"""Semantics of exact repeated-substring detection
+(operators/substring.py): maximal spans only (no sub-window echoes),
+correct alignments, multi-diagonal repeats, and the boilerplate
+occurrence cap."""
+
+from __future__ import annotations
+
+from hadoop_project_spark.operators.substring import (
+    exact_substring_spans,
+    token_kgram_anchors,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def _spans(df):
+    return sorted(
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.len_tokens)
+        for r in df.collect()
+    )
+
+
+def _words(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_single_maximal_span_with_alignment(spark):
+    shared = _words("s", 10)
+    a = _words("a", 3) + " " + shared + " " + _words("z", 4)
+    b = _words("b", 5) + " " + shared
+    df = exact_substring_spans(_docs(spark, [a, b]), k=6, min_len=8)
+    # ONE maximal span: 10 tokens, at a-offset 3 / b-offset 5 — and no
+    # 8- or 9-token sub-spans reported alongside it
+    assert _spans(df) == [(0, 1, 3, 5, 10)]
+
+
+def test_below_min_len_not_reported(spark):
+    shared = _words("s", 7)  # detectable (>= k) but below min_len
+    a = shared + " " + _words("a", 5)
+    b = _words("b", 4) + " " + shared
+    df = exact_substring_spans(_docs(spark, [a, b]), k=6, min_len=8)
+    assert _spans(df) == []
+
+
+def test_repeated_block_reports_each_alignment(spark):
+    shared = _words("s", 8)
+    a = shared + " " + _words("m", 3) + " " + shared
+    b = _words("b", 2) + " " + shared
+    df = exact_substring_spans(_docs(spark, [a, b]), k=6, min_len=8)
+    # b's block matches BOTH occurrences in a: two diagonals, one
+    # maximal 8-token span each (a-offsets 0 and 11)
+    assert _spans(df) == [(0, 1, 0, 2, 8), (0, 1, 11, 2, 8)]
+
+
+def test_gram_occurrence_cap_suppresses_boilerplate(spark):
+    shared = _words("s", 9)
+    texts = [_words(f"d{i}", 3) + " " + shared for i in range(6)]
+    all_pairs = exact_substring_spans(
+        _docs(spark, texts), k=6, min_len=8, max_gram_occ=64
+    )
+    assert len(_spans(all_pairs)) == 15  # C(6,2) — every pair shares it
+    capped = exact_substring_spans(
+        _docs(spark, texts), k=6, min_len=8, max_gram_occ=5
+    )
+    assert _spans(capped) == []  # grams occur 6x > cap: never anchored
+
+
+def test_anchor_positions_are_dense_token_positions(spark):
+    kg = token_kgram_anchors(
+        _docs(spark, ["w0 w1 w2 w3 w4 w5 w6"]), k=6
+    )
+    rows = sorted((r.pos, r.g) for r in kg.collect())
+    assert rows == [
+        (0, "w0 w1 w2 w3 w4 w5"),
+        (1, "w1 w2 w3 w4 w5 w6"),
+    ]
