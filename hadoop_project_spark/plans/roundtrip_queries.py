@@ -436,6 +436,47 @@ def json_roundtrip_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_roundtrip_segment_stats",
+    priority=10,  # new in round 10 -> first driver window
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_acctbal,
+           MIN(md5(c_name)) AS name_md5_min
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    GROUP BY c_mktsegment
+    """,
+    tags=("source", "sink", "avro", "roundtrip", "extension"),
+)
+def avro_roundtrip_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → Avro sink (partitioned by c_mktsegment) → Avro source
+    with a partition filter → per-segment rollup. Avro is the
+    row-oriented interchange format (Kafka/ingest edges); Spark 4
+    bundles the implementation without registering the short name, so
+    sources/formats.py resolves the format class per deployment. The
+    oracle aggregates the original parquet directly: a hash match
+    certifies Avro write→read type preservation (double acctbal,
+    strings via md5) and the partition-directory layout end-to-end."""
+    from hadoop_project_spark.sources.formats import read_avro, write_avro
+
+    cust = load_table(spark, sf_dir, "customer")
+    path = _roundtrip_dir(sf_dir, "customer_avro")
+    write_avro(cust, path, partition_by=["c_mktsegment"])
+    back = read_avro(spark, path).filter(
+        F.col("c_mktsegment") != "BUILDING"
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_acctbal"),
+        F.min(F.md5("c_name")).alias("name_md5_min"),
+    )
+
+
+@register(
     "merge_upsert_roundtrip",
     priority=15,
     oracle="""

@@ -60,6 +60,23 @@ def test_json_partitioned_write(spark, sf_dir, tmp_path):
     assert back.count() == docs.count()
 
 
-def test_avro_gated(spark):
-    with pytest.raises(NotImplementedError):
-        formats.read_avro(spark, "/tmp/nope")
+def test_avro_roundtrip_where_deployed(spark, sf_dir, tmp_path):
+    """Avro is an external Spark module (deployment property): the
+    roundtrip runs wherever `--packages org.apache.spark:spark-avro`
+    is on the classpath and skips where it is not — and the capability
+    probe must agree with what the engine actually does."""
+    from hadoop_project_spark.catalog import load_table
+
+    if not formats.avro_supported(spark):
+        with pytest.raises(Exception, match="avro|AVRO|data source"):
+            formats.read_avro(spark, str(tmp_path / "nope"))
+        pytest.skip("spark-avro module not deployed in this session")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_avro")
+    formats.write_avro(docs, path)
+    back = formats.read_avro(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )

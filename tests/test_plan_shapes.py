@@ -482,3 +482,38 @@ def test_pagerank_bucketed_never_resorts_edges(spark, sf_dir):
     assert len(sorts) == _PR_ITERS, sorts
     assert all("part_id#" in l for l in sorts), sorts  # never the edges
     assert "Bucketed: true" in plan
+
+
+def _physical_nodes(df) -> list[str]:
+    """Node names of the ACTUAL executed-plan tree (descending through
+    the AQE wrapper). Unlike the string print — which reprints each
+    InMemoryRelation's cached build plan under every consumer — this
+    walk treats InMemoryTableScan as the leaf it is, so a file scan in
+    the result is a file scan the query would really run."""
+
+    def walk(node, out):
+        name = node.nodeName()
+        out.append(name)
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan(), out)
+            return out
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), out)
+        return out
+
+    return walk(df._jdf.queryExecution().executedPlan(), [])
+
+
+def test_bm25_eval_truth_side_reuses_pinned_inputs(spark, sf_dir):
+    """bm25_mrr_eval (VERDICT r9 #6): scoring AND the conjunctive-
+    relevance truth side must consume the ONE pinned tf relation —
+    the executed plan may contain no parquet scan of the corpus at
+    all (every consumer reads an InMemoryTableScan; re-deriving
+    postings for the truth set would surface as a real file scan, the
+    exact cost that made this the family's most expensive probe at
+    sf1). The only non-cache leaves allowed are the query-literal
+    ExistingRDD relations."""
+    nodes = _physical_nodes(SPECS["bm25_mrr_eval"].build(spark, sf_dir))
+    file_scans = [n for n in nodes if "Scan parquet" in n]
+    assert file_scans == [], file_scans
+    assert nodes.count("InMemoryTableScan") >= 2, nodes
