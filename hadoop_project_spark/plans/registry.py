@@ -42,20 +42,23 @@ _ORDER: dict[str, int] = {}
 # — tests/test_registry_window.py enforces "driver-green in a prior
 # round's CORRECTNESS_r*.json OR in the current window".
 #
-# Round 9 (per VERDICT r8 items 1-3, 8): the window is the headline
-# set, the THREE new stored-layout queries (inverted_index_build_
-# roundtrip, bm25_topk_stored, part_pagerank_bucketed — self-promoted
-# at registration priority=10), and a hash anchor for every query whose
-# CODE round 9 touched: the invindex family (postings empty-term
-# filter, shared probe halves, two-stage BM25 top-k, oracle tf/'' CTE
-# edits), the pinned K-Means fit (magnitude guard), part_pagerank_
-# iterated (shares the edge-relation code path with the bucketed twin),
-# and bucketed_join_roundtrip (the legacy bucketed-scan outputOrdering
-# conf changes every bucketed read's plan). The r8-only anchors are
-# demoted to 500, still oracle-tested every CI run by
-# tests/test_oracle_parity.py.
+# Round 10 (per VERDICT r9 items 1-4, 7-8): the window is the headline
+# set, the FIVE new round-10 queries (the serving twins
+# phrase_search_served / bm25_topk_served / part_pagerank_served, the
+# exact-substring dedup exact_substring_spans, and
+# avro_roundtrip_segment_stats — all self-promoted at registration
+# priority=10), and a hash anchor for every query whose CODE round 10
+# touched (see the prio-20 block). The r9-only anchors are demoted to
+# 500, still oracle-tested every CI run by tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- round-9 regression anchors: keep in-window (prio 20) ---
+    # --- round-10 regression anchors: keep in-window (prio 20) ---
+    # (VERDICT r9 #7: headline set + a hash anchor for every query
+    # whose CODE round 10 touched — the LSM module was rewritten for
+    # the snapshot watermark/lost-base rebuild/manifest publish, the
+    # stored-index builds route through write_index_tables/
+    # write_bucketed which gained external-path support, and
+    # part_pagerank_bucketed's iteration loop was extracted into a
+    # helper shared with the new served twin.)
     **{
         name: 20
         for name in (
@@ -65,10 +68,17 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # bucketed-scan outputOrdering conf touches every bucketed
-            # table read (session.py) — re-certify the S7 roundtrip
+            # write_bucketed gained the external-path branch — re-certify
+            # the S7 roundtrip over the managed-table path
             "bucketed_join_roundtrip",
-            "dpp_partitioned_join_roundtrip",
+            # stored-index builds route through the touched writers
+            "inverted_index_build_roundtrip",
+            "bm25_topk_stored",
+            # LSM module rewritten this round
+            "index_segment_compaction_roundtrip",
+            "index_base_plus_segments_probe",
+            # iteration loop extracted into a shared helper
+            "part_pagerank_bucketed",
         )
     },
     # --- green in r1-r8, still CI-oracle-tested: demote (prio 500) ---
@@ -80,9 +90,22 @@ PRIORITY_OVERRIDES: dict[str, int] = {
     **{
         name: 500
         for name in (
-            # r8 anchors released this round (code untouched in r9; the
-            # ssjoin-pin family's r8 deltas were re-adjudicated by the
-            # round-9 within-session A/B — SCALING.md)
+            # r9 anchors released this round (code untouched in r10;
+            # the two writer-roundtrip movers were adjudicated as host
+            # drift by the round-10 within-session A/B — SCALING.md)
+            "dpp_partitioned_join_roundtrip",
+            "proximity_search_pairs",
+            "lsh_band_sweep",
+            "bm25_mrr_eval",
+            "inverted_index_directory",
+            "phrase_search_hits",
+            "bm25_topk",
+            "kmeans_centroids",
+            "kmeans_cluster_sizes",
+            "kmeans_silhouette",
+            "part_pagerank_iterated",
+            # r8 anchors (released in r9; ssjoin-pin family deltas were
+            # re-adjudicated by the round-9 within-session A/B)
             "ssjoin_prefix_pairs",
             "doc_duplicate_spans",
             "doc_duplicate_span_ratio",

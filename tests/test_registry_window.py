@@ -24,10 +24,10 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 9 (VERDICT r8 items 1-3, 8): the
-# headline set, the three new stored-layout queries, and a hash anchor
-# for every query whose code round 9 touched — must be proven green
-# THIS round.
+# Regression anchors for round 10 (VERDICT r9 items 1-4, 7-8): the
+# headline set, the five new round-10 queries, and a hash anchor for
+# every query whose code round 10 touched — must be proven green THIS
+# round.
 MUST_VERIFY = {
     # headline (every round)
     "word_count",
@@ -35,31 +35,27 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # round-9 new: stored term-bucketed index probes + the bucketed
-    # (broadcast-overflow) PageRank twin (self-promoted prio=10)
+    # round-10 new: serving twins of the stored index / bucketed
+    # PageRank, exact-substring dedup, avro roundtrip (self-promoted
+    # prio=10)
+    "phrase_search_served",
+    "bm25_topk_served",
+    "part_pagerank_served",
+    "exact_substring_spans",
+    "avro_roundtrip_segment_stats",
+    # round-10 code-touch anchors: the LSM module was rewritten
+    # (snapshot watermark, lost-base rebuild, manifest publish — the
+    # serving-state probe now publishes via manifests)...
+    "index_segment_compaction_roundtrip",
+    "index_base_plus_segments_probe",
+    # ...the stored-index builds route through write_index_tables /
+    # write_bucketed, which gained external-path support...
     "inverted_index_build_roundtrip",
     "bm25_topk_stored",
-    "index_segment_compaction_roundtrip",
-    "proximity_search_pairs",
-    "lsh_band_sweep",
-    "index_base_plus_segments_probe",
-    "bm25_mrr_eval",
-    "part_pagerank_bucketed",
-    # round-9 code-touch anchors: postings empty-term filter + shared
-    # probe halves + two-stage BM25 top-k + oracle '' CTE edits
-    "inverted_index_directory",
-    "phrase_search_hits",
-    "bm25_topk",
-    # the pinned fit gained the magnitude guard (extra agg job)
-    "kmeans_centroids",
-    "kmeans_cluster_sizes",
-    "kmeans_silhouette",
-    # shares the edge-relation build with the bucketed twin
-    "part_pagerank_iterated",
-    # the legacy bucketedTableScan.outputOrdering conf (session.py)
-    # changes every bucketed read's plan — re-certify the S7 roundtrips
     "bucketed_join_roundtrip",
-    "dpp_partitioned_join_roundtrip",
+    # ...and the bucketed PageRank iteration loop was extracted into a
+    # helper shared with the served twin
+    "part_pagerank_bucketed",
 }
 
 
