@@ -280,7 +280,11 @@ def compact_segments(
     base_exists = spark.catalog.tableExists(pt)
     if not live_segs and base_exists:
         return None  # idle tick: nothing new to fold
-    tmp_dir = os.path.join(seg_root, "_compact_input.tmp")
+    # NOTE: no leading underscore — Spark's hidden-path filter treats
+    # `_*` names specially in file listings (it warns "All paths were
+    # ignored" on the overwrite-target check); keep the spill dir a
+    # plain visible name that no segment-listing prefix matches.
+    tmp_dir = os.path.join(seg_root, "compact-input.tmp")
     if base_exists:
         fold = _read_paths(spark, live_segs)
         hi = max(s.batch_id for s in live_segs)
