@@ -219,6 +219,10 @@ def _live_segments(seg_root: str) -> list[Segment]:
 
 def _read_paths(spark: SparkSession, segs: list[Segment]) -> DataFrame:
     paths = [p for s in segs for p in s.paths]
+    if not paths:
+        # every live segment is empty (an empty micro-batch publishes a
+        # zero-file manifest) — an empty relation, not a read error
+        return spark.createDataFrame([], POSTINGS_SCHEMA)
     return spark.read.schema(POSTINGS_SCHEMA).parquet(*paths)
 
 

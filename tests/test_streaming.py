@@ -1059,6 +1059,30 @@ def test_compaction_rebuilds_lost_base_from_retired_segments(
     ) == rows(ix.phrase_search_stats(docs, SEARCH_PHRASES))
 
 
+@pytest.mark.parametrize("publish", ["rename", "manifest"])
+def test_empty_batch_publishes_empty_segment(spark, sf_dir, tmp_path, publish):
+    """An empty micro-batch (watermark tick, filtered-out batch) still
+    publishes its segment mark — replay stays idempotent — and the
+    serving union reads it as zero postings, not a read error."""
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.streaming.index_segments import (
+        compact_segments,
+        make_postings_segment_sink,
+        read_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    seg_root = str(tmp_path / "empty_segs")
+    sink = make_postings_segment_sink(seg_root, publish)
+    sink(docs.filter(F.lit(False)), 0)  # empty batch
+    assert read_segments(spark, seg_root).count() == 0
+    sink(docs, 1)
+    assert read_segments(spark, seg_root).count() > 0
+    # compaction folds the empty + full segments without complaint
+    prefix = f"empty_idx_{publish}"
+    assert compact_segments(spark, seg_root, prefix) is not None
+
+
 def test_manifest_publish_hides_orphan_data(spark, sf_dir, tmp_path):
     """Manifest protocol crash contract: data files without a
     committed manifest are invisible to readers (the crash-mid-write
