@@ -459,8 +459,24 @@ def avro_roundtrip_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle aggregates the original parquet directly: a hash match
     certifies Avro write→read type preservation (double acctbal,
     strings via md5) and the partition-directory layout end-to-end."""
-    from hadoop_project_spark.sources.formats import read_avro, write_avro
+    from hadoop_project_spark.sources.formats import (
+        avro_supported,
+        read_avro,
+        write_avro,
+    )
 
+    if not avro_supported(spark):
+        # Deployment property, surfaced loudly: this engine's target
+        # distribution (pyspark 4.1 bundles the avro classes) supports
+        # it — a stripped deployment should add
+        # `--packages org.apache.spark:spark-avro_2.13` or deregister
+        # this query rather than let Spark's datasource lookup fail
+        # with a less specific error mid-plan.
+        raise RuntimeError(
+            "avro_roundtrip_segment_stats needs the avro datasource "
+            "classes (bundled in pyspark>=4; external module "
+            "org.apache.spark:spark-avro otherwise)"
+        )
     cust = load_table(spark, sf_dir, "customer")
     path = _roundtrip_dir(sf_dir, "customer_avro")
     write_avro(cust, path, partition_by=["c_mktsegment"])

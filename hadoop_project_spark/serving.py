@@ -43,7 +43,6 @@ import os
 import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
-from urllib.parse import urlparse
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +55,7 @@ from hadoop_project_spark.operators.invindex import (
     postings,
     write_index_tables,
 )
+from hadoop_project_spark.sources.sinks import warehouse_path
 
 # Bump when a physical layout changes (bucket spec, sort order,
 # schema): old on-disk layouts then fingerprint-mismatch and rebuild.
@@ -80,14 +80,6 @@ class ServedTable:
         return os.path.join(root, self.subdir)
 
 
-def warehouse_path(spark: SparkSession) -> str:
-    """Local filesystem path of the session's warehouse dir (the
-    stable root every served layout lives under)."""
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    parsed = urlparse(wh)
-    if parsed.scheme in ("", "file"):
-        return parsed.path or wh
-    return wh  # object-store URI: pass through
 
 
 def source_fingerprint(src: str, extra: str = "") -> str:
@@ -108,7 +100,13 @@ def source_fingerprint(src: str, extra: str = "") -> str:
         names = [src]
     for name in names:
         st = os.stat(name)
-        rel = os.path.relpath(name, src) if os.path.isdir(src) else name
+        # relative/base names only: the same bytes reached via a
+        # different absolute path still fingerprint-match
+        rel = (
+            os.path.relpath(name, src)
+            if os.path.isdir(src)
+            else os.path.basename(name)
+        )
         h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
     return h.hexdigest()
 
@@ -140,13 +138,28 @@ def attach_or_build(
     root: str,
     fp: str,
     tables: list[ServedTable],
-    build: Callable[[], None],
+    build: Callable[[str], None],
 ) -> bool:
     """The serve/build decision: attach when the persisted fingerprint
-    matches and every table's write completed, otherwise invalidate,
-    run ``build`` (which must write each table external at its
-    location — write_bucketed(path=...)), and publish the fingerprint
-    last. Returns True when a build ran."""
+    matches and every table's write completed, otherwise rebuild.
+    Returns True when a build ran.
+
+    Publish protocol (concurrent-session safe): the build NEVER writes
+    into the live root. ``build(staging_root)`` lands the external
+    tables in a process-private staging directory, the fingerprint
+    marker is written there too, and publish is a directory SWAP
+    (rename the old root aside → rename staging in → drop the old).
+    A session attaching concurrently therefore sees either the old
+    complete layout or the new complete layout — never interleaved
+    part files — and two racing builders each publish a consistent
+    layout (last swap wins; both are correct for their fingerprint).
+    A probe that was mid-scan on the old files when the swap landed
+    fails its scan and re-ensures — the price of POSIX rename
+    semantics; on an object store this whole publish is a metastore /
+    pointer swap over versioned roots and readers never race at all.
+    Crash windows leave either a marker-less root (rebuilt next call)
+    or an orphaned pid-named staging/old dir (bounded by crash count,
+    swept on this process's next build of the same root)."""
     marker = os.path.join(root, _MARKER)
     current = None
     try:
@@ -162,19 +175,25 @@ def attach_or_build(
         for t in tables:
             attach_bucketed_table(spark, t, root)
         return False
-    try:
-        os.remove(marker)
-    except OSError:
-        pass
+    pid = os.getpid()
+    staging = f"{root}.build-{pid}"
+    old = f"{root}.old-{pid}"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    os.makedirs(staging, exist_ok=True)
+    build(staging)  # registers tables at staging paths; fixed below
+    with open(os.path.join(staging, _MARKER), "w") as fh:
+        fh.write(fp)
+    if os.path.isdir(root):
+        os.replace(root, old)
+    os.rename(staging, root)
+    shutil.rmtree(old, ignore_errors=True)
+    # the bucketed writes registered the tables at the STAGING paths
+    # (saveAsTable is how a bucket spec enters the catalog); re-point
+    # them at the published root
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-    shutil.rmtree(root, ignore_errors=True)
-    os.makedirs(root, exist_ok=True)
-    build()
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(fp)
-    os.replace(tmp, marker)
+        attach_bucketed_table(spark, t, root)
     return True
 
 
@@ -183,8 +202,12 @@ def ensure_served_index(
 ) -> str:
     """Attach-or-build the served inverted index for ``sf_dir``;
     returns the table prefix (index_table_names(prefix) are registered
-    when this returns)."""
-    tag = _sf_tag(sf_dir)
+    when this returns). The bucket count is part of the layout
+    identity (root path and table names), so callers with different
+    bucket counts keep separate layouts instead of thrashing one path
+    — and a DataFrame captured under one configuration can never
+    silently read another's files."""
+    tag = f"{_sf_tag(sf_dir)}_b{n_buckets}"
     prefix = f"srv_idx_{tag}"
     pt, dt = index_table_names(prefix)
     root = os.path.join(warehouse_path(spark), "served", f"idx_{tag}")
@@ -211,13 +234,13 @@ def ensure_served_index(
         extra=f"v{LAYOUT_VERSION}:pb{n_buckets}:db{DOCLEN_BUCKETS}",
     )
 
-    def build() -> None:
+    def build(staging: str) -> None:
         docs = load_table(spark, sf_dir, "documents")
         write_index_tables(
             eager_pin(postings(docs)),
             prefix,
             n_buckets,
-            paths=(tables[0].location(root), tables[1].location(root)),
+            paths=(tables[0].location(staging), tables[1].location(staging)),
         )
 
     attach_or_build(spark, root, fp, tables, build)
@@ -270,7 +293,7 @@ def ensure_served_pagerank_graph(
         extra=f"v{LAYOUT_VERSION}:nb{nb}",
     )
 
-    def build() -> None:
+    def build(staging: str) -> None:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
@@ -284,7 +307,7 @@ def ensure_served_pagerank_graph(
             ["src"],
             nb,
             sort_cols=["src"],
-            path=tables[0].location(root),
+            path=tables[0].location(staging),
         )
         nodes = li.select(F.col("l_partkey").alias("part_id")).distinct()
         write_bucketed(
@@ -293,7 +316,7 @@ def ensure_served_pagerank_graph(
             ["part_id"],
             nb,
             sort_cols=["part_id"],
-            path=tables[1].location(root),
+            path=tables[1].location(staging),
         )
 
     attach_or_build(spark, root, fp, tables, build)

@@ -26,6 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def warehouse_path(spark: SparkSession) -> str:
+    """Filesystem path of the session's warehouse dir — the one place
+    that decides how a warehouse URI maps to a local path (shared by
+    the managed-table stale-location sweep below and serving.py's
+    stable served-layout roots). Non-file schemes (hdfs://, s3a://)
+    pass through untouched: os.path can't see them and callers treat
+    them as opaque roots."""
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or wh
+    return wh
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,
@@ -83,7 +99,6 @@ def write_bucketed(
     if mode == "overwrite":
         import os
         import shutil
-        from urllib.parse import urlparse
 
         spark = df.sparkSession
         # If the catalog still knows the table, this drop also removes a
@@ -93,10 +108,8 @@ def write_bucketed(
             if os.path.exists(path):
                 shutil.rmtree(path, ignore_errors=True)
         else:
-            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-            parsed = urlparse(wh)
-            if parsed.scheme in ("", "file"):
-                root = parsed.path or wh
+            root = warehouse_path(spark)
+            if os.path.isabs(root) or os.path.exists(root):
                 parts = table.lower().split(".")
                 rel = (
                     parts[-1]

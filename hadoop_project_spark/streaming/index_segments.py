@@ -151,12 +151,15 @@ def make_postings_segment_sink(
         manifest = _manifest_path(seg_root, batch_id)
         if os.path.exists(manifest):
             return  # replayed batch: manifest already committed
-        data_dir = os.path.join(
-            seg_root, _DATA_DIR, f"{_SEG_PREFIX}{batch_id:012d}"
-        )
+        rel_dir = os.path.join(_DATA_DIR, f"{_SEG_PREFIX}{batch_id:012d}")
+        data_dir = os.path.join(seg_root, rel_dir)
         postings(batch_df).write.mode("overwrite").parquet(data_dir)
+        # paths are RELATIVE to seg_root (resolved at read), so a
+        # segment root is relocatable — move/copy the whole root and
+        # the manifests keep pointing at the right objects, the same
+        # reason Iceberg metadata records relative locations
         files = sorted(
-            os.path.join(data_dir, f)
+            os.path.join(rel_dir, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
@@ -199,7 +202,14 @@ def _published_segments(seg_root: str) -> list[Segment]:
             if f.startswith(_SEG_PREFIX) and f.endswith(".json"):
                 with open(os.path.join(man_root, f)) as fh:
                     m = json.load(fh)
-                out.append(Segment(int(m["batch_id"]), tuple(m["files"])))
+                out.append(
+                    Segment(
+                        int(m["batch_id"]),
+                        tuple(
+                            os.path.join(seg_root, p) for p in m["files"]
+                        ),
+                    )
+                )
     else:
         for d in os.listdir(seg_root):
             if d.startswith(_SEG_PREFIX) and not d.endswith(".staging"):
@@ -215,6 +225,34 @@ def _published_segments(seg_root: str) -> list[Segment]:
 def _live_segments(seg_root: str) -> list[Segment]:
     floor = compacted_through(seg_root)
     return [s for s in _published_segments(seg_root) if s.batch_id > floor]
+
+
+def _segment_has_data(s: Segment) -> bool:
+    """Whether the segment contributes any ROW. An empty micro-batch
+    still writes schema-only part files, so file presence is not
+    enough: read each footer's row count (parquet metadata — local
+    stat here, one ranged GET per file on an object store, paid only
+    at compaction cadence)."""
+    import pyarrow.parquet as pq
+
+    files = []
+    for p in s.paths:
+        if os.path.isdir(p):
+            files += [
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            ]
+        else:
+            files.append(p)
+    return any(pq.ParquetFile(f).metadata.num_rows > 0 for f in files)
+
+
+def _write_watermark(seg_root: str, hi: int) -> None:
+    tmp = os.path.join(seg_root, _COMPACTED_MARKER + ".tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(hi))
+    os.replace(tmp, os.path.join(seg_root, _COMPACTED_MARKER))
 
 
 def _read_paths(spark: SparkSession, segs: list[Segment]) -> DataFrame:
@@ -284,6 +322,12 @@ def compact_segments(
     base_exists = spark.catalog.tableExists(pt)
     if not live_segs and base_exists:
         return None  # idle tick: nothing new to fold
+    if base_exists and not any(_segment_has_data(s) for s in live_segs):
+        # every live segment is a zero-file publish (empty batches):
+        # retire them by advancing the watermark, but skip the O(index)
+        # base rewrite — there is nothing to fold
+        _write_watermark(seg_root, max(s.batch_id for s in live_segs))
+        return index_table_names(prefix)
     # NOTE: no leading underscore — Spark's hidden-path filter treats
     # `_*` names specially in file listings (it warns "All paths were
     # ignored" on the overwrite-target check); keep the spill dir a
@@ -316,8 +360,5 @@ def compact_segments(
         hi = max(s.batch_id for s in snapshot)
     names = write_index_tables(fold, prefix, n_buckets)
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    tmp = os.path.join(seg_root, _COMPACTED_MARKER + ".tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(hi))
-    os.replace(tmp, os.path.join(seg_root, _COMPACTED_MARKER))
+    _write_watermark(seg_root, hi)
     return names

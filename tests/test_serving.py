@@ -103,6 +103,15 @@ def test_served_index_attach_reuse_and_staleness(spark, sf_dir, tmp_path):
     ) == _rows(ix.phrase_search_stats(docs2, PHRASES))
     assert _data_mtimes(ploc) != before
 
+    # the staged-build + swap publish leaves no staging/old residue
+    served_root = os.path.dirname(os.path.dirname(ploc))
+    residue = [
+        d
+        for d in os.listdir(served_root)
+        if ".build-" in d or ".old-" in d
+    ]
+    assert residue == [], residue
+
 
 def test_served_pagerank_graph_attach_reuse(spark, sf_dir):
     """The PageRank graph layout serves across catalog resets: drop

@@ -1071,6 +1071,13 @@ def test_empty_batch_publishes_empty_segment(spark, sf_dir, tmp_path, publish):
         read_segments,
     )
 
+    import os
+
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.streaming.index_segments import (
+        compacted_through,
+    )
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
     seg_root = str(tmp_path / "empty_segs")
     sink = make_postings_segment_sink(seg_root, publish)
@@ -1081,6 +1088,59 @@ def test_empty_batch_publishes_empty_segment(spark, sf_dir, tmp_path, publish):
     # compaction folds the empty + full segments without complaint
     prefix = f"empty_idx_{publish}"
     assert compact_segments(spark, seg_root, prefix) is not None
+
+    # a tick whose only live segments are EMPTY retires them by
+    # watermark but must NOT rewrite the O(index) base
+    def base_files():
+        loc = spark.sql(
+            f"DESCRIBE EXTENDED {ix.index_table_names(prefix)[0]}"
+        ).filter("col_name='Location'").collect()[0]["data_type"]
+        loc = loc.removeprefix("file:")
+        return {
+            f: os.stat(os.path.join(loc, f)).st_mtime_ns
+            for f in os.listdir(loc)
+            if f.endswith(".parquet")
+        }
+
+    before = base_files()
+    sink(docs.filter(F.lit(False)), 2)  # another empty batch
+    assert compact_segments(spark, seg_root, prefix) is not None
+    assert compacted_through(seg_root) == 2  # empties retired...
+    assert base_files() == before  # ...without touching the base
+
+
+def test_manifest_root_is_relocatable(spark, sf_dir, tmp_path):
+    """Manifests record paths RELATIVE to the segment root, so moving
+    the whole root (staging → durable location, bucket rename) keeps
+    every manifest valid — the Iceberg relative-location property."""
+    import shutil as sh
+
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.streaming.index_segments import (
+        make_postings_segment_sink,
+        read_segments,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    old_root = str(tmp_path / "staging_segs")
+    sink = make_postings_segment_sink(old_root, "manifest")
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 2 == 1), 1)
+
+    def multiset(df):
+        from collections import Counter
+
+        return Counter(
+            (r["term"], r["doc_id"], r["pos"]) for r in df.collect()
+        )
+
+    expected = multiset(ix.postings(docs))
+    assert multiset(read_segments(spark, old_root)) == expected
+
+    new_root = str(tmp_path / "durable_segs")
+    sh.move(old_root, new_root)
+    assert multiset(read_segments(spark, new_root)) == expected
 
 
 def test_manifest_publish_hides_orphan_data(spark, sf_dir, tmp_path):
