@@ -129,3 +129,87 @@ def exact_substring_spans(
         (F.col("sa") - F.col("diag")).cast("long").alias("start_b"),
         F.col("len").cast("long").alias("len_tokens"),
     )
+
+
+def doc_duplication_coverage(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    min_len: int = MIN_SPAN,
+    max_gram_occ: int = MAX_GRAM_OCC,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_spans, dup_tokens, dup_fraction): the
+    dedup DECISION built on the span relation — for every document
+    with any shared span, how much of it is duplicated text. This is
+    the number an exact-substring dedup pipeline acts on (drop, trim,
+    or down-weight — Lee et al.'s dedup removes exactly these spans).
+
+    Both sides of every span project to (doc, start, end) intervals;
+    overlapping intervals per document are merged with the classic
+    running-max island scan (one doc-keyed window over the
+    duplication-sized span relation — never the corpus), so a token
+    covered by several overlapping spans counts once. dup_fraction is
+    one correctly-rounded double division of exact integers —
+    cross-engine bit-equal."""
+    from hadoop_project_spark.functions.text import normalize_text
+
+    spans = exact_substring_spans(docs, k, min_len, max_gram_occ)
+    # DISTINCT is load-bearing, not an optimization: the island scan
+    # orders by (s, e), and duplicate intervals (the same span shared
+    # with several partners) would make that ordering a TIE — running
+    # windows over tied rows are order-dependent in any engine, and
+    # the island id could split mid-tie nondeterministically. Unique
+    # (doc_id, s, e) rows give the windows a total order.
+    sides = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("len_tokens")).alias("e"),
+    ).unionByName(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("len_tokens")).alias("e"),
+        )
+    ).distinct()
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        sides.withColumn("pmax", F.max("e").over(wprev))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("iid", F.sum("new_isl").over(wrun))
+        .groupBy("doc_id", "iid")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+    )
+    cov = merged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("dup_tokens"),
+    )
+    ntok = docs.select(
+        F.col("doc_id"),
+        F.size(F.split(normalize_text("text"), " ")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    return cov.join(ntok, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "n_spans",
+        "dup_tokens",
+        (
+            F.col("dup_tokens").cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_fraction"),
+    )

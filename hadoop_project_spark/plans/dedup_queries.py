@@ -642,3 +642,111 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return spans(docs)
+
+
+def _sql_doc_duplication_coverage() -> str:
+    from hadoop_project_spark.operators.substring import (
+        K_GRAM,
+        MAX_GRAM_OCC,
+        MIN_SPAN,
+    )
+
+    k = K_GRAM
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i - 1 AS pos,
+             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
+        FROM kg
+      ) WHERE n_occ <= {MAX_GRAM_OCC}
+    ),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM capped a JOIN capped b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY da, db, diag ORDER BY pa) AS isl
+      FROM m
+    ),
+    spans AS (
+      SELECT da, db, diag, MIN(pa) AS sa,
+             MAX(pa) - MIN(pa) + {k} AS len
+      FROM runs GROUP BY da, db, diag, isl
+    ),
+    fspans AS (SELECT * FROM spans WHERE len >= {MIN_SPAN}),
+    sides AS (
+      -- DISTINCT is load-bearing: duplicate intervals would tie the
+      -- island windows' (s, e) ordering (nondeterministic splits);
+      -- unique rows give them a total order (see operators/substring)
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT da AS doc_id, sa AS s, sa + len AS e FROM fspans
+        UNION ALL
+        SELECT db, sa - diag, sa - diag + len FROM fspans
+      )
+    ),
+    ordspans AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM sides
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS iid
+      FROM ordspans
+    ),
+    merged AS (
+      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY doc_id, iid
+    ),
+    cov AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(me - ms) AS BIGINT) AS dup_tokens
+      FROM merged GROUP BY doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           c.n_spans,
+           c.dup_tokens,
+           CAST(c.dup_tokens AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
+             AS dup_fraction
+    FROM cov c JOIN toks t ON t.doc_id = c.doc_id
+    """
+
+
+@register(
+    "doc_duplication_coverage",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_doc_duplication_coverage(),
+    tags=("text", "dedup", "substring", "extension"),
+)
+def doc_duplication_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION built on exact_substring_spans: per document,
+    how many of its tokens sit inside a >= MIN_SPAN verbatim-shared
+    span with any other document — overlapping spans interval-merged
+    per doc (running-max island scan over the duplication-sized span
+    relation, never the corpus) so covered tokens count once. This is
+    the number an exact-substring pipeline drops/trims/down-weights
+    on. The oracle replays spans, interval merge, and the coverage
+    fraction from scratch."""
+    from hadoop_project_spark.operators.substring import (
+        doc_duplication_coverage as cov,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cov(docs)

@@ -42,6 +42,7 @@ MUST_VERIFY = {
     "bm25_topk_served",
     "part_pagerank_served",
     "exact_substring_spans",
+    "doc_duplication_coverage",
     "avro_roundtrip_segment_stats",
     # round-10 code-touch anchors: the LSM module was rewritten
     # (snapshot watermark, lost-base rebuild, manifest publish — the

@@ -78,3 +78,31 @@ def test_anchor_positions_are_dense_token_positions(spark):
         (0, "w0 w1 w2 w3 w4 w5"),
         (1, "w1 w2 w3 w4 w5 w6"),
     ]
+
+
+def test_coverage_merges_overlapping_spans_once(spark):
+    """Tokens covered by several overlapping/identical spans count
+    ONCE: doc 0 shares one 10-token block with doc 1 and an
+    overlapping 8-token window of it with doc 2 — coverage on doc 0
+    must be the union, not the sum."""
+    from hadoop_project_spark.operators.substring import (
+        doc_duplication_coverage,
+    )
+
+    block = _words("s", 10)          # s0..s9 at doc0 positions 2..11
+    sub = " ".join(f"s{i}" for i in range(2, 10))  # s2..s9 (8 tokens)
+    d0 = _words("a", 2) + " " + block + " " + _words("z", 3)
+    d1 = _words("b", 4) + " " + block
+    d2 = _words("c", 3) + " " + sub
+    cov = doc_duplication_coverage(
+        _docs(spark, [d0, d1, d2]), k=6, min_len=8
+    )
+    rows = {r.doc_id: r for r in cov.collect()}
+    # doc 0: spans [2,12) (vs doc1) and [4,12) (vs doc2) merge to 10
+    assert rows[0].dup_tokens == 10 and rows[0].n_spans == 1
+    assert rows[0].n_tokens == 15
+    assert abs(rows[0].dup_fraction - 10 / 15) < 1e-12
+    # doc 1: one 10-token block of its 14 tokens
+    assert rows[1].dup_tokens == 10 and rows[1].n_tokens == 14
+    # doc 2: its 8 shared tokens of 11
+    assert rows[2].dup_tokens == 8 and rows[2].n_tokens == 11
