@@ -570,3 +570,215 @@ def quantize_profile(
             F.count("*").cast("bigint").alias("n_values"),
         )
     )
+
+
+# --- Product quantization (PQ / ADC) --------------------------------
+#
+# The third standard ANN scale path next to LSH and IVF, and the one
+# that wins when the index must be MEMORY-BOUND: each vector is encoded
+# as M small codes (one per subspace), so a 64×float32 embedding
+# becomes M=8 single-byte codes — a 32× cut in what a scan reads — and
+# query-time scoring is M integer lookups + adds against a per-query
+# ADC (asymmetric distance computation) table instead of a 64-term
+# float fold. Jégou, Douze, Schmid, "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011); FAISS's PQ/IVFPQ are this design.
+
+PQ_M = 8  # subspaces
+PQ_SUBDIM = 8  # dims per subspace (PQ_M * PQ_SUBDIM == embedding dim)
+PQ_CODES = 16  # codewords per subspace (4-bit codes)
+PQ_SEED = 11
+ADC_UNIT = 1_000_000  # integer micro-units for ADC lookup tables
+
+
+def make_pq_codebooks(
+    m: int = PQ_M,
+    codes: int = PQ_CODES,
+    subdim: int = PQ_SUBDIM,
+    seed: int = PQ_SEED,
+) -> list[list[list[float]]]:
+    """Seeded per-subspace PQ codebooks (m codebooks × codes codewords
+    × subdim dims, 6dp literals in [-1, 1]).
+
+    At 100 TB you'd train each codebook with one K-Means pass over that
+    subspace's slices (operators.kmeans per subspace) and broadcast the
+    result; seeded-random codewords keep the PQ mechanics — encode,
+    ADC tables, integer scoring — byte-reproducible so a SQL oracle can
+    re-derive them from the same literals (the make_coarse_centroids
+    strategy). Every operator below accepts any codebook list, trained
+    or not."""
+    rng = random.Random(seed)
+    return [
+        [
+            [round(rng.uniform(-1.0, 1.0), 6) for _ in range(subdim)]
+            for _ in range(codes)
+        ]
+        for _ in range(m)
+    ]
+
+
+def _pq_sub(vec_col: str, m: int, subdim: int):
+    """The m-th subvector (1-based slice; pure projection, no copy
+    until codegen materializes the slice for the fold)."""
+    return F.slice(F.col(vec_col), m * subdim + 1, subdim)
+
+
+def pq_codes(vec_col: str, books: list[list[list[float]]]):
+    """array<int> of PQ codes: per subspace, the argmin-codeword index
+    over 9dp-rounded squared L2 distances (first index on ties —
+    matching ORDER BY d, code in SQL; same cross-engine-argmin strategy
+    as ivf_cell)."""
+    from hadoop_project_spark.functions.vector import squared_l2_distance
+
+    subdim = len(books[0][0])
+    cols = []
+    for m, book in enumerate(books):
+        sub = _pq_sub(vec_col, m, subdim)
+        ds = F.transform(
+            double_array_lit(book),
+            lambda cw: F.round(squared_l2_distance(sub, cw), 9),
+        )
+        cols.append((F.array_position(ds, F.array_min(ds)) - 1).cast("int"))
+    return F.array(*cols)
+
+
+def pq_adc_lut(vec_col: str, books: list[list[list[float]]]):
+    """array<array<bigint>> ADC lookup table for a QUERY vector:
+    lut[m][j] = squared L2 distance from the query's m-th subvector to
+    codeword j, in integer micro-units (round(d × 1e6)).
+
+    Integer units make the approximate distance an EXACT integer sum —
+    order-free across partitions and engines, no float-fold hazards in
+    the ranking key — and the 1e-6 granularity is far coarser than the
+    9dp agreement the cosine queries already rely on, so cross-engine
+    rounding flips are strictly less likely, not more."""
+    from hadoop_project_spark.functions.vector import squared_l2_distance
+
+    subdim = len(books[0][0])
+    luts = []
+    for m, book in enumerate(books):
+        sub = _pq_sub(vec_col, m, subdim)
+        luts.append(
+            F.transform(
+                double_array_lit(book),
+                lambda cw: F.round(
+                    squared_l2_distance(sub, cw) * F.lit(float(ADC_UNIT)), 0
+                ).cast("long"),
+            )
+        )
+    return F.array(*luts)
+
+
+def _adc_dist(m: int):
+    """Σ_m lut[m][codes[m]] over columns `lut` and `codes` — M integer
+    gathers + adds per scored pair (the whole point of ADC)."""
+    total = None
+    for mi in range(m):
+        term = F.element_at(
+            F.element_at("lut", mi + 1), F.col("codes").getItem(mi) + F.lit(1)
+        )
+        total = term if total is None else total + term
+    return total
+
+
+def _ranked_by_adc(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k on an integer `adc_dist` (ascending) via the
+    same two-stage ranking as global_topk: negate into the descending
+    `cosine` slot (exact for |adc| < 2^53), rank, then restore."""
+    ranked = global_topk(
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            (-F.col("adc_dist").cast("double")).alias("cosine"),
+        ),
+        k,
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        (-F.col("cosine")).cast("long").alias("adc_dist"),
+        "rank",
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Flat ADC scan — approximate top-k over PQ codes alone.
+
+    Scale shape: the corpus is ENCODED ONCE (pure projection; at scale
+    the codes column is what the index table stores — M bytes/vector
+    instead of 4×dim, so the scan is memory/IO-bound 32× smaller); each
+    query broadcasts its M×codes integer ADC table; scoring a pair is M
+    element_at gathers + integer adds inside codegen, never a float
+    fold; ranking is the two-stage bounded top-k. The pair count is
+    still corpus × queries — PQ is the compression leg, ivfpq_topk adds
+    the candidate-pruning leg."""
+    books = books if books is not None else make_pq_codebooks()
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes(vec_col, books).alias("codes"),
+    )
+    qlut = queries.select(
+        F.col(id_col).alias("query_id"),
+        pq_adc_lut(vec_col, books).alias("lut"),
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(qlut))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", _adc_dist(len(books)).alias("adc_dist")
+        )
+    )
+    return _ranked_by_adc(scored, k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    cell_seed: int = 7,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cells bound the CANDIDATES, PQ codes bound the
+    BYTES — FAISS's IVFPQ in DataFrame algebra.
+
+    The corpus scan assigns each vector its coarse cell AND its PQ
+    codes in one pass (at scale: cell is the partition key of the
+    stored index, codes are the only payload column — probing prunes
+    files, scoring reads M bytes/vector); queries probe n_probe nearest
+    cells; the cell join carries (id, codes) only; ADC integer scoring
+    ranks candidates without ever touching a full-width vector."""
+    books = books if books is not None else make_pq_codebooks()
+    cents = make_coarse_centroids(n_cells, dim, cell_seed)
+    c_ids = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell(vec_col, cents).alias("cell"),
+        pq_codes(vec_col, books).alias("codes"),
+    )
+    q_probe = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(ivf_probes(vec_col, cents, n_probe)).alias("cell"),
+    )
+    qlut = queries.select(
+        F.col(id_col).alias("query_id"),
+        pq_adc_lut(vec_col, books).alias("lut"),
+    )
+    scored = (
+        c_ids.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qlut), "query_id")
+        .select(
+            "query_id", "neighbor_id", _adc_dist(len(books)).alias("adc_dist")
+        )
+    )
+    return _ranked_by_adc(scored, k)

@@ -867,3 +867,232 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("is_loser"), F.lit(False)).alias("dropped"),
         )
     )
+
+
+# --- Product quantization (PQ / ADC) --------------------------------
+
+_PQ_BOOKS = sim.make_pq_codebooks()
+_PQ_M = len(_PQ_BOOKS)
+_PQ_SUBDIM = len(_PQ_BOOKS[0][0])
+
+
+def _sql_pq_sqdist_raw(vec: str, m: int, cw: list[float]) -> str:
+    """UNROUNDED squared L2 distance from the m-th subvector of ``vec``
+    to codeword ``cw`` (subvector via base-offset indexing — no slice
+    materialization, mirroring F.slice feeding the fold)."""
+    lits = ", ".join(repr(x) for x in cw)
+    off = m * _PQ_SUBDIM
+    return (
+        f"list_sum([(CAST({vec}[{off} + i] AS DOUBLE) - ([{lits}])[i]) * "
+        f"(CAST({vec}[{off} + i] AS DOUBLE) - ([{lits}])[i]) "
+        f"for i in range(1, {_PQ_SUBDIM + 1})])"
+    )
+
+
+def _sql_pq_ctes() -> str:
+    """The shared PQ CTE block: per-subspace rounded distance arrays →
+    argmin codes for every vector; integer micro-unit ADC lookup tables
+    for the query vectors. Mirrors sim.pq_codes / sim.pq_adc_lut from
+    the same codebook literals."""
+    ds_cols = ", ".join(
+        "["
+        + ", ".join(
+            f"round({_sql_pq_sqdist_raw('embedding', m, cw)}, 9)"
+            for cw in book
+        )
+        + f"] AS ds{m}"
+        for m, book in enumerate(_PQ_BOOKS)
+    )
+    codes = ", ".join(
+        f"CAST(list_position(ds{m}, list_min(ds{m})) - 1 AS INT)"
+        for m in range(_PQ_M)
+    )
+    luts = ", ".join(
+        "["
+        + ", ".join(
+            f"CAST(round({_sql_pq_sqdist_raw('embedding', m, cw)}"
+            " * 1000000, 0) AS BIGINT)"
+            for cw in book
+        )
+        + "]"
+        for m, book in enumerate(_PQ_BOOKS)
+    )
+    return f"""
+    pq_keyed AS (
+      SELECT vec_id, {ds_cols} FROM embeddings
+    ),
+    pq_codes AS (
+      SELECT vec_id, [{codes}] AS codes FROM pq_keyed
+    ),
+    pq_luts AS (
+      SELECT vec_id AS query_id, [{luts}] AS lut
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    )"""
+
+
+_SQL_ADC_SUM = " + ".join(
+    f"q.lut[{m + 1}][c.codes[{m + 1}] + 1]" for m in range(_PQ_M)
+)
+
+_SQL_PQ_RANKED_TAIL = f"""
+    SELECT query_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+      FROM pq_scored
+    )
+    WHERE rn <= {K}
+"""
+
+
+def _sql_pq_adc_oracle() -> str:
+    """Full SQL twin of sim.pq_adc_topk: same codebook literals, same
+    argmin codes, same integer ADC tables, same (adc, neighbor) order."""
+    return f"""
+    WITH {_sql_pq_ctes()},
+    pq_scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_SQL_ADC_SUM} AS adc_dist
+      FROM pq_codes c, pq_luts q
+      WHERE c.vec_id <> q.query_id
+    )
+    {_SQL_PQ_RANKED_TAIL}
+    """
+
+
+def _sql_ivfpq_oracle() -> str:
+    """Full SQL twin of sim.ivfpq_topk: the IVF cell/probe CTEs bound
+    candidates, the PQ code/LUT CTEs score them."""
+    cents = sim.make_coarse_centroids(IVF_CELLS, DIM, IVF_SEED)
+    ds = ", ".join(_sql_sqdist("embedding", c) for c in cents)
+    pairs = (
+        f"[[ds[i], CAST(i - 1 AS DOUBLE)] for i in range(1, {IVF_CELLS + 1})]"
+    )
+    return f"""
+    WITH ivf_keyed AS (
+      SELECT vec_id, [{ds}] AS ds FROM embeddings
+    ),
+    cells AS (
+      SELECT vec_id,
+             CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+      FROM ivf_keyed
+    ),
+    probes AS (
+      SELECT vec_id AS query_id,
+             unnest([CAST(p[2] AS INT)
+                     for p in list_sort({pairs})[:{IVF_PROBE}]]) AS cell
+      FROM ivf_keyed WHERE vec_id < {N_QUERIES}
+    ),
+    {_sql_pq_ctes()},
+    cand AS (
+      SELECT p.query_id, cl.vec_id AS neighbor_id
+      FROM probes p JOIN cells cl ON cl.cell = p.cell
+      WHERE cl.vec_id <> p.query_id
+    ),
+    pq_scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_SQL_ADC_SUM} AS adc_dist
+      FROM cand
+      JOIN pq_codes c ON c.vec_id = cand.neighbor_id
+      JOIN pq_luts q ON q.query_id = cand.query_id
+    )
+    {_SQL_PQ_RANKED_TAIL}
+    """
+
+
+@register(
+    "ann_topk_pq_adc",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_pq_adc_oracle(),
+    tags=("similarity", "ann", "pq", "extension"),
+)
+def ann_topk_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k with a FULL SQL oracle: DuckDB
+    re-derives the seeded per-subspace codebooks, every vector's argmin
+    codes, the per-query integer ADC tables, and the ranked integer
+    distances from the same literals — hash-certifying the entire PQ
+    pipeline (encode → ADC table → integer scoring → two-stage rank).
+
+    The memory-bound ANN leg (Jégou et al., TPAMI 2011): at scale the
+    stored index holds M=8 codes/vector (32× less than float32×64), a
+    scored pair costs 8 integer gathers + adds, and the ranking key is
+    an exact integer — no float folds anywhere past encode time."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.pq_adc_topk(emb, queries, k=K, books=_PQ_BOOKS)
+
+
+@register(
+    "ann_topk_ivfpq",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_ivfpq_oracle(),
+    tags=("similarity", "ann", "pq", "ivf", "extension"),
+)
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS's workhorse index) with a FULL SQL oracle: coarse
+    cells bound the candidate set (same seeded centroids as ann_topk_ivf
+    — probing prunes whole partitions of the stored index), PQ codes
+    bound the bytes (ADC integer scoring never touches a full-width
+    vector). One hash certifies the composition: cell assignment,
+    multi-cell probe, candidate join, PQ encode, ADC ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return sim.ivfpq_topk(
+        emb, queries, k=K, n_cells=IVF_CELLS, n_probe=IVF_PROBE,
+        dim=DIM, cell_seed=IVF_SEED, books=_PQ_BOOKS,
+    )
+
+
+@register(
+    "ann_pq_recall",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=f"""
+    WITH bf AS ({_SQL_BRUTEFORCE}),
+    pq AS ({_sql_pq_adc_oracle()}),
+    hits AS (
+      SELECT bf.query_id, COUNT(*) AS n_hits
+      FROM bf JOIN pq
+        ON bf.query_id = pq.query_id
+       AND bf.neighbor_id = pq.neighbor_id
+      GROUP BY bf.query_id
+    )
+    SELECT CAST(b.query_id AS BIGINT) AS query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {K} AS recall_at_k
+    FROM (SELECT DISTINCT query_id FROM bf) b
+    LEFT JOIN hits h USING (query_id)
+    """,
+    tags=("similarity", "ann", "pq", "evaluation", "extension"),
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the PQ/ADC index: per-query
+    recall@10 of the flat ADC ranking against the exact brute-force
+    truth — the number that decides how many codes/subspaces a corpus
+    needs before the compressed index is trustworthy (the same eval
+    contract as ann_recall_at_k / ann_truncated_dim_recall, completing
+    the family: every approximate index ships with its measured recall).
+    Joining the two rankings keeps the evaluation at K rows per query;
+    one driver hash transitively re-certifies both pipelines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    bf = ann_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = sim.pq_adc_topk(emb, queries, k=K, books=_PQ_BOOKS).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(pq, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.lit(float(K))
+            ).alias("recall_at_k"),
+        )
+    )

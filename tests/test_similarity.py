@@ -212,3 +212,62 @@ def test_semantic_dedup_keep_rule(spark, sf_dir):
     for rows in by_cell.values():
         head = min(rows, key=lambda r: (r["cdist"], r["vec_id"]))
         assert not head["dropped"], head
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    """Every vector encodes to exactly M codes, each in [0, CODES)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.make_pq_codebooks()
+    enc = emb.select(sim.pq_codes("embedding", books).alias("codes"))
+    bad = enc.filter(
+        (F.size("codes") != sim.PQ_M)
+        | F.exists(
+            "codes", lambda c: (c < 0) | (c >= F.lit(sim.PQ_CODES))
+        )
+    )
+    assert bad.count() == 0
+
+
+def test_pq_adc_preserves_cluster_structure(spark):
+    """PQ/ADC with UNTRAINED (seeded) codebooks preserves coarse
+    neighborhood structure: for planted tight clusters, the compressed
+    top-10 comes from the query's own cluster. (Within-cluster ORDER
+    under random codebooks is quantization noise — fine-ranking recall
+    is what codebook training buys, and what ann_pq_recall measures on
+    the real table — but cross-cluster confusion would mean the ADC
+    distances are wrong, not just coarse.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.uniform(-1, 1, size=(8, 64))
+    pts = np.repeat(centers, 25, axis=0) + 0.02 * rng.normal(size=(200, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 8)
+    approx = sim.pq_adc_topk(df, queries, k=10).collect()
+    assert len(approx) == 80
+    same_cluster = sum(
+        1 for r in approx if r["neighbor_id"] // 25 == r["query_id"] // 25
+    )
+    frac = same_cluster / len(approx)
+    assert frac >= 0.9, f"PQ/ADC cross-cluster confusion: {frac:.2f}"
+
+
+def test_ivfpq_candidates_subset_of_flat_adc(spark, sf_dir):
+    """IVF-PQ returns the same ADC distances flat ADC computes for any
+    (query, neighbor) it keeps — the cell probe only PRUNES candidates,
+    it never changes a kept pair's integer score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    flat = sim.pq_adc_topk(emb, queries, k=50)
+    ivfpq = sim.ivfpq_topk(emb, queries, k=10)
+    f = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in flat.collect()
+    }
+    for r in ivfpq.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in f:  # pruned-in pair also ranked by the flat scan
+            assert f[key] == r["adc_dist"]
