@@ -765,6 +765,27 @@ def ivfpq_topk(
         ivf_cell(vec_col, cents).alias("cell"),
         pq_codes(vec_col, books).alias("codes"),
     )
+    return ivfpq_topk_over(
+        c_ids, queries, k=k, cents=cents, books=books, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ivfpq_topk_over(
+    enc: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cents: list[list[float]],
+    books: list[list[list[float]]],
+    n_probe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ PROBE alone, over an already-encoded corpus relation
+    ``enc`` (neighbor_id, cell, codes) — what a serving path runs
+    against the STORED index (where ``cell`` is the table's partition
+    key and ``codes`` its only payload column). ivfpq_topk builds
+    ``enc`` inline; serving attaches it pre-built."""
     q_probe = queries.select(
         F.col(id_col).alias("query_id"),
         F.explode(ivf_probes(vec_col, cents, n_probe)).alias("cell"),
@@ -774,7 +795,7 @@ def ivfpq_topk(
         pq_adc_lut(vec_col, books).alias("lut"),
     )
     scored = (
-        c_ids.join(F.broadcast(q_probe), "cell")
+        enc.join(F.broadcast(q_probe), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(qlut), "query_id")
         .select(

@@ -1096,3 +1096,47 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_k"),
         )
     )
+
+
+@register(
+    "ann_topk_ivfpq_served",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_ivfpq_oracle(),
+    tags=("similarity", "ann", "pq", "ivf", "serving", "extension"),
+)
+def ann_topk_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ over the SERVED index — the probe-only twin of
+    ann_topk_ivfpq, against the pre-built external layout (the corpus
+    encoded once as PQ codes, stored PARTITIONED BY coarse cell —
+    serving.ensure_served_ivfpq). The probe's cell set becomes a
+    literal IN filter (a bounded driver collect: queries × n_probe
+    ints), so Catalyst prunes the non-probed partition DIRECTORIES at
+    plan time and every scanned byte is an 8-code row, never a float
+    vector — the storage claim in ivfpq_topk's docstring, measured.
+    Same oracle as the inline twin: serving must not change results."""
+    from hadoop_project_spark.serving import ensure_served_ivfpq
+
+    tname = ensure_served_ivfpq(
+        spark, sf_dir, n_cells=IVF_CELLS, cell_seed=IVF_SEED, dim=DIM
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = sim.make_coarse_centroids(IVF_CELLS, DIM, IVF_SEED)
+    probe_cells = sorted(
+        {
+            r["cell"]
+            for r in queries.select(
+                F.explode(
+                    sim.ivf_probes("embedding", cents, IVF_PROBE)
+                ).alias("cell")
+            ).collect()
+        }
+    )
+    enc = (
+        spark.table(tname)
+        .filter(F.col("cell").isin(probe_cells))
+        .select(F.col("vec_id").alias("neighbor_id"), "cell", "codes")
+    )
+    return sim.ivfpq_topk_over(
+        enc, queries, k=K, cents=cents, books=_PQ_BOOKS, n_probe=IVF_PROBE
+    )

@@ -66,15 +66,19 @@ _MARKER = "_SERVED_FINGERPRINT"
 
 @dataclass(frozen=True)
 class ServedTable:
-    """One external bucketed table inside a served layout: everything
-    attach needs to re-register it without touching data."""
+    """One external table inside a served layout: everything attach
+    needs to re-register it without touching data. Bucketed layouts
+    set (bucket_cols, n_buckets, sort_cols); partitioned layouts set
+    partition_cols (directory-partitioned parquet — attach recovers
+    the partition map from the directory names)."""
 
     name: str
     subdir: str
     schema_ddl: str
-    bucket_cols: tuple[str, ...]
-    n_buckets: int
-    sort_cols: tuple[str, ...]
+    bucket_cols: tuple[str, ...] = ()
+    n_buckets: int = 0
+    sort_cols: tuple[str, ...] = ()
+    partition_cols: tuple[str, ...] = ()
 
     def location(self, root: str) -> str:
         return os.path.join(root, self.subdir)
@@ -124,6 +128,17 @@ def attach_bucketed_table(
     attached table prunes and co-locates exactly like the one the
     build session registered."""
     if spark.catalog.tableExists(t.name):
+        return
+    if t.partition_cols:
+        # directory-partitioned layout: create-then-recover re-reads
+        # only partition DIRECTORY NAMES (no data), after which probes
+        # prune whole partitions at plan time (PartitionFilters)
+        spark.sql(
+            f"CREATE TABLE {t.name} ({t.schema_ddl}) USING PARQUET "
+            f"PARTITIONED BY ({', '.join(t.partition_cols)}) "
+            f"LOCATION '{t.location(root)}'"
+        )
+        spark.sql(f"ALTER TABLE {t.name} RECOVER PARTITIONS")
         return
     spark.sql(
         f"CREATE TABLE {t.name} ({t.schema_ddl}) USING PARQUET "
@@ -321,3 +336,74 @@ def ensure_served_pagerank_graph(
 
     attach_or_build(spark, root, fp, tables, build)
     return et, nt
+
+
+def ensure_served_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    cell_seed: int = 7,
+    dim: int = 64,
+) -> str:
+    """Attach-or-build the IVF-PQ serving layout: the corpus encoded
+    ONCE as (vec_id, PQ codes), stored as EXTERNAL parquet PARTITIONED
+    BY its coarse cell — the physical design operators.similarity's
+    IVF-PQ docstrings promise ("at scale the cell IS the partition
+    key, codes the only payload column"), made real and probe-able
+    across sessions. A probe filters on its query's probe cells, so
+    Catalyst prunes whole partition directories at plan time
+    (PartitionFilters — gated in tests/test_serving.py), and each
+    scanned byte is an M-byte code row, never a float vector. Returns
+    the attached table name."""
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_M,
+        PQ_SEED,
+        PQ_SUBDIM,
+        ivf_cell,
+        make_coarse_centroids,
+        make_pq_codebooks,
+        pq_codes,
+    )
+
+    tag = f"{_sf_tag(sf_dir)}_c{n_cells}"
+    tname = f"srv_ivfpq_{tag}"
+    root = os.path.join(warehouse_path(spark), "served", f"ivfpq_{tag}")
+    tables = [
+        ServedTable(
+            tname,
+            "codes",
+            "vec_id BIGINT, codes ARRAY<INT>, cell INT",
+            partition_cols=("cell",),
+        )
+    ]
+    fp = source_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        extra=(
+            f"v{LAYOUT_VERSION}:pq{PQ_M}x{PQ_CODES}x{PQ_SUBDIM}s{PQ_SEED}"
+            f":cells{n_cells}s{cell_seed}"
+        ),
+    )
+
+    def build(staging: str) -> None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = make_pq_codebooks()
+        cents = make_coarse_centroids(n_cells, dim, cell_seed)
+        (
+            emb.select(
+                F.col("vec_id"),
+                pq_codes("embedding", books).alias("codes"),
+                ivf_cell("embedding", cents).alias("cell"),
+            )
+            # one writer task per cell -> one file per partition dir
+            # (16 cells x 32 tasks of tiny files otherwise)
+            .repartition(n_cells, F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tables[0].location(staging))
+        )
+
+    attach_or_build(spark, root, fp, tables, build)
+    return tname

@@ -149,3 +149,21 @@ def test_served_bm25_matches_in_session_scoring(spark, sf_dir, tmp_path):
     assert _rows(
         ix.bm25_topk_stored(spark, prefix, queries, 10)
     ) == _rows(ix.bm25_topk(docs, queries, 10))
+
+
+def test_served_ivfpq_prunes_partitions_and_matches_inline(spark, sf_dir):
+    """The served IVF-PQ probe must (a) return exactly what the inline
+    twin computes and (b) scan only the probed cell PARTITIONS — the
+    plan's FileScan carries the cell IN (...) as PartitionFilters, so
+    pruning happens at planning, not as a post-scan filter."""
+    from hadoop_project_spark.plans import all_queries
+
+    specs = all_queries()
+    served = specs["ann_topk_ivfpq_served"].build(spark, sf_dir)
+    inline = specs["ann_topk_ivfpq"].build(spark, sf_dir)
+    assert _rows(served) == _rows(inline)
+    plan = _plan(served)
+    scan = next(
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "cell" in scan and "IN" in scan.upper(), scan
