@@ -43,12 +43,13 @@ _ORDER: dict[str, int] = {}
 # round's CORRECTNESS_r*.json OR in the current window".
 #
 # Round 10 (per VERDICT r9 items 1-4, 7-8): the window is the headline
-# set, the FIVE new round-10 queries (the serving twins
-# phrase_search_served / bm25_topk_served / part_pagerank_served, the
-# exact-substring dedup exact_substring_spans, and
-# avro_roundtrip_segment_stats — all self-promoted at registration
-# priority=10), and a hash anchor for every query whose CODE round 10
-# touched (see the prio-20 block). The r9-only anchors are demoted to
+# set, the NINE new round-10 queries (the serving twins
+# phrase_search_served / bm25_topk_served / part_pagerank_served /
+# ann_topk_ivfpq_served, the exact-substring dedup
+# exact_substring_spans, avro_roundtrip_segment_stats, and the product-
+# quantization family ann_topk_pq_adc / ann_topk_ivfpq / ann_pq_recall
+# — all self-promoted at registration priority=10), and a hash anchor
+# for every query whose CODE round 10 touched (see the prio-20 block). The r9-only anchors are demoted to
 # 500, still oracle-tested every CI run by tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
     # --- round-10 regression anchors: keep in-window (prio 20) ---

@@ -517,3 +517,26 @@ def test_bm25_eval_truth_side_reuses_pinned_inputs(spark, sf_dir):
     file_scans = [n for n in nodes if "Scan parquet" in n]
     assert file_scans == [], file_scans
     assert nodes.count("InMemoryTableScan") >= 2, nodes
+
+
+def test_pq_adc_scan_broadcasts_luts_single_shuffle(spark, sf_dir):
+    """Flat ADC (ann_topk_pq_adc): the corpus is scanned ONCE, the
+    query LUTs arrive by broadcast (never a shuffled join), and the
+    only shuffle exchanges are the two-stage top-k's bounded ranking —
+    the scored pair set itself must not shuffle."""
+    plan = _plan(all_queries()["ann_topk_pq_adc"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # one scan of the embeddings table on the corpus side + the tiny
+    # broadcast query side — no more
+    assert plan.count("Scan parquet") <= 2, plan
+    # ranking shuffles only: local_topk's (pid, query) agg + the
+    # survivor window; the ADC scoring stage itself is exchange-free
+    assert _shuffle_exchanges(plan) <= 2, plan
+
+
+def test_ivfpq_joins_are_broadcasts(spark, sf_dir):
+    """IVF-PQ: both query-side joins (probe cells, ADC LUTs) broadcast
+    — the encoded corpus never shuffles on its way to being scored."""
+    plan = _plan(all_queries()["ann_topk_ivfpq"].build(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
