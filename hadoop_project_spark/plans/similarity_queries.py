@@ -1140,3 +1140,53 @@ def ann_topk_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk_over(
         enc, queries, k=K, cents=cents, books=_PQ_BOOKS, n_probe=IVF_PROBE
     )
+
+
+@register(
+    "ann_ivfpq_segment_compaction",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_ivfpq_oracle(),
+    tags=("similarity", "ann", "pq", "streaming", "roundtrip", "extension"),
+)
+def ann_ivfpq_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index's LSM ingest path, hash-certified end to end: the
+    embeddings arrive as FOUR deterministic micro-batches through the
+    streaming PQ-codes segment sink (streaming/ann_segments.py — the
+    schema-agnostic LSM core instantiated for (vec_id, codes, cell),
+    one replay deliberately included to exercise the idempotence
+    skip), are compacted into the cell-partitioned codes table, and
+    the IVF-PQ probe runs against the compacted table. Matching the
+    same oracle as ann_topk_ivfpq proves segment ingest → replay-skip
+    → compaction → partitioned probe loses nothing vs the one-shot
+    encode."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_project_spark.streaming.ann_segments import (
+        compact_codes_segments,
+        make_codes_segment_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    seg_root = os.path.join(tempfile.gettempdir(), f"rt_ann_segs_{sf}")
+    shutil.rmtree(seg_root, ignore_errors=True)
+    sink = make_codes_segment_sink(
+        seg_root, books=_PQ_BOOKS, n_cells=IVF_CELLS,
+        cell_seed=IVF_SEED, dim=DIM,
+    )
+    for b in range(4):
+        sink(emb.filter(F.col("vec_id") % 4 == b), b)
+    sink(emb.filter(F.col("vec_id") % 4 == 1), 1)  # replayed batch: no-op
+    table = f"rt_ann_seg_codes_{sf}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    compact_codes_segments(spark, seg_root, table, n_cells=IVF_CELLS)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = sim.make_coarse_centroids(IVF_CELLS, DIM, IVF_SEED)
+    enc = spark.table(table).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    )
+    return sim.ivfpq_topk_over(
+        enc, queries, k=K, cents=cents, books=_PQ_BOOKS, n_probe=IVF_PROBE
+    )

@@ -1,5 +1,8 @@
-"""LSM-style ingest for the STORED inverted index: per-batch postings
-segments + compaction into the term-bucketed serving table.
+"""LSM-style segment ingest + compaction for STORED indexes: a
+schema-agnostic core (make_segment_sink / read_segments /
+compact_segments_into) instantiated here for the inverted index
+(per-batch postings segments folding into the term-bucketed serving
+table) and in streaming/ann_segments.py for the ANN codes index.
 
 operators/invindex.build_index_tables writes the serving layout (the
 term-bucketed, bucket-sorted postings table round 9 materialized); an
@@ -106,11 +109,16 @@ def _manifest_path(seg_root: str, batch_id: int) -> str:
     )
 
 
-def make_postings_segment_sink(
-    seg_root: str, publish: str = "rename"
+def make_segment_sink(
+    seg_root: str,
+    prepare: Callable[[DataFrame], DataFrame],
+    publish: str = "rename",
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch function appending one immutable postings segment
-    per micro-batch under ``seg_root``.
+    """foreachBatch function appending one immutable segment per
+    micro-batch under ``seg_root`` — the SCHEMA-AGNOSTIC core of the
+    LSM ingest protocol. ``prepare`` maps the raw micro-batch to the
+    segment relation (postings for the inverted index, PQ codes for
+    the ANN index, anything else with a row-level primary key).
 
     Idempotent under replay with either protocol: the publish artifact
     (segment directory / manifest file) is named by batch_id and
@@ -133,7 +141,7 @@ def make_postings_segment_sink(
             if os.path.exists(final):
                 return  # replayed batch: segment already published
             staging = final + ".staging"
-            postings(batch_df).write.mode("overwrite").parquet(staging)
+            prepare(batch_df).write.mode("overwrite").parquet(staging)
             os.makedirs(seg_root, exist_ok=True)
             shutil.rmtree(final, ignore_errors=True)
             os.replace(staging, final)
@@ -153,7 +161,7 @@ def make_postings_segment_sink(
             return  # replayed batch: manifest already committed
         rel_dir = os.path.join(_DATA_DIR, f"{_SEG_PREFIX}{batch_id:012d}")
         data_dir = os.path.join(seg_root, rel_dir)
-        postings(batch_df).write.mode("overwrite").parquet(data_dir)
+        prepare(batch_df).write.mode("overwrite").parquet(data_dir)
         # paths are RELATIVE to seg_root (resolved at read), so a
         # segment root is relocatable — move/copy the whole root and
         # the manifests keep pointing at the right objects, the same
@@ -170,6 +178,14 @@ def make_postings_segment_sink(
         os.replace(tmp, manifest)
 
     return sink
+
+
+def make_postings_segment_sink(
+    seg_root: str, publish: str = "rename"
+) -> Callable[[DataFrame, int], None]:
+    """The inverted-index instantiation of make_segment_sink: each
+    micro-batch of documents lands as one postings segment."""
+    return make_segment_sink(seg_root, postings, publish)
 
 
 _COMPACTED_MARKER = "_compacted_through"
@@ -255,20 +271,25 @@ def _write_watermark(seg_root: str, hi: int) -> None:
     os.replace(tmp, os.path.join(seg_root, _COMPACTED_MARKER))
 
 
-def _read_paths(spark: SparkSession, segs: list[Segment]) -> DataFrame:
+def _read_paths(
+    spark: SparkSession, segs: list[Segment], schema: str
+) -> DataFrame:
     paths = [p for s in segs for p in s.paths]
     if not paths:
         # every live segment is empty (an empty micro-batch publishes a
         # zero-file manifest) — an empty relation, not a read error
-        return spark.createDataFrame([], POSTINGS_SCHEMA)
-    return spark.read.schema(POSTINGS_SCHEMA).parquet(*paths)
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
 
 def read_segments(
-    spark: SparkSession, seg_root: str, include_retired: bool = False
+    spark: SparkSession,
+    seg_root: str,
+    include_retired: bool = False,
+    schema: str = POSTINGS_SCHEMA,
 ) -> DataFrame:
-    """LIVE (not-yet-compacted) segments as one postings relation
-    (term, doc_id, pos) — the interim probe target (base ∪ segments).
+    """LIVE (not-yet-compacted) segments as one relation (``schema``
+    defaults to postings) — the interim probe target (base ∪ segments).
     Staging/orphan data is excluded by construction; segments at or
     below the compaction watermark are retired unless
     ``include_retired``. An idle root (exists, but every segment is
@@ -281,22 +302,33 @@ def read_segments(
         else _live_segments(seg_root)
     )
     if not segs:
-        return spark.createDataFrame([], POSTINGS_SCHEMA)
-    return _read_paths(spark, segs)
+        return spark.createDataFrame([], schema)
+    return _read_paths(spark, segs, schema)
 
 
-def compact_segments(
+def compact_segments_into(
     spark: SparkSession,
     seg_root: str,
-    prefix: str,
-    n_buckets: int = POSTINGS_BUCKETS,
-) -> tuple[str, str] | None:
-    """Fold the live segments (and any existing base) into the
-    term-bucketed serving tables — Lucene merge / Delta OPTIMIZE for
-    this index — then advance the compaction watermark so the folded
-    segments retire from the serving union. Returns the table names,
-    or None when there is nothing to fold (an idle stream at a
-    periodic compaction tick is a no-op, not an error — ADVICE r9).
+    *,
+    schema: str,
+    columns: tuple[str, ...],
+    base_table: str,
+    write_base: Callable[[DataFrame], None],
+) -> bool:
+    """The SCHEMA-AGNOSTIC compaction core: fold the live segments
+    (and any existing ``base_table``) into a deduplicated relation and
+    hand it to ``write_base`` (the index instantiation writes the
+    term-bucketed tables, the ANN instantiation the cell-partitioned
+    codes table), then advance the compaction watermark so the folded
+    segments retire from the serving union — Lucene merge / Delta
+    OPTIMIZE. Returns False when there was nothing to fold (an idle
+    stream at a periodic compaction tick is a no-op, not an error —
+    ADVICE r9), True when the watermark advanced.
+
+    ``columns`` must be a row-level PRIMARY KEY of the relation: the
+    fold deduplicates by DISTINCT over exactly these columns, which is
+    what makes replayed/overlapping segments and re-run compactions
+    self-healing.
 
     Consistency: the fold input AND the retirement watermark derive
     from ONE _published_segments snapshot, so a segment published
@@ -305,43 +337,42 @@ def compact_segments(
     unfolded (VERDICT r9 #1 / ADVICE r9 TOCTOU).
 
     Crash contract: the watermark is written (atomic temp + rename)
-    only AFTER the base tables land, so a crash mid-compaction leaves
+    only AFTER write_base returns, so a crash mid-compaction leaves
     yesterday's watermark and the folded-but-unretired segments serve
     twice only until compaction re-runs — and re-running is SELF-
-    HEALING because (term, doc_id, pos) is a primary key: the fold is
-    deduplicated by DISTINCT before the rewrite. The one crash window
-    write_index_tables itself opens — it DROPs the base table before
-    rewriting it — is covered by the retired segments: if the base is
-    missing but a watermark says a compaction completed, the base is
-    rebuilt from ALL published segments (retired ones are never
-    deleted — they are the recovery log), losing nothing (ADVICE r9)."""
+    HEALING via the DISTINCT over ``columns``. The one crash window a
+    write_base that DROPs its base table before rewriting it opens
+    (write_index_tables does) is covered by the retired segments: if
+    the base is missing but a watermark says a compaction completed,
+    the base is rebuilt from ALL published segments (retired ones are
+    never deleted — they are the recovery log), losing nothing
+    (ADVICE r9)."""
     snapshot = _published_segments(seg_root)
     floor = compacted_through(seg_root)
     live_segs = [s for s in snapshot if s.batch_id > floor]
-    pt = index_table_names(prefix)[0]
-    base_exists = spark.catalog.tableExists(pt)
+    base_exists = spark.catalog.tableExists(base_table)
     if not live_segs and base_exists:
-        return None  # idle tick: nothing new to fold
+        return False  # idle tick: nothing new to fold
     if base_exists and not any(_segment_has_data(s) for s in live_segs):
         # every live segment is a zero-file publish (empty batches):
         # retire them by advancing the watermark, but skip the O(index)
         # base rewrite — there is nothing to fold
         _write_watermark(seg_root, max(s.batch_id for s in live_segs))
-        return index_table_names(prefix)
+        return True
     # NOTE: no leading underscore — Spark's hidden-path filter treats
     # `_*` names specially in file listings (it warns "All paths were
     # ignored" on the overwrite-target check); keep the spill dir a
     # plain visible name that no segment-listing prefix matches.
     tmp_dir = os.path.join(seg_root, "compact-input.tmp")
     if base_exists:
-        fold = _read_paths(spark, live_segs)
+        fold = _read_paths(spark, live_segs, schema)
         hi = max(s.batch_id for s in live_segs)
         # the rewrite drops the base table it reads from — spill the
         # deduplicated union to a temp dir first (the compact_parquet
         # overwrite-via-temp discipline), never write-while-reading
         (
-            spark.table(pt)
-            .select("term", "doc_id", "pos")
+            spark.table(base_table)
+            .select(*columns)
             .unionByName(fold)
             .distinct()
             .write.mode("overwrite")
@@ -350,15 +381,37 @@ def compact_segments(
         fold = spark.read.parquet(tmp_dir)
     else:
         # No base: either the first compaction ever, or the base was
-        # lost to a crash between write_index_tables' DROP and its
-        # rewrite. Both fold ALL published segments (retired included):
-        # for a first compaction live == all, and for recovery the
-        # retired segments are exactly the postings the lost base held.
+        # lost to a crash between the base rewrite's DROP and its
+        # completion. Both fold ALL published segments (retired
+        # included): for a first compaction live == all, and for
+        # recovery the retired segments are exactly the rows the lost
+        # base held.
         if not snapshot:
-            return None
-        fold = _read_paths(spark, snapshot).distinct()
+            return False
+        fold = _read_paths(spark, snapshot, schema).distinct()
         hi = max(s.batch_id for s in snapshot)
-    names = write_index_tables(fold, prefix, n_buckets)
+    write_base(fold)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     _write_watermark(seg_root, hi)
-    return names
+    return True
+
+
+def compact_segments(
+    spark: SparkSession,
+    seg_root: str,
+    prefix: str,
+    n_buckets: int = POSTINGS_BUCKETS,
+) -> tuple[str, str] | None:
+    """The inverted-index instantiation of compact_segments_into: fold
+    into the term-bucketed serving tables via write_index_tables (the
+    SAME write path the one-shot build uses). Returns the table names,
+    or None when there was nothing to fold."""
+    compacted = compact_segments_into(
+        spark,
+        seg_root,
+        schema=POSTINGS_SCHEMA,
+        columns=("term", "doc_id", "pos"),
+        base_table=index_table_names(prefix)[0],
+        write_base=lambda fold: write_index_tables(fold, prefix, n_buckets),
+    )
+    return index_table_names(prefix) if compacted else None
