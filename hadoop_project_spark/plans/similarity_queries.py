@@ -1190,3 +1190,58 @@ def ann_ivfpq_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivfpq_topk_over(
         enc, queries, k=K, cents=cents, books=_PQ_BOOKS, n_probe=IVF_PROBE
     )
+
+
+@register(
+    "ann_ivfpq_base_plus_segments",
+    priority=10,  # new in round 10 -> first driver window
+    oracle=_sql_ivfpq_oracle(),
+    tags=("similarity", "ann", "pq", "streaming", "serving", "extension"),
+)
+def ann_ivfpq_base_plus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index's BETWEEN-compactions serving state,
+    hash-certified: half the vectors live in the compacted
+    cell-partitioned codes table (an older fold), the other half
+    arrive as two fresh uncompacted code segments published via the
+    object-store-safe MANIFEST protocol, and the IVF-PQ probe runs
+    over base ∪ segments — the read path a live vector index serves
+    while segments await the next compaction (the base leg keeps
+    partition pruning; the segment leg is bounded by ingest recency —
+    the standard LSM read-amplification trade). Matching the
+    whole-corpus oracle proves the union serving view loses nothing."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_project_spark.streaming.ann_segments import (
+        compact_codes_segments,
+        make_codes_segment_sink,
+        read_codes_segments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    seg_root = os.path.join(tempfile.gettempdir(), f"rt_ann_mix_segs_{sf}")
+    shutil.rmtree(seg_root, ignore_errors=True)
+    sink = make_codes_segment_sink(
+        seg_root, publish="manifest", books=_PQ_BOOKS, n_cells=IVF_CELLS,
+        cell_seed=IVF_SEED, dim=DIM,
+    )
+    table = f"rt_ann_mix_codes_{sf}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sink(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    compact_codes_segments(spark, seg_root, table, n_cells=IVF_CELLS)
+    sink(emb.filter(F.col("vec_id") % 4 == 1), 1)
+    sink(emb.filter(F.col("vec_id") % 4 == 3), 2)
+    base = spark.table(table).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    )
+    seg = read_codes_segments(spark, seg_root).select(
+        F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    cents = sim.make_coarse_centroids(IVF_CELLS, DIM, IVF_SEED)
+    return sim.ivfpq_topk_over(
+        base.unionByName(seg), queries, k=K, cents=cents, books=_PQ_BOOKS,
+        n_probe=IVF_PROBE,
+    )
