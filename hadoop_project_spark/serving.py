@@ -119,12 +119,14 @@ def _sf_tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
 
 
-def attach_bucketed_table(
+def attach_served_table(
     spark: SparkSession, t: ServedTable, root: str
 ) -> None:
-    """Re-register an existing bucketed parquet layout in a fresh
-    catalog — metadata only, no data touched. Spark recovers each
-    file's bucket id from its name (`part-*_000NN.c000...`), so the
+    """Re-register an existing served parquet layout (bucketed or
+    directory-partitioned) in a fresh catalog — metadata only, no data
+    touched. For bucketed layouts Spark recovers each file's bucket id
+    from its name (`part-*_000NN.c000...`); for partitioned layouts
+    RECOVER PARTITIONS re-reads only directory names. Either way the
     attached table prunes and co-locates exactly like the one the
     build session registered."""
     if spark.catalog.tableExists(t.name):
@@ -188,7 +190,7 @@ def attach_or_build(
     )
     if current == fp and complete:
         for t in tables:
-            attach_bucketed_table(spark, t, root)
+            attach_served_table(spark, t, root)
         return False
     pid = os.getpid()
     staging = f"{root}.build-{pid}"
@@ -208,7 +210,7 @@ def attach_or_build(
     # them at the published root
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        attach_bucketed_table(spark, t, root)
+        attach_served_table(spark, t, root)
     return True
 
 

@@ -79,7 +79,7 @@ def write_bucketed(
     lives in the catalog, not the files). With ``path`` the table is
     EXTERNAL at that location: the files outlive the in-memory
     catalog, and a later session can re-register them with one DDL
-    statement (serving.attach_bucketed_table) instead of rebuilding —
+    statement (serving.attach_served_table) instead of rebuilding —
     the serve-vs-build split of VERDICT r9 #3.
 
     Two tables bucketed identically on their join key join with NO
