@@ -18,22 +18,27 @@ a life beyond the session:
   tests/test_serving.py over a drop-and-reattach);
 * staleness is governed by a FINGERPRINT of the source parquet
   (per-file name/size/mtime) plus the layout version and bucket
-  counts, persisted next to the data: a regenerated fixture or a
-  layout change forces a rebuild, a matching fingerprint makes
-  ``ensure_*`` an O(1) metadata operation. The marker is published
-  LAST (temp + atomic rename), so a crash mid-build leaves only a
-  marker-less layout the next call rebuilds — never a fresh marker
-  over half-written tables.
+  counts, persisted inside each version dir: a regenerated fixture or
+  a layout change forces a rebuild, a matching fingerprint makes
+  ``ensure_*`` an O(1) metadata operation;
+* publish is VERSIONED (attach_or_build): builds land in immutable
+  version directories and go live via one atomic CURRENT-pointer
+  replace — a single-object PUT on an object store — with the
+  previous version retained through the next publish so a reader
+  mid-scan never loses its files. The marker is written before the
+  pointer, so CURRENT only ever names complete layouts; crash orphans
+  are swept at the next publish.
 
 This is the serve/build split every warehouse engine makes (Hive
-metastore external tables, Iceberg/Delta attach-by-path): build cost is
-paid once per corpus version and amortized over every probe, which the
-bench can now price separately (`bm25_topk_served` vs the roundtrip
-`bm25_topk_stored`).
+metastore external tables, Iceberg/Delta attach-by-path + snapshot
+pointer commits): build cost is paid once per corpus version and
+amortized over every probe, which the bench can now price separately
+(`bm25_topk_served` vs the roundtrip `bm25_topk_stored`).
 
-At 100 TB nothing changes shape: the stable path lives on the object
-store, the fingerprint is the table's snapshot/version id, and attach
-stays a metadata-only operation against a real (persistent) metastore.
+At 100 TB nothing changes shape: the root lives on the object store,
+the fingerprint is the table's snapshot/version id, the CURRENT
+replace is the metastore pointer commit, and attach stays a
+metadata-only operation against a real (persistent) metastore.
 """
 
 from __future__ import annotations
@@ -150,6 +155,29 @@ def attach_served_table(
     )
 
 
+_CURRENT = "CURRENT"
+
+
+def _resolve_version(root: str) -> str | None:
+    """The layout root's live version directory, or None (no CURRENT
+    pointer / dangling pointer — both mean "not published")."""
+    try:
+        with open(os.path.join(root, _CURRENT)) as fh:
+            v = fh.read().strip()
+    except OSError:
+        return None
+    vdir = os.path.join(root, v)
+    return vdir if os.path.isdir(vdir) and os.sep not in v else None
+
+
+def _marker_value(vdir: str) -> str | None:
+    try:
+        with open(os.path.join(vdir, _MARKER)) as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
 def attach_or_build(
     spark: SparkSession,
     root: str,
@@ -157,60 +185,76 @@ def attach_or_build(
     tables: list[ServedTable],
     build: Callable[[str], None],
 ) -> bool:
-    """The serve/build decision: attach when the persisted fingerprint
-    matches and every table's write completed, otherwise rebuild.
-    Returns True when a build ran.
+    """The serve/build decision: attach when the live version's
+    persisted fingerprint matches and every table's write completed,
+    otherwise rebuild. Returns True when a build ran.
 
-    Publish protocol (concurrent-session safe): the build NEVER writes
-    into the live root. ``build(staging_root)`` lands the external
-    tables in a process-private staging directory, the fingerprint
-    marker is written there too, and publish is a directory SWAP
-    (rename the old root aside → rename staging in → drop the old).
-    A session attaching concurrently therefore sees either the old
-    complete layout or the new complete layout — never interleaved
-    part files — and two racing builders each publish a consistent
-    layout (last swap wins; both are correct for their fingerprint).
-    A probe that was mid-scan on the old files when the swap landed
-    fails its scan and re-ensures — the price of POSIX rename
-    semantics; on an object store this whole publish is a metastore /
-    pointer swap over versioned roots and readers never race at all.
-    Crash windows leave either a marker-less root (rebuilt next call)
-    or an orphaned pid-named staging/old dir (bounded by crash count,
-    swept on this process's next build of the same root)."""
-    marker = os.path.join(root, _MARKER)
-    current = None
-    try:
-        with open(marker) as fh:
-            current = fh.read().strip()
-    except OSError:
-        pass
-    complete = all(
-        os.path.exists(os.path.join(t.location(root), "_SUCCESS"))
-        for t in tables
-    )
-    if current == fp and complete:
+    Publish protocol (VERSIONED ROOTS — concurrent-reader safe): a
+    layout root holds immutable version directories plus one CURRENT
+    pointer file naming the live version. A build lands its tables in
+    a fresh version dir (never touching any existing version), writes
+    the fingerprint marker there, then publishes with ONE atomic
+    pointer-file replace — on an object store that replace is a
+    single-object PUT, the same commit unit as the LSM manifests. A
+    reader attached to the previous version keeps scanning IT: version
+    dirs are immutable and the immediately-previous version is
+    RETAINED through the next publish, so a mid-scan probe never loses
+    its files (the round-10 swap protocol's one documented reader race,
+    removed). Older versions and crash orphans (marker-less or
+    unreferenced version dirs) are swept at publish time; a reader
+    would have to sleep across TWO publishes of the same layout to be
+    bitten, and staleness publishes only happen when the SOURCE
+    changed — at which point its result set was already superseded.
+    Two racing builders each publish a complete version; last pointer
+    write wins and both are correct for their fingerprint."""
+    vdir = _resolve_version(root)
+    if (
+        vdir is not None
+        and _marker_value(vdir) == fp
+        and all(
+            os.path.exists(os.path.join(t.location(vdir), "_SUCCESS"))
+            for t in tables
+        )
+    ):
         for t in tables:
-            attach_served_table(spark, t, root)
+            attach_served_table(spark, t, vdir)
         return False
-    pid = os.getpid()
-    staging = f"{root}.build-{pid}"
-    old = f"{root}.old-{pid}"
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    import uuid
+
+    new_v = f"v-{fp[:12]}-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    staging = os.path.join(root, new_v)
     os.makedirs(staging, exist_ok=True)
-    build(staging)  # registers tables at staging paths; fixed below
+    build(staging)
+    # marker before pointer: CURRENT only ever names marker-complete dirs
     with open(os.path.join(staging, _MARKER), "w") as fh:
         fh.write(fp)
-    if os.path.isdir(root):
-        os.replace(root, old)
-    os.rename(staging, root)
-    shutil.rmtree(old, ignore_errors=True)
-    # the bucketed writes registered the tables at the STAGING paths
-    # (saveAsTable is how a bucket spec enters the catalog); re-point
-    # them at the published root
+    tmp = os.path.join(root, f"{_CURRENT}.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write(new_v)
+    os.replace(tmp, os.path.join(root, _CURRENT))
+    # retention sweep: keep the new version and its immediate
+    # predecessor (a mid-scan reader's files); drop older versions,
+    # crash orphans, and any pre-versioning layout entries
+    keep = {_CURRENT, new_v}
+    if vdir is not None:
+        keep.add(os.path.basename(vdir))
+    for entry in os.listdir(root):
+        if entry in keep:
+            continue
+        path = os.path.join(root, entry)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+    # the bucketed writes registered the tables at version-dir paths
+    # (saveAsTable is how a bucket spec enters the catalog); re-attach
+    # uniformly (bucketed DDL / partition recovery) at the same paths
     for t in tables:
         spark.sql(f"DROP TABLE IF EXISTS {t.name}")
-        attach_served_table(spark, t, root)
+        attach_served_table(spark, t, staging)
     return True
 
 

@@ -101,16 +101,28 @@ def test_served_index_attach_reuse_and_staleness(spark, sf_dir, tmp_path):
     assert _rows(
         ix.phrase_search_stats_over(spark.table(pt), PHRASES)
     ) == _rows(ix.phrase_search_stats(docs2, PHRASES))
-    assert _data_mtimes(ploc) != before
 
-    # the staged-build + swap publish leaves no staging/old residue
-    served_root = os.path.dirname(os.path.dirname(ploc))
-    residue = [
-        d
-        for d in os.listdir(served_root)
-        if ".build-" in d or ".old-" in d
-    ]
-    assert residue == [], residue
+    # versioned publish: the rebuild lands in a NEW version dir (the
+    # catalog re-points) and the old version's files are UNTOUCHED —
+    # a reader mid-scan on the previous version never loses its files
+    loc2 = spark.sql(f"DESCRIBE EXTENDED {pt}").filter(
+        "col_name='Location'"
+    ).collect()[0]["data_type"].removeprefix("file:")
+    assert loc2 != ploc
+    assert _data_mtimes(ploc) == before
+
+    # the layout root holds exactly the CURRENT pointer, the live
+    # version and the retained previous version — no staging residue,
+    # no unbounded version pileup
+    layout_root = os.path.dirname(os.path.dirname(ploc))
+    entries = sorted(os.listdir(layout_root))
+    vdirs = [e for e in entries if e.startswith("v-")]
+    assert "CURRENT" in entries and len(vdirs) == 2, entries
+    assert [e for e in entries if e not in vdirs and e != "CURRENT"] == []
+    with open(os.path.join(layout_root, "CURRENT")) as fh:
+        assert os.path.join(layout_root, fh.read().strip()) == os.path.dirname(
+            loc2
+        )
 
 
 def test_served_pagerank_graph_attach_reuse(spark, sf_dir):
