@@ -103,3 +103,41 @@ def test_codes_compaction_equivalence_and_idle_noop(spark, sf_dir, tmp_path):
     assert read_codes_segments(spark, seg_root).count() == 0
     assert compact_codes_segments(spark, seg_root, table) is None
     assert compacted_through(seg_root) == hi
+
+
+def test_codes_stream_ingest_matches_oneshot(spark, sf_dir, tmp_path):
+    """A REAL readStream (file source, availableNow, checkpointed)
+    through the codes segment sink: the published segments union to
+    exactly the one-shot encode (multiset equality), across a genuinely
+    multi-batch run."""
+    from collections import Counter
+
+    from hadoop_project_spark.streaming.index_segments import (
+        _published_segments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "emb_seg_src")
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+
+    seg_root = str(tmp_path / "segments")
+    q = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(make_codes_segment_sink(seg_root))
+        .option("checkpointLocation", str(tmp_path / "seg_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(_published_segments(seg_root)) >= 2  # genuinely multi-batch
+
+    def multiset(df):
+        return Counter(
+            (r["vec_id"], tuple(r["codes"]), r["cell"]) for r in df.collect()
+        )
+
+    assert multiset(read_codes_segments(spark, seg_root)) == multiset(
+        encode_codes(emb)
+    )
