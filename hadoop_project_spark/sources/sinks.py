@@ -97,31 +97,59 @@ def write_bucketed(
     For an external ``path`` the sweep clears that path instead.
     """
     if mode == "overwrite":
-        import os
-        import shutil
-
-        spark = df.sparkSession
-        # If the catalog still knows the table, this drop also removes a
-        # managed table's files regardless of filesystem scheme.
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if path is not None:
-            if os.path.exists(path):
-                shutil.rmtree(path, ignore_errors=True)
-        else:
-            root = warehouse_path(spark)
-            if os.path.isabs(root) or os.path.exists(root):
-                parts = table.lower().split(".")
-                rel = (
-                    parts[-1]
-                    if len(parts) == 1
-                    else os.path.join(f"{parts[-2]}.db", parts[-1])
-                )
-                loc = os.path.join(root, rel)
-                if os.path.exists(loc):
-                    shutil.rmtree(loc, ignore_errors=True)
+        _drop_with_stale_location(df.sparkSession, table, path)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
+def _drop_with_stale_location(
+    spark: SparkSession, table: str, path: str | None
+) -> None:
+    """DROP TABLE plus the stale-warehouse sweep write_bucketed
+    documents: a managed table's files can survive from a previous
+    session while the (in-memory) catalog forgets the table, in which
+    case saveAsTable fails with LOCATION_ALREADY_EXISTS."""
+    import os
+    import shutil
+
+    # If the catalog still knows the table, this drop also removes a
+    # managed table's files regardless of filesystem scheme.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if path is not None:
+        if os.path.exists(path):
+            shutil.rmtree(path, ignore_errors=True)
+    else:
+        root = warehouse_path(spark)
+        if os.path.isabs(root) or os.path.exists(root):
+            parts = table.lower().split(".")
+            rel = (
+                parts[-1]
+                if len(parts) == 1
+                else os.path.join(f"{parts[-2]}.db", parts[-1])
+            )
+            loc = os.path.join(root, rel)
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+
+
+def write_partitioned_table(
+    df: DataFrame,
+    table: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Directory-partitioned table via saveAsTable (the partition map
+    lives in the catalog; probes prune whole partition directories at
+    plan time). Same stale-warehouse overwrite robustness as
+    write_bucketed; with ``path`` the table is EXTERNAL there."""
+    if mode == "overwrite":
+        _drop_with_stale_location(df.sparkSession, table, path)
+    writer = df.write.mode(mode).partitionBy(*partition_cols)
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)

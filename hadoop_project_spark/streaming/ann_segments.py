@@ -112,13 +112,13 @@ def compact_codes_segments(
     contracts. Returns the table name, or None when nothing folded."""
 
     def write_base(fold: DataFrame) -> None:
-        (
-            # one writer task per cell -> one file per partition dir
-            fold.repartition(n_cells, F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .format("parquet")
-            .saveAsTable(table)
+        from hadoop_project_spark.sources.sinks import write_partitioned_table
+
+        # one writer task per cell -> one file per partition dir;
+        # write_partitioned_table also clears a stale warehouse dir a
+        # previous session's managed table may have left behind
+        write_partitioned_table(
+            fold.repartition(n_cells, F.col("cell")), table, ["cell"]
         )
 
     compacted = compact_segments_into(
