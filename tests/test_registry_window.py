@@ -57,6 +57,16 @@ MUST_VERIFY = {
     # ...and the bucketed PageRank iteration loop was extracted into a
     # helper shared with the served twin
     "part_pagerank_bucketed",
+    # round-10 continuation: the product-quantization family (flat
+    # ADC, composed IVF-PQ, its partition-pruned served twin, the
+    # recall eval) and the ANN instantiation of the generalized LSM
+    # segment machinery — all self-promoted prio=10
+    "ann_topk_pq_adc",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_served",
+    "ann_pq_recall",
+    "ann_ivfpq_segment_compaction",
+    "ann_ivfpq_base_plus_segments",
 }
 
 
