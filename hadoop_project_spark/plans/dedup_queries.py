@@ -750,3 +750,126 @@ def doc_duplication_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cov(docs)
+
+
+def _sql_exact_substring_dedup_rewrite() -> str:
+    from hadoop_project_spark.operators.substring import (
+        K_GRAM,
+        MAX_GRAM_OCC,
+        MIN_SPAN,
+    )
+
+    k = K_GRAM
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+    ),
+    kg AS (
+      SELECT doc_id, i - 1 AS pos,
+             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
+      FROM toks, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+    ),
+    capped AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
+        FROM kg
+      ) WHERE n_occ <= {MAX_GRAM_OCC}
+    ),
+    m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM capped a JOIN capped b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY da, db, diag ORDER BY pa) AS isl
+      FROM m
+    ),
+    spans AS (
+      SELECT da, db, diag, MIN(pa) AS sa,
+             MAX(pa) - MIN(pa) + {k} AS len
+      FROM runs GROUP BY da, db, diag, isl
+    ),
+    fspans AS (SELECT * FROM spans WHERE len >= {MIN_SPAN}),
+    -- lowest doc_id keeps: only the doc_b side of each span is cut
+    cuts AS (
+      SELECT DISTINCT db AS doc_id, sa - diag AS s, sa - diag + len AS e
+      FROM fspans
+    ),
+    ordspans AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM cuts
+    ),
+    islands AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS iid
+      FROM ordspans
+    ),
+    merged AS (
+      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
+      FROM islands GROUP BY doc_id, iid
+    ),
+    cutdocs AS (
+      SELECT doc_id, SUM(me - ms) AS n_cut FROM merged GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS term
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.term
+      FROM tok tk JOIN cutdocs c ON c.doc_id = tk.doc_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM merged mm
+        WHERE mm.doc_id = tk.doc_id
+          AND tk.pos >= mm.ms AND tk.pos < mm.me
+      )
+    ),
+    spliced AS (
+      SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           COALESCE(s.clean_text, '') AS clean_text,
+           CAST(c.n_cut AS BIGINT) AS n_cut_tokens
+    FROM cutdocs c LEFT JOIN spliced s ON s.doc_id = c.doc_id
+    UNION ALL
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           {SQL_NORM} AS clean_text,
+           CAST(0 AS BIGINT) AS n_cut_tokens
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM cutdocs)
+    """
+
+
+@register(
+    "exact_substring_dedup_rewrite",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_exact_substring_dedup_rewrite(),
+    tags=("text", "dedup", "substring", "rewrite", "extension"),
+)
+def exact_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANED corpus (VERDICT r10 #1): every maximal >= MIN_SPAN
+    verbatim-shared span cut on its higher-doc_id side (lowest doc_id
+    keeps the canonical occurrence), overlapping cuts interval-merged,
+    and the surviving tokens spliced back per document — the
+    deliverable a training pipeline ships, not the report. Untouched
+    documents pass through as one normalize_text projection; only
+    cut documents pay the token-level rebuild. The oracle replays
+    span detection, the keep-lowest policy, the interval merge, the
+    token splice, and the pass-through leg from scratch."""
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_rewrite as rewrite,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rewrite(docs)

@@ -320,7 +320,10 @@ def index_segment_compaction_roundtrip(
 
     docs = load_table(spark, sf_dir, "documents")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    seg_root = os.path.join(tempfile.gettempdir(), f"rt_idx_segs_{sf}")
+    seg_root = os.path.join(
+        # pid-namespaced against concurrent same-host drivers (ADVICE r10 #3)
+        tempfile.gettempdir(), f"rt_idx_segs_{sf}_{os.getpid()}"
+    )
     shutil.rmtree(seg_root, ignore_errors=True)
     sink = make_postings_segment_sink(seg_root)
     for b in range(4):
@@ -365,7 +368,10 @@ def index_base_plus_segments_probe(
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     prefix = f"rt_idx_mix_{sf}"
     ix.build_index_tables(docs.filter(F.col("doc_id") % 2 == 0), prefix)
-    seg_root = os.path.join(tempfile.gettempdir(), f"rt_idx_mix_segs_{sf}")
+    seg_root = os.path.join(
+        # pid-namespaced against concurrent same-host drivers (ADVICE r10 #3)
+        tempfile.gettempdir(), f"rt_idx_mix_segs_{sf}_{os.getpid()}"
+    )
     shutil.rmtree(seg_root, ignore_errors=True)
     sink = make_postings_segment_sink(seg_root, publish="manifest")
     sink(docs.filter(F.col("doc_id") % 4 == 1), 0)

@@ -1170,7 +1170,11 @@ def ann_ivfpq_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    seg_root = os.path.join(tempfile.gettempdir(), f"rt_ann_segs_{sf}")
+    seg_root = os.path.join(
+        # pid-namespaced: two concurrent drivers on one host must not
+        # race on a shared segment root (ADVICE r10 #3)
+        tempfile.gettempdir(), f"rt_ann_segs_{sf}_{os.getpid()}"
+    )
     shutil.rmtree(seg_root, ignore_errors=True)
     sink = make_codes_segment_sink(
         seg_root, books=_PQ_BOOKS, n_cells=IVF_CELLS,
@@ -1221,7 +1225,10 @@ def ann_ivfpq_base_plus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    seg_root = os.path.join(tempfile.gettempdir(), f"rt_ann_mix_segs_{sf}")
+    seg_root = os.path.join(
+        # pid-namespaced against concurrent same-host drivers (ADVICE r10 #3)
+        tempfile.gettempdir(), f"rt_ann_mix_segs_{sf}_{os.getpid()}"
+    )
     shutil.rmtree(seg_root, ignore_errors=True)
     sink = make_codes_segment_sink(
         seg_root, publish="manifest", books=_PQ_BOOKS, n_cells=IVF_CELLS,

@@ -133,9 +133,34 @@ def attach_served_table(
     from its name (`part-*_000NN.c000...`); for partitioned layouts
     RECOVER PARTITIONS re-reads only directory names. Either way the
     attached table prunes and co-locates exactly like the one the
-    build session registered."""
+    build session registered.
+
+    The fast path verifies the existing catalog entry still has files
+    on disk (ADVICE r10 #4): a long-lived session that attached
+    version N keeps its catalog entry while later publishes sweep N's
+    directory — two publishes after the attach, the entry points at
+    nothing. Detect that here (one os-stat, no data read) and
+    drop/re-attach at the currently resolved version instead of
+    letting probes fail on missing files."""
     if spark.catalog.tableExists(t.name):
-        return
+        from urllib.parse import urlparse
+
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {t.name}").collect()
+        loc = next(
+            (r.data_type for r in rows if r.col_name == "Location"), None
+        )
+        parsed = urlparse(loc) if loc else None
+        path = (
+            parsed.path
+            if parsed is not None and parsed.scheme in ("", "file")
+            else loc
+        )
+        if path is None or os.path.exists(path):
+            # location intact (the live version, or the retained
+            # predecessor a mid-scan reader is still on) — keep it;
+            # non-local schemes are opaque here and also kept
+            return
+        spark.sql(f"DROP TABLE {t.name}")
     if t.partition_cols:
         # directory-partitioned layout: create-then-recover re-reads
         # only partition DIRECTORY NAMES (no data), after which probes
@@ -156,6 +181,10 @@ def attach_served_table(
 
 
 _CURRENT = "CURRENT"
+# Marker-less version dirs younger than this are presumed to be a
+# concurrent builder's in-progress staging and are never swept; older
+# ones are crash orphans and retire at the next publish.
+_ORPHAN_TTL_S = 24 * 3600
 
 
 def _resolve_version(root: str) -> str | None:
@@ -233,17 +262,36 @@ def attach_or_build(
         fh.write(new_v)
     os.replace(tmp, os.path.join(root, _CURRENT))
     # retention sweep: keep the new version and its immediate
-    # predecessor (a mid-scan reader's files); drop older versions,
-    # crash orphans, and any pre-versioning layout entries
+    # predecessor (a mid-scan reader's files). Scope strictly to
+    # entries THIS process can prove dead (ADVICE r10 #1 — the r10
+    # sweep deleted everything else, including a racing builder's
+    # in-progress staging dir and pointer tmp, regressing the
+    # concurrent-builder safety the docstring promises):
+    #   * marker-complete version dirs are finished, superseded
+    #     publishes — always safe to retire;
+    #   * marker-LESS dirs may be a concurrent build mid-write — left
+    #     alone unless stale (no mtime progress for _ORPHAN_TTL_S,
+    #     i.e. a crash orphan, which is when they get swept);
+    #   * another pid's CURRENT.tmp-* pointer staging is never touched
+    #     (ours was consumed by the os.replace above).
     keep = {_CURRENT, new_v}
     if vdir is not None:
         keep.add(os.path.basename(vdir))
+    import time
+
+    now = time.time()
     for entry in os.listdir(root):
-        if entry in keep:
+        if entry in keep or entry.startswith(f"{_CURRENT}.tmp-"):
             continue
         path = os.path.join(root, entry)
         if os.path.isdir(path):
-            shutil.rmtree(path, ignore_errors=True)
+            complete = os.path.exists(os.path.join(path, _MARKER))
+            try:
+                stale = (now - os.stat(path).st_mtime) > _ORPHAN_TTL_S
+            except OSError:
+                stale = False
+            if complete or stale:
+                shutil.rmtree(path, ignore_errors=True)
         else:
             try:
                 os.remove(path)
@@ -414,7 +462,11 @@ def ensure_served_ivfpq(
         pq_codes,
     )
 
-    tag = f"{_sf_tag(sf_dir)}_c{n_cells}"
+    # every coarse-quantizer parameter is part of the layout identity
+    # (ADVICE r10 #2: dim/cell_seed change the centroids, hence every
+    # cell assignment — omitting them from tag+fingerprint would serve
+    # a stale layout as fresh)
+    tag = f"{_sf_tag(sf_dir)}_c{n_cells}s{cell_seed}d{dim}"
     tname = f"srv_ivfpq_{tag}"
     root = os.path.join(warehouse_path(spark), "served", f"ivfpq_{tag}")
     tables = [
@@ -429,7 +481,7 @@ def ensure_served_ivfpq(
         os.path.join(sf_dir, "embeddings.parquet"),
         extra=(
             f"v{LAYOUT_VERSION}:pq{PQ_M}x{PQ_CODES}x{PQ_SUBDIM}s{PQ_SEED}"
-            f":cells{n_cells}s{cell_seed}"
+            f":cells{n_cells}s{cell_seed}d{dim}"
         ),
     )
 

@@ -106,3 +106,85 @@ def test_coverage_merges_overlapping_spans_once(spark):
     assert rows[1].dup_tokens == 10 and rows[1].n_tokens == 14
     # doc 2: its 8 shared tokens of 11
     assert rows[2].dup_tokens == 8 and rows[2].n_tokens == 11
+
+
+def test_rewrite_cuts_doc_b_side_and_splices(spark):
+    """Lowest doc_id keeps the canonical occurrence; the higher side's
+    copy is cut and its surviving tokens splice back in order."""
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_rewrite,
+    )
+
+    shared = _words("s", 10)
+    a = _words("a", 3) + " " + shared + " " + _words("z", 4)
+    b = _words("b", 5) + " " + shared + " " + _words("y", 2)
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup_rewrite(
+            _docs(spark, [a, b]), k=6, min_len=8
+        ).collect()
+    }
+    assert out[0].clean_text == a and out[0].n_cut_tokens == 0
+    assert out[1].clean_text == _words("b", 5) + " " + _words("y", 2)
+    assert out[1].n_cut_tokens == 10
+
+
+def test_rewrite_overlapping_cuts_merge_once(spark):
+    """A token inside several overlapping cut intervals is removed
+    exactly once (interval merge before the splice)."""
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_rewrite,
+    )
+
+    block = _words("s", 10)  # d2 holds s0..s9; d0/d1 each share a window
+    d0 = _words("a", 2) + " " + " ".join(f"s{i}" for i in range(8))
+    d1 = _words("b", 3) + " " + " ".join(f"s{i}" for i in range(2, 10))
+    d2 = _words("c", 4) + " " + block + " " + _words("z", 2)
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup_rewrite(
+            _docs(spark, [d0, d1, d2]), k=6, min_len=8
+        ).collect()
+    }
+    # d2 (highest doc_id) cuts the union [4,14) of its two overlapping
+    # shared windows: 10 tokens once, not 16
+    assert out[2].n_cut_tokens == 10
+    assert out[2].clean_text == _words("c", 4) + " " + _words("z", 2)
+    assert out[0].n_cut_tokens == 0 and out[1].n_cut_tokens == 0
+
+
+def test_rewrite_fully_cut_doc_ships_empty(spark):
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_rewrite,
+    )
+
+    shared = _words("s", 9)
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup_rewrite(
+            _docs(spark, [shared + " tail0", shared]), k=6, min_len=8
+        ).collect()
+    }
+    assert out[1].clean_text == "" and out[1].n_cut_tokens == 9
+    assert out[0].n_cut_tokens == 0
+
+
+def test_rewrite_fixpoint_on_fixture(spark, sf_dir):
+    """The VERDICT r10 #1 invariant: re-running span detection on the
+    REWRITTEN corpus (same k/min_len) finds no cross-document spans —
+    one detect-and-cut pass reaches the deduplicated fixpoint on the
+    shipped fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_rewrite,
+        exact_substring_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    clean = exact_substring_dedup_rewrite(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    residual = exact_substring_spans(clean)
+    assert residual.count() == 0
