@@ -80,6 +80,54 @@ class ShuffleMeter:
         r = sum(s.get("shuffleReadBytes", 0) for s in new)
         return round(w / 1e6, 3), round(r / 1e6, 3)
 
+def _normalized_deltas(result: dict) -> dict | None:
+    """Round-over-round per-query deltas NORMALIZED by host speed
+    (VERDICT r10 #4): the last three rounds each burned a verdict
+    adjudication on ambient host drift that the calibration block had
+    already measured. Rule (documented in SCALING.md): host_scale =
+    median of the three calibration ratios vs the committed
+    bench_results.json; a query's normalized delta is
+    (t_now / t_prev) / host_scale. Normalized deltas inside
+    [1/1.5, 1.5] are the drift band; outside it AND >= 1 s now is an
+    A/B-adjudication candidate, surfaced in "flagged". Returns None
+    when there is no committed artifact to compare against."""
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+    )
+    try:
+        with open(prev_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        return None
+    pc = prev.get("calibration") or {}
+    cc = result.get("calibration") or {}
+    ratios = [
+        cc[k] / pc[k]
+        for k in ("jvm_hash_s", "shuffle_s", "py_spin_s")
+        if pc.get(k) and cc.get(k)
+    ]
+    if not ratios:
+        return None
+    host_scale = statistics.median(ratios)
+    prev_q = prev.get("queries", {})
+    deltas = {
+        name: round((t / prev_q[name]) / host_scale, 3)
+        for name, t in result["queries"].items()
+        if prev_q.get(name)
+    }
+    flagged = {
+        n: d
+        for n, d in deltas.items()
+        if (d >= 1.5 or d <= 1 / 1.5) and result["queries"][n] >= 1.0
+    }
+    return {
+        "host_scale": round(host_scale, 3),
+        "n_common": len(deltas),
+        "deltas": deltas,
+        "flagged": dict(sorted(flagged.items(), key=lambda kv: -kv[1])),
+    }
+
+
 HEADLINE = [
     "pricing_summary",
     "regional_revenue",
@@ -255,6 +303,15 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    norm = _normalized_deltas(result)
+    if norm is not None:
+        # stdout stays compact: scale + the flagged movers only; the
+        # full per-query normalized map lands in the detail file
+        result["normalized"] = {
+            "host_scale": norm["host_scale"],
+            "n_common": norm["n_common"],
+            "flagged": norm["flagged"],
+        }
     # Full detail (per-run timings, build/exec phase medians) lands on
     # disk only — the stdout line stays compact so tail-truncation of
     # captured output can't eat the per-query map (r2 lesson).
@@ -278,7 +335,8 @@ def main() -> None:
         with open(out_path, "w") as fh:
             json.dump(
                 {**result, "phases": phases, "runs": runs,
-                 "shuffle_mb": shuffle_mb},
+                 "shuffle_mb": shuffle_mb,
+                 **({"normalized_deltas": norm["deltas"]} if norm else {})},
                 fh, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"bench: detail file {out_path} not written: {exc}",

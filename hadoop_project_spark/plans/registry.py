@@ -42,24 +42,22 @@ _ORDER: dict[str, int] = {}
 # — tests/test_registry_window.py enforces "driver-green in a prior
 # round's CORRECTNESS_r*.json OR in the current window".
 #
-# Round 10 (per VERDICT r9 items 1-4, 7-8): the window is the headline
-# set, the NINE new round-10 queries (the serving twins
-# phrase_search_served / bm25_topk_served / part_pagerank_served /
-# ann_topk_ivfpq_served, the exact-substring dedup
-# exact_substring_spans, avro_roundtrip_segment_stats, and the product-
-# quantization family ann_topk_pq_adc / ann_topk_ivfpq / ann_pq_recall
-# — all self-promoted at registration priority=10), and a hash anchor
-# for every query whose CODE round 10 touched (see the prio-20 block). The r9-only anchors are demoted to
-# 500, still oracle-tested every CI run by tests/test_oracle_parity.py.
+# Round 11 (per VERDICT r10 items 1-2, 6-7): the window is the
+# headline set, the new round-11 rewrite query
+# (exact_substring_dedup_rewrite, self-promoted priority=10), and a
+# hash anchor for every query whose CODE round 11 touched — the LSM
+# compaction was converged onto serving.py's versioned publish
+# (index/ann segment queries), serving.py itself changed (ADVICE r10
+# fixes + the storage seam: every *_served twin), the fitted
+# artifacts now arrive via served tables (semdedup pair +
+# ann_topk_ivfpq), and operators/substring.py was refactored
+# (merge_intervals shared by spans/coverage/rewrite). The r10-only
+# anchors are demoted to 500, still oracle-tested every CI run by
+# tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- round-10 regression anchors: keep in-window (prio 20) ---
-    # (VERDICT r9 #7: headline set + a hash anchor for every query
-    # whose CODE round 10 touched — the LSM module was rewritten for
-    # the snapshot watermark/lost-base rebuild/manifest publish, the
-    # stored-index builds route through write_index_tables/
-    # write_bucketed which gained external-path support, and
-    # part_pagerank_bucketed's iteration loop was extracted into a
-    # helper shared with the new served twin.)
+    # --- round-11 regression anchors: keep in-window (prio 20) ---
+    # (prio-10 self-promotions already inside: the substring trio, the
+    # four serving twins, ann_topk_ivfpq, and the two ANN LSM queries.)
     **{
         name: 20
         for name in (
@@ -69,17 +67,15 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # write_bucketed gained the external-path branch — re-certify
-            # the S7 roundtrip over the managed-table path
-            "bucketed_join_roundtrip",
-            # stored-index builds route through the touched writers
-            "inverted_index_build_roundtrip",
-            "bm25_topk_stored",
-            # LSM module rewritten this round
+            # LSM compaction converged onto the versioned serving
+            # publish — re-certify the inverted-index LSM pair (the
+            # ANN pair self-promotes at registration)
             "index_segment_compaction_roundtrip",
             "index_base_plus_segments_probe",
-            # iteration loop extracted into a shared helper
-            "part_pagerank_bucketed",
+            # fitted artifacts served: the semdedup pair routes its
+            # quantizer through load_semdedup_centroids now
+            "semantic_dedup_decisions",
+            "semantic_dedup_bucketed",
         )
     },
     # --- green in r1-r8, still CI-oracle-tested: demote (prio 500) ---
@@ -91,7 +87,16 @@ PRIORITY_OVERRIDES: dict[str, int] = {
     **{
         name: 500
         for name in (
-            # r9 anchors released this round (code untouched in r10;
+            # r10 anchors released this round (code untouched in r11;
+            # all green in CORRECTNESS_r10)
+            "avro_roundtrip_segment_stats",
+            "ann_topk_pq_adc",
+            "ann_pq_recall",
+            "bucketed_join_roundtrip",
+            "inverted_index_build_roundtrip",
+            "bm25_topk_stored",
+            "part_pagerank_bucketed",
+            # r9 anchors released in r10 (code untouched in r10;
             # the two writer-roundtrip movers were adjudicated as host
             # drift by the round-10 within-session A/B — SCALING.md)
             "dpp_partitioned_join_roundtrip",
@@ -133,8 +138,6 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "quality_filter_funnel",
             "doc_fingerprints",
             # r7-new, green in CORRECTNESS_r07
-            "semantic_dedup_decisions",
-            "semantic_dedup_bucketed",
             "ann_truncated_dim_recall",
             # r7 anchors released in r8
             "part_name_fuzzy_pairs",

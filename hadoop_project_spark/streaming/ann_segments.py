@@ -103,22 +103,36 @@ def read_codes_segments(
 
 
 def compact_codes_segments(
-    spark: SparkSession, seg_root: str, table: str, n_cells: int = 16
+    spark: SparkSession,
+    seg_root: str,
+    table: str,
+    n_cells: int = 16,
+    served_root: str | None = None,
 ) -> str | None:
     """Fold live code segments (and any existing base) into the
-    cell-partitioned managed codes table — the ANN instantiation of
+    cell-partitioned codes layout — the ANN instantiation of
     compact_segments_into, inheriting its snapshot-consistent
     watermark, idle no-op, lost-base rebuild and self-healing re-run
-    contracts. Returns the table name, or None when nothing folded."""
+    contracts, and (round 11) its VERSIONED serving publish: the base
+    is the same external, attach-by-DDL, partition-pruned layout
+    serving.ensure_served_ivfpq builds, so a streamed-into codes index
+    is probe-able from any later session. Returns the table name, or
+    None when nothing folded (the idle tick still attaches the live
+    version)."""
+    from hadoop_project_spark.serving import (
+        LAYOUT_VERSION,
+        codes_served_table,
+    )
 
-    def write_base(fold: DataFrame) -> None:
-        from hadoop_project_spark.sources.sinks import write_partitioned_table
+    tables = [codes_served_table(table)]
 
-        # one writer task per cell -> one file per partition dir;
-        # write_partitioned_table also clears a stale warehouse dir a
-        # previous session's managed table may have left behind
-        write_partitioned_table(
-            fold.repartition(n_cells, F.col("cell")), table, ["cell"]
+    def write_base(fold: DataFrame, staging: str) -> None:
+        # one writer task per cell -> one file per partition dir
+        (
+            fold.repartition(n_cells, F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(tables[0].location(staging))
         )
 
     compacted = compact_segments_into(
@@ -126,7 +140,9 @@ def compact_codes_segments(
         seg_root,
         schema=CODES_SCHEMA,
         columns=_CODES_COLUMNS,
-        base_table=table,
+        tables=tables,
         write_base=write_base,
+        served_root=served_root,
+        fp_extra=f"v{LAYOUT_VERSION}:cells{n_cells}",
     )
     return table if compacted else None

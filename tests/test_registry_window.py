@@ -24,9 +24,9 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 10 (VERDICT r9 items 1-4, 7-8): the
-# headline set, the five new round-10 queries, and a hash anchor for
-# every query whose code round 10 touched — must be proven green THIS
+# Regression anchors for round 11 (VERDICT r10 items 1-2, 6-7): the
+# headline set, the new round-11 rewrite query, and a hash anchor for
+# every query whose code round 11 touched — must be proven green THIS
 # round.
 MUST_VERIFY = {
     # headline (every round)
@@ -35,38 +35,29 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # round-10 new: serving twins of the stored index / bucketed
-    # PageRank, exact-substring dedup, avro roundtrip (self-promoted
-    # prio=10)
+    # round-11 new: the exact-substring corpus REWRITE (the cleaned
+    # corpus, VERDICT r10 #1; self-promoted prio=10)
+    "exact_substring_dedup_rewrite",
+    # operators/substring.py refactored (merge_intervals factored out,
+    # shared by spans/coverage/rewrite) — re-certify the r10 pair
+    "exact_substring_spans",
+    "doc_duplication_coverage",
+    # LSM compaction converged onto serving.py's versioned publish
+    # (VERDICT r10 #2): both instantiations' segment queries
+    "index_segment_compaction_roundtrip",
+    "index_base_plus_segments_probe",
+    "ann_ivfpq_segment_compaction",
+    "ann_ivfpq_base_plus_segments",
+    # serving.py changed (ADVICE r10 fixes, fitted artifacts, storage
+    # seam): every *_served twin re-certifies
     "phrase_search_served",
     "bm25_topk_served",
     "part_pagerank_served",
-    "exact_substring_spans",
-    "doc_duplication_coverage",
-    "avro_roundtrip_segment_stats",
-    # round-10 code-touch anchors: the LSM module was rewritten
-    # (snapshot watermark, lost-base rebuild, manifest publish — the
-    # serving-state probe now publishes via manifests)...
-    "index_segment_compaction_roundtrip",
-    "index_base_plus_segments_probe",
-    # ...the stored-index builds route through write_index_tables /
-    # write_bucketed, which gained external-path support...
-    "inverted_index_build_roundtrip",
-    "bm25_topk_stored",
-    "bucketed_join_roundtrip",
-    # ...and the bucketed PageRank iteration loop was extracted into a
-    # helper shared with the served twin
-    "part_pagerank_bucketed",
-    # round-10 continuation: the product-quantization family (flat
-    # ADC, composed IVF-PQ, its partition-pruned served twin, the
-    # recall eval) and the ANN instantiation of the generalized LSM
-    # segment machinery — all self-promoted prio=10
-    "ann_topk_pq_adc",
-    "ann_topk_ivfpq",
     "ann_topk_ivfpq_served",
-    "ann_pq_recall",
-    "ann_ivfpq_segment_compaction",
-    "ann_ivfpq_base_plus_segments",
+    # fitted artifacts arrive via served tables now (VERDICT r10 #6)
+    "semantic_dedup_decisions",
+    "semantic_dedup_bucketed",
+    "ann_topk_ivfpq",
 }
 
 

@@ -179,3 +179,150 @@ def test_served_ivfpq_prunes_partitions_and_matches_inline(spark, sf_dir):
         ln for ln in plan.splitlines() if "PartitionFilters" in ln
     )
     assert "cell" in scan and "IN" in scan.upper(), scan
+
+
+def test_compacted_indexes_attach_across_sessions(spark, sf_dir, tmp_path):
+    """VERDICT r10 #2 (converged publish paths): an index that is
+    streamed-into IS a served layout — ingest + compact in one
+    session, then simulate a fresh session (catalog wiped), where the
+    next idle compaction tick re-ATTACHES the published version
+    (metadata-only: it returns None and the version-directory set must
+    not change). New segments ingested in the fresh session then serve
+    through base ∪ live-segments identically to the one-shot build.
+    Exercised for both LSM instantiations: the term-bucketed inverted
+    index and the cell-partitioned ANN codes index."""
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.catalog import load_table
+    from hadoop_project_spark.operators import invindex as ix
+    from hadoop_project_spark.operators import similarity as sim
+    from hadoop_project_spark.plans.invindex_queries import SEARCH_PHRASES
+    from hadoop_project_spark.streaming.ann_segments import (
+        compact_codes_segments,
+        encode_codes,
+        make_codes_segment_sink,
+        read_codes_segments,
+    )
+    from hadoop_project_spark.streaming.index_segments import (
+        compact_segments,
+        make_postings_segment_sink,
+        read_segments,
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def versions(root):
+        return sorted(
+            d for d in os.listdir(os.path.join(root, "served"))
+            if d.startswith("v-")
+        )
+
+    # --- inverted index ---
+    docs = load_table(spark, sf_dir, "documents")
+    iroot = str(tmp_path / "xs_idx_segs")
+    isink = make_postings_segment_sink(iroot, publish="manifest")
+    isink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    isink(docs.filter(F.col("doc_id") % 4 == 1), 1)
+    prefix = "xs_idx"
+    assert compact_segments(spark, iroot, prefix) is not None
+    v_before = versions(iroot)
+    for t in ix.index_table_names(prefix):
+        spark.sql(f"DROP TABLE {t}")  # "fresh session": catalog gone
+    # idle tick in the fresh session = cross-session attach, no rebuild
+    assert compact_segments(spark, iroot, prefix) is None
+    assert versions(iroot) == v_before
+    # the fresh session keeps ingesting; base (attached) ∪ live serves
+    isink(docs.filter(F.col("doc_id") % 4 == 3), 2)
+    pt = ix.index_table_names(prefix)[0]
+    union = (
+        spark.table(pt)
+        .select("term", "doc_id", "pos")
+        .unionByName(read_segments(spark, iroot))
+    )
+    assert rows(ix.phrase_search_stats_over(union, SEARCH_PHRASES)) == rows(
+        ix.phrase_search_stats(docs, SEARCH_PHRASES)
+    )
+
+    # --- ANN codes index ---
+    emb = load_table(spark, sf_dir, "embeddings")
+    aroot = str(tmp_path / "xs_ann_segs")
+    asink = make_codes_segment_sink(aroot, publish="manifest")
+    asink(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    table = "xs_ann_codes"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    assert compact_codes_segments(spark, aroot, table) == table
+    v_before = versions(aroot)
+    spark.sql(f"DROP TABLE {table}")  # "fresh session"
+    assert compact_codes_segments(spark, aroot, table) is None
+    assert versions(aroot) == v_before
+    asink(emb.filter(F.col("vec_id") % 2 == 1), 1)  # live, uncompacted
+
+    def sel(df):
+        return df.select(
+            F.col("vec_id").alias("neighbor_id"), "cell", "codes"
+        )
+
+    books = sim.make_pq_codebooks()
+    cents = sim.make_coarse_centroids(16, 64, 7)
+
+    def probe(enc):
+        return rows(
+            sim.ivfpq_topk_over(
+                enc, emb.filter(F.col("vec_id") < 8), k=10,
+                cents=cents, books=books, n_probe=4,
+            )
+        )
+
+    got = probe(
+        sel(spark.table(table)).unionByName(
+            sel(read_codes_segments(spark, aroot))
+        )
+    )
+    assert got == probe(sel(encode_codes(emb)))
+
+
+def test_fitted_artifacts_attach_and_version_on_refit(spark):
+    """VERDICT r10 #6: fitted model-ish state (SemDeDup centroids, PQ
+    codebooks) is published through the versioned served layout — the
+    loaders return the exact code literals (float64 through parquet is
+    bit-exact), a repeat ensure is attach-only, and a REFIT (changed
+    values) fingerprint-mismatches into a NEW version instead of
+    silently serving stale state."""
+    import uuid
+
+    from hadoop_project_spark.operators.similarity import make_pq_codebooks
+    from hadoop_project_spark.plans.semdedup_centroids import (
+        SEMDEDUP_CENTROIDS,
+    )
+    from hadoop_project_spark.serving import (
+        ensure_served_artifact,
+        load_pq_codebooks,
+        load_semdedup_centroids,
+    )
+    from hadoop_project_spark.sources.sinks import warehouse_path
+
+    assert load_semdedup_centroids(spark) == SEMDEDUP_CENTROIDS
+    assert load_pq_codebooks(spark) == make_pq_codebooks()
+
+    # refit governance on a scratch artifact: same name, new values ->
+    # new version; same values -> attach-only (no new version)
+    name = f"scratch_{uuid.uuid4().hex[:8]}"
+    root = os.path.join(warehouse_path(spark), "served", f"art_{name}")
+
+    def versions():
+        return {d for d in os.listdir(root) if d.startswith("v-")}
+
+    ddl = "k INT, v DOUBLE"
+    t = ensure_served_artifact(spark, name, ddl, [(0, 1.0), (1, 2.0)])
+    v1 = versions()
+    assert len(v1) == 1
+    assert ensure_served_artifact(spark, name, ddl, [(0, 1.0), (1, 2.0)]) == t
+    assert versions() == v1  # unchanged fit: attach-only
+    ensure_served_artifact(spark, name, ddl, [(0, 1.0), (1, 2.5)])  # refit
+    assert len(versions()) == 2 and versions() > v1
+    assert sorted(
+        (r.k, r.v) for r in spark.table(t).collect()
+    ) == [(0, 1.0), (1, 2.5)]
+    spark.sql(f"DROP TABLE {t}")
+    shutil.rmtree(root, ignore_errors=True)

@@ -974,9 +974,9 @@ def test_compaction_snapshot_vs_concurrent_ingest(
     # (write_index_tables runs strictly after _published_segments)
     real_write = seg.write_index_tables
 
-    def write_with_concurrent_ingest(p, pfx, n_buckets):
+    def write_with_concurrent_ingest(p, pfx, n_buckets, paths=None):
         sink(docs.filter(F.col("doc_id") % 4 == 2), 2)
-        return real_write(p, pfx, n_buckets)
+        return real_write(p, pfx, n_buckets, paths=paths)
 
     monkeypatch.setattr(
         seg, "write_index_tables", write_with_concurrent_ingest
@@ -1018,12 +1018,15 @@ def test_compaction_snapshot_vs_concurrent_ingest(
 def test_compaction_rebuilds_lost_base_from_retired_segments(
     spark, sf_dir, tmp_path, publish
 ):
-    """ADVICE r9 (crash during the base rewrite): write_index_tables
-    DROPs the base table before rewriting it, so a crash in between
-    leaves no base at all. Because retired segments are never deleted,
-    the next compaction detects (no base + a completed-compaction
-    watermark) and rebuilds from ALL published segments — nothing
-    previously folded is lost."""
+    """ADVICE r9, hardened by the round-11 versioned publish: the
+    DROP-then-rewrite crash window is gone (the base goes live by one
+    atomic pointer replace), so the disaster left is losing the served
+    root wholesale (disk loss, bucket wipe). Because retired segments
+    are never deleted, the next compaction detects (no live version +
+    a completed-compaction watermark) and rebuilds from ALL published
+    segments — nothing previously folded is lost."""
+    import os
+
     from hadoop_project_spark.catalog import load_table
     from hadoop_project_spark.operators import invindex as ix
     from hadoop_project_spark.plans.invindex_queries import SEARCH_PHRASES
@@ -1042,9 +1045,10 @@ def test_compaction_rebuilds_lost_base_from_retired_segments(
     compact_segments(spark, seg_root, prefix)
     assert compacted_through(seg_root) == 1
 
-    # simulate the crash window: base dropped, rewrite never finished
+    # the disaster: the whole served layout root is lost (the stale
+    # catalog entry now points at nothing — rebuild must replace it)
     pt = ix.index_table_names(prefix)[0]
-    spark.sql(f"DROP TABLE {pt}")
+    shutil.rmtree(os.path.join(seg_root, "served"))
 
     # a later batch arrives; the recovery compaction folds EVERYTHING
     sink(docs.filter(F.col("doc_id") % 4 == 3), 2)
