@@ -99,6 +99,8 @@ def _normalized_deltas(result: dict) -> dict | None:
             prev = json.load(fh)
     except (OSError, ValueError):
         return None
+    if prev.get("sf") != result.get("sf"):
+        return None  # cross-sf comparison is not a delta
     pc = prev.get("calibration") or {}
     cc = result.get("calibration") or {}
     ratios = [
