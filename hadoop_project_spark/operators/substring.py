@@ -244,6 +244,51 @@ def exact_substring_dedup_rewrite(
     return rewritten.unionByName(untouched)
 
 
+
+# Whole-document drop threshold for the combined dedup pipeline: a
+# document whose merged-interval duplication coverage reaches this
+# fraction is boilerplate/near-copy and is DROPPED outright; documents
+# below it survive into the span-cut pass. 0.99 (not 0.5) because the
+# fixture's duplicated docs are near-full copies (sf0.01 coverage
+# min 0.917, median 1.0) — the threshold must split that band for both
+# pipeline stages to do real work, and dup_fraction is cross-engine
+# bit-exact so the comparison is safe.
+DROP_COVERAGE = 0.99
+
+
+def exact_substring_dedup_corpus(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    min_len: int = MIN_SPAN,
+    max_gram_occ: int = MAX_GRAM_OCC,
+    drop_coverage: float = DROP_COVERAGE,
+) -> DataFrame:
+    """(doc_id, clean_text, n_cut_tokens): the FINAL corpus of the
+    combined exact-substring dedup pipeline — both standard policies
+    composed in their production order:
+
+    1. DROP documents whose duplication coverage
+       (doc_duplication_coverage, both-sides interval-merged) reaches
+       ``drop_coverage`` — they are near-complete copies; rewriting
+       them would ship fragments of boilerplate;
+    2. re-detect spans among the SURVIVORS and CUT those
+       (exact_substring_dedup_rewrite) — a span whose canonical
+       partner was dropped in stage 1 is no longer duplicated text and
+       correctly survives; a span shared between two survivors is cut
+       on the higher-doc_id side as usual.
+
+    Stage 2 recomputes anchors over the surviving corpus (a second
+    corpus pass — exactly what a staged pipeline does; each pass is
+    the same blocked, never-all-pairs plan). Dropped documents emit no
+    row: the output IS the training corpus."""
+    cov = doc_duplication_coverage(docs, k, min_len, max_gram_occ)
+    dropped = cov.filter(
+        F.col("dup_fraction") >= F.lit(drop_coverage)
+    ).select("doc_id")
+    survivors = docs.join(dropped, "doc_id", "left_anti")
+    return exact_substring_dedup_rewrite(survivors, k, min_len, max_gram_occ)
+
+
 def doc_duplication_coverage(
     docs: DataFrame,
     k: int = K_GRAM,

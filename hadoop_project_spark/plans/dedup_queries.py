@@ -873,3 +873,182 @@ def exact_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return rewrite(docs)
+
+
+def _sql_exact_substring_dedup_corpus() -> str:
+    from hadoop_project_spark.operators.substring import (
+        DROP_COVERAGE,
+        K_GRAM,
+        MAX_GRAM_OCC,
+        MIN_SPAN,
+    )
+
+    k = K_GRAM
+
+    def span_pipeline(src: str, sfx: str) -> str:
+        """The k-gram anchor → cap → diagonal join → island span
+        pipeline over token-array CTE ``src``, CTE names suffixed so
+        the oracle can run it twice (full corpus, then survivors)."""
+        return f"""
+    kg{sfx} AS (
+      SELECT doc_id, i - 1 AS pos,
+             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
+      FROM {src}, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+    ),
+    capped{sfx} AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
+        FROM kg{sfx}
+      ) WHERE n_occ <= {MAX_GRAM_OCC}
+    ),
+    m{sfx} AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM capped{sfx} a JOIN capped{sfx} b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs{sfx} AS (
+      SELECT da, db, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY da, db, diag ORDER BY pa) AS isl
+      FROM m{sfx}
+    ),
+    spans{sfx} AS (
+      SELECT da, db, diag, MIN(pa) AS sa,
+             MAX(pa) - MIN(pa) + {k} AS len
+      FROM runs{sfx} GROUP BY da, db, diag, isl
+    ),
+    fspans{sfx} AS (SELECT * FROM spans{sfx} WHERE len >= {MIN_SPAN})"""
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+    ),
+    {span_pipeline("toks", "1")},
+    -- stage 1: both-sides coverage -> DROP near-complete copies
+    sides AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT da AS doc_id, sa AS s, sa + len AS e FROM fspans1
+        UNION ALL
+        SELECT db, sa - diag, sa - diag + len FROM fspans1
+      )
+    ),
+    ordsides AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM sides
+    ),
+    sislands AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS iid
+      FROM ordsides
+    ),
+    smerged AS (
+      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
+      FROM sislands GROUP BY doc_id, iid
+    ),
+    dropped AS (
+      SELECT c.doc_id FROM (
+        SELECT doc_id, SUM(me - ms) AS dup_tokens
+        FROM smerged GROUP BY doc_id
+      ) c JOIN toks t ON t.doc_id = c.doc_id
+      WHERE CAST(c.dup_tokens AS DOUBLE) / CAST(len(t.t) AS DOUBLE)
+            >= {DROP_COVERAGE}
+    ),
+    -- stage 2: re-detect among SURVIVORS, cut the higher-doc_id side
+    surv AS (
+      SELECT doc_id, t FROM toks
+      WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    {span_pipeline("surv", "2")},
+    cuts AS (
+      SELECT DISTINCT db AS doc_id, sa - diag AS s, sa - diag + len AS e
+      FROM fspans2
+    ),
+    ordcuts AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM cuts
+    ),
+    cislands AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS iid
+      FROM ordcuts
+    ),
+    cmerged AS (
+      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
+      FROM cislands GROUP BY doc_id, iid
+    ),
+    cutdocs AS (
+      SELECT doc_id, SUM(me - ms) AS n_cut FROM cmerged GROUP BY doc_id
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS term
+      FROM surv, UNNEST(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] <> ''
+    ),
+    kept AS (
+      SELECT tk.doc_id, tk.pos, tk.term
+      FROM tok tk JOIN cutdocs c ON c.doc_id = tk.doc_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM cmerged mm
+        WHERE mm.doc_id = tk.doc_id
+          AND tk.pos >= mm.ms AND tk.pos < mm.me
+      )
+    ),
+    spliced AS (
+      SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+           COALESCE(s.clean_text, '') AS clean_text,
+           CAST(c.n_cut AS BIGINT) AS n_cut_tokens
+    FROM cutdocs c LEFT JOIN spliced s ON s.doc_id = c.doc_id
+    UNION ALL
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           {SQL_NORM} AS clean_text,
+           CAST(0 AS BIGINT) AS n_cut_tokens
+    FROM documents d
+    WHERE d.doc_id IN (SELECT doc_id FROM surv)
+      AND d.doc_id NOT IN (SELECT doc_id FROM cutdocs)
+    """
+
+
+@register(
+    "exact_substring_dedup_corpus",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_exact_substring_dedup_corpus(),
+    tags=("text", "dedup", "substring", "rewrite", "extension"),
+)
+def exact_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FINAL corpus of the combined exact-substring pipeline: drop
+    documents whose duplication coverage reaches DROP_COVERAGE (near-
+    complete copies), then re-detect among survivors and cut remaining
+    shared spans on their higher-doc_id side (lowest doc_id keeps).
+    Dropped documents emit no row — the output is the training corpus.
+    The oracle replays BOTH stages from scratch: the coverage pipeline
+    with its drop threshold, and a second full span pipeline restricted
+    to the survivors, through the interval merge and token splice. At
+    fixture scale the stage-2 cut set is EMPTY (the fixture's
+    duplicates are near-copy pairs, so dropping one member resolves
+    the duplication) — the hash still certifies stage 2 computed that
+    emptiness plus every survivor's pass-through text; the cut path
+    itself is hash-certified on the full corpus by
+    exact_substring_dedup_rewrite, and both-stages-fire semantics are
+    unit-tested (tests/test_substring.py)."""
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_corpus as corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus(docs)

@@ -36,8 +36,10 @@ MUST_VERIFY = {
     "two_leg_conversion",
     "priority_month_matrix",
     # round-11 new: the exact-substring corpus REWRITE (the cleaned
-    # corpus, VERDICT r10 #1; self-promoted prio=10)
+    # corpus, VERDICT r10 #1; self-promoted prio=10) and the combined
+    # drop-then-cut FINAL corpus
     "exact_substring_dedup_rewrite",
+    "exact_substring_dedup_corpus",
     # operators/substring.py refactored (merge_intervals factored out,
     # shared by spans/coverage/rewrite) — re-certify the r10 pair
     "exact_substring_spans",

@@ -188,3 +188,29 @@ def test_rewrite_fixpoint_on_fixture(spark, sf_dir):
     )
     residual = exact_substring_spans(clean)
     assert residual.count() == 0
+
+
+def test_corpus_pipeline_drops_then_cuts(spark):
+    """Both stages of the combined pipeline fire: a near-complete copy
+    is DROPPED at the coverage threshold, and a partial overlap between
+    two SURVIVORS is still cut (higher doc_id side) in stage 2."""
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_corpus,
+    )
+
+    shared = _words("s", 10)
+    d0 = _words("a", 6) + " " + shared + " " + _words("z", 6)  # survives
+    d1 = _words("b", 7) + " " + shared + " " + _words("y", 7)  # survives
+    d2 = shared  # 100% covered -> dropped
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup_corpus(
+            _docs(spark, [d0, d1, d2]), k=6, min_len=8, drop_coverage=0.99
+        ).collect()
+    }
+    assert 2 not in out  # dropped: emits no row
+    assert out[0].clean_text == d0 and out[0].n_cut_tokens == 0
+    # stage 2 re-detects the d0/d1 overlap among survivors and cuts
+    # d1's copy (higher doc_id)
+    assert out[1].clean_text == _words("b", 7) + " " + _words("y", 7)
+    assert out[1].n_cut_tokens == 10
