@@ -601,13 +601,28 @@ def ensure_semdedup_centroids(spark: SparkSession) -> str:
     )
 
 
+# Loaded-artifact memo: artifact values are immutable per published
+# version, so the ensure + attach + O(k) collect is paid once per
+# process, not once per query run (the bench measures probe cost, not
+# re-attach cost). A refit publishes a new version under the same
+# name, so long-lived processes that must observe refits should call
+# the ensure_* functions directly (the loaders' values are the fit
+# this process started with — the same contract as the memoized
+# K-Means fits).
+_ARTIFACT_CACHE: dict[str, object] = {}
+
+
 def load_semdedup_centroids(spark: SparkSession) -> list[list[float]]:
     """The fitted SemDeDup centroids VIA the served artifact (attach
     or publish, then one O(k) collect) — byte-identical to the code
     literals, so every consumer's oracle parity is unchanged."""
-    t = ensure_semdedup_centroids(spark)
-    rows = spark.table(t).orderBy("cell").collect()
-    return [list(r.centroid) for r in rows]
+    if "semdedup_centroids" not in _ARTIFACT_CACHE:
+        t = ensure_semdedup_centroids(spark)
+        rows = spark.table(t).orderBy("cell").collect()
+        _ARTIFACT_CACHE["semdedup_centroids"] = [
+            list(r.centroid) for r in rows
+        ]
+    return _ARTIFACT_CACHE["semdedup_centroids"]
 
 
 def ensure_pq_codebooks(spark: SparkSession) -> str:
@@ -639,11 +654,13 @@ def ensure_pq_codebooks(spark: SparkSession) -> str:
 def load_pq_codebooks(spark: SparkSession) -> list[list[list[float]]]:
     """The fitted PQ codebooks VIA the served artifact — identical to
     make_pq_codebooks()'s values (float64 through parquet is exact)."""
-    t = ensure_pq_codebooks(spark)
-    rows = spark.table(t).orderBy("subspace", "code").collect()
-    books: dict[int, dict[int, list[float]]] = {}
-    for r in rows:
-        books.setdefault(r.subspace, {})[r.code] = list(r.centroid)
-    return [
-        [books[m][c] for c in sorted(books[m])] for m in sorted(books)
-    ]
+    if "pq_codebooks" not in _ARTIFACT_CACHE:
+        t = ensure_pq_codebooks(spark)
+        rows = spark.table(t).orderBy("subspace", "code").collect()
+        books: dict[int, dict[int, list[float]]] = {}
+        for r in rows:
+            books.setdefault(r.subspace, {})[r.code] = list(r.centroid)
+        _ARTIFACT_CACHE["pq_codebooks"] = [
+            [books[m][c] for c in sorted(books[m])] for m in sorted(books)
+        ]
+    return _ARTIFACT_CACHE["pq_codebooks"]
