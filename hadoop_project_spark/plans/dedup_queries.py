@@ -1052,3 +1052,181 @@ def exact_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus(docs)
+
+
+# ---------------------------------------------------------------------------
+# The LSM near-dup gate (round 11): streaming/lsh_segments.py — the
+# gate's LSH band-key state as segments + compaction + versioned
+# serving, replacing the append-forever batch_id-partitioned state of
+# streaming/dedup_gate.py for long-lived ingest.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neardup_gate_lsm_admissions",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=f"""
+    WITH {_sql_bands_ctes()},
+    flagged AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a
+      JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id > b.doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           (f.doc_id IS NOT NULL) AS flagged
+    FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "streaming", "roundtrip", "extension"),
+)
+def neardup_gate_lsm_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSM near-dup gate's admission decisions, hash-certified end
+    to end: the corpus arrives as FOUR doc_id-ordered micro-batches,
+    each probed against base ∪ live band-key segments BEFORE its own
+    keys publish (streaming/lsh_segments.py — one immutable segment per
+    batch via the object-store-safe MANIFEST protocol), with a
+    compaction into the (band, key)-bucketed served state layout fired
+    mid-stream (after batch 1) and one deliberately replayed batch
+    exercising the idempotence skip. Matching the same oracle as
+    neardup_gate_admissions — "flagged iff the doc shares an LSH band
+    key with any lower doc_id" — proves segment ingest → mid-stream
+    compaction → replay-skip → base ∪ segments probing loses (and
+    invents) nothing vs the one-shot batch twin: for doc_id-RANGE
+    batches, 'collides with an earlier batch's state or with a lower
+    doc_id in the same batch' telescopes to exactly that predicate,
+    and the base/segment split at probe time is compaction-invariant."""
+    import os
+    import shutil
+    import tempfile
+    from functools import reduce
+
+    from hadoop_project_spark.streaming.lsh_segments import (
+        admission_flags,
+        compact_bandkeys_segments,
+        gate_state,
+        make_bandkeys_segment_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # O(1) driver state: one scalar bound to derive the batch ranges
+    n = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [(int(n) + 1) * b // 4 for b in range(5)]
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    seg_root = os.path.join(
+        # pid-namespaced against concurrent same-host drivers
+        tempfile.gettempdir(), f"rt_lsh_segs_{sf}_{os.getpid()}"
+    )
+    shutil.rmtree(seg_root, ignore_errors=True)
+    table = f"rt_lsh_state_{sf}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sink = make_bandkeys_segment_sink(seg_root, publish="manifest")
+    flags = []
+    for b in range(4):
+        batch = docs.filter(
+            (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
+        )
+        # probe against the state as of BEFORE this batch: the segment
+        # listing happens here (driver time), so the lazy plan reads
+        # exactly the already-published segments + the folded base
+        flags.append(admission_flags(batch, gate_state(spark, seg_root, table)))
+        sink(batch, b)
+        if b == 1:
+            compact_bandkeys_segments(spark, seg_root, table)
+    # replayed batch: manifest already committed -> publish is a no-op
+    sink(
+        docs.filter(
+            (F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])
+        ),
+        1,
+    )
+    return reduce(DataFrame.unionByName, flags)
+
+
+@register(
+    "neardup_gate_served_probe",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=f"""
+    WITH {_sql_bands_ctes()},
+    cut AS (SELECT (3 * (MAX(doc_id) + 1)) // 4 AS c FROM documents),
+    flagged AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+      JOIN cut ON a.doc_id >= cut.c AND b.doc_id < cut.c
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           (f.doc_id IS NOT NULL) AS flagged
+    FROM documents d
+    JOIN cut ON d.doc_id >= cut.c
+    LEFT JOIN flagged f ON d.doc_id = f.doc_id
+    """,
+    tags=("dedup", "minhash", "lsh", "streaming", "serving", "extension"),
+)
+def neardup_gate_served_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gate's CROSS-SESSION serving shape, hash-certified: the
+    first three quarters of the corpus are ingested as three band-key
+    segments and compacted into the (band, key)-bucketed served state
+    layout; the catalog entry is then DROPPED (a fresh session's view)
+    and the probe goes through gate_state's auto-ATTACH of the live
+    version (metadata only — the cross-session resume path); finally
+    the LAST quarter probes the attached state as one micro-batch.
+    Flagged = shares a band key with any doc in the served state
+    (lower three quarters). The probe join is bucket-local on the
+    state side — the corpus-sized folded state moves zero bytes; only
+    the O(batch) probe keys shuffle (gated in
+    tests/test_plan_shapes.py)."""
+    import os
+    import shutil
+    import tempfile
+
+    from hadoop_project_spark.streaming.dedup_gate import batch_band_keys
+    from hadoop_project_spark.streaming.lsh_segments import (
+        compact_bandkeys_segments,
+        gate_state,
+        make_bandkeys_segment_sink,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = 3 * (int(n) + 1) // 4
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    seg_root = os.path.join(
+        tempfile.gettempdir(), f"rt_lsh_srv_segs_{sf}_{os.getpid()}"
+    )
+    shutil.rmtree(seg_root, ignore_errors=True)
+    table = f"rt_lsh_srv_state_{sf}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sink = make_bandkeys_segment_sink(seg_root)
+    for b in range(3):
+        sink(
+            docs.filter(
+                (F.col("doc_id") >= cut * b // 3)
+                & (F.col("doc_id") < cut * (b + 1) // 3)
+            ),
+            b,
+        )
+    compact_bandkeys_segments(spark, seg_root, table)
+    # fresh-session view: drop the catalog entry; gate_state below
+    # re-attaches the live version (no data read, no fold)
+    spark.sql(f"DROP TABLE {table}")
+    probe = docs.filter(F.col("doc_id") >= cut)
+    # state-hits only (no within-batch leg): this relation isolates
+    # the SERVED-state probe — the new-data-vs-old-corpus question a
+    # cross-session gate answers; admission_flags' within-batch leg is
+    # certified by neardup_gate_lsm_admissions
+    state = gate_state(spark, seg_root, table)
+    keys = batch_band_keys(probe)
+    hits = (
+        keys.join(state.select("band", "key"), ["band", "key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("flagged", F.lit(True))
+    )
+    return (
+        probe.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("flagged", F.lit(False)).alias("flagged"),
+        )
+    )

@@ -339,6 +339,27 @@ def index_served_tables(
     ]
 
 
+def bandkeys_served_table(name: str, n_buckets: int) -> ServedTable:
+    """The near-dup gate's folded LSH-state layout spec — the serving
+    contract of the LSM gate state (streaming/lsh_segments.py).
+    Bucketed on EXACTLY the probe join's keys (band, key): Spark's
+    co-partition check requires all join keys by default
+    (requireAllClusterKeysForCoPartition), so this spec is what makes
+    the corpus-sized state side move ZERO bytes per probe — only the
+    O(batch) probe keys shuffle into the state's bucketing. SORTED BY
+    leads with the bucket keys so the sort-merge side needs no re-sort,
+    and a future bloom/IN pushdown of a batch's key set gets row-group
+    min/max skipping for free."""
+    return ServedTable(
+        name,
+        "bandkeys",
+        "doc_id BIGINT, band INT, key STRING",
+        ("band", "key"),
+        n_buckets,
+        ("band", "key", "doc_id"),
+    )
+
+
 def codes_served_table(name: str) -> ServedTable:
     """The ANN codes index's served layout spec (cell-partitioned PQ
     codes) — shared by ensure_served_ivfpq and the ANN LSM compaction

@@ -40,6 +40,10 @@ MUST_VERIFY = {
     # drop-then-cut FINAL corpus
     "exact_substring_dedup_rewrite",
     "exact_substring_dedup_corpus",
+    # round-11 new: the LSM near-dup gate (streaming/lsh_segments.py —
+    # the gate's LSH state as segments + compaction + versioned serving)
+    "neardup_gate_lsm_admissions",
+    "neardup_gate_served_probe",
     # operators/substring.py refactored (merge_intervals factored out,
     # shared by spans/coverage/rewrite) — re-certify the r10 pair
     "exact_substring_spans",
