@@ -44,6 +44,12 @@ MUST_VERIFY = {
     # the gate's LSH state as segments + compaction + versioned serving)
     "neardup_gate_lsm_admissions",
     "neardup_gate_served_probe",
+    # round-11 new: the TRAINED quality classifier (operators/
+    # lrquality.py — hard-sigmoid fixed-point logistic distillation,
+    # full fit oracle-replayed)
+    "quality_lr_train",
+    "quality_lr_corpus_filter",
+    "quality_lr_eval",
     # operators/substring.py refactored (merge_intervals factored out,
     # shared by spans/coverage/rewrite) — re-certify the r10 pair
     "exact_substring_spans",
