@@ -104,10 +104,14 @@ def _sql_prefix(iters: int = LR_ITERS) -> str:
     return f"WITH {_SQL_FEATS},\n    {_sql_fit_chain(iters)}"
 
 
-# One fit per (sf_dir, data fingerprint) — the weights are a plain
-# 4-int list independent of the SparkSession; refitting per query
-# would re-run LR_ITERS aggregate jobs for an identical result (the
-# same memo contract as the K-Means _FIT_CACHE).
+# The trained weights are SERVED model state (VERDICT r10 #6's
+# governance, applied to a genuinely fitted artifact): _fitted routes
+# through serving.ensure_trained_artifact, whose fingerprint is the
+# documents parquet + every fit parameter — an unchanged corpus
+# ATTACHES the published weights (zero training jobs, cross-session),
+# a regenerated corpus refits and publishes a new version. The
+# in-process memo below is keyed by that same source fingerprint, so
+# even a mid-process fixture regeneration invalidates it.
 _FIT_CACHE: dict[tuple, list[int]] = {}
 
 
@@ -118,20 +122,39 @@ def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features_quantized(docs)
 
 
+_FIT_PARAMS = (
+    f"it{LR_ITERS}:fq{FQ}:den{LR_DEN}:w{W}:"
+    f"feat{len(LR_FEATURES)}:qs{QS_THRESHOLD}"
+)
+
+
 def _fitted(spark: SparkSession, sf_dir: str, feats: DataFrame) -> list[int]:
-    row = (
-        load_table(spark, sf_dir, "documents")
-        .agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.crc32(F.col("doc_id").cast("string"))), F.lit(0)
-            ).alias("h"),
-        )
-        .first()
+    import os
+
+    from hadoop_project_spark.serving import (
+        _sf_tag,
+        ensure_trained_artifact,
+        source_fingerprint,
     )
-    key = (sf_dir, int(row["n"]), int(row["h"]))
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = (sf_dir, source_fingerprint(src, extra=_FIT_PARAMS))
     if key not in _FIT_CACHE:
-        _FIT_CACHE[key] = lr_fit(eager_pin(feats), iters=LR_ITERS)
+        t = ensure_trained_artifact(
+            spark,
+            f"lr_quality_{_sf_tag(sf_dir)}",
+            "feature STRING, wq BIGINT",
+            src,
+            _FIT_PARAMS,
+            lambda: [
+                (name, int(w))
+                for name, w in zip(
+                    LR_FEATURES, lr_fit(eager_pin(feats), iters=LR_ITERS)
+                )
+            ],
+        )
+        by_name = {r["feature"]: int(r["wq"]) for r in spark.table(t).collect()}
+        _FIT_CACHE[key] = [by_name[name] for name in LR_FEATURES]
     return _FIT_CACHE[key]
 
 

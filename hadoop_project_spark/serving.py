@@ -605,6 +605,41 @@ def ensure_served_artifact(
     return tname
 
 
+def ensure_trained_artifact(
+    spark: SparkSession,
+    name: str,
+    schema_ddl: str,
+    src: str,
+    fp_extra: str,
+    fit_rows: Callable[[], list[tuple]],
+) -> str:
+    """Attach-or-FIT one trained-artifact table: like
+    ensure_served_artifact, but for model state whose values come from
+    a FIT over a source relation (the trained quality classifier's
+    weights). The fingerprint is the SOURCE parquet's (plus fit
+    parameters), so a corpus change forces a refit and publishes a new
+    version, while an unchanged corpus attaches the previously fitted
+    values without re-running a single training job — the
+    train-once/score-everywhere split, under the same versioned
+    staleness governance as every served layout. ``fit_rows`` runs
+    only on staleness."""
+    tname = f"srv_art_{name}"
+    root = os.path.join(warehouse_path(spark), "served", f"art_{name}")
+    tables = [ServedTable(tname, "rows", schema_ddl)]
+    fp = source_fingerprint(src, extra=f"v{LAYOUT_VERSION}:{fp_extra}")
+
+    def build(staging: str) -> None:
+        (
+            spark.createDataFrame(fit_rows(), schema_ddl)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tables[0].location(staging))
+        )
+
+    attach_or_build(spark, root, fp, tables, build)
+    return tname
+
+
 def ensure_semdedup_centroids(spark: SparkSession) -> str:
     """The SemDeDup coarse quantizer (plans/semdedup_centroids.py —
     fitted by scripts/fit_semdedup_centroids.py on the sf0.01

@@ -107,3 +107,49 @@ def test_scoring_scan_has_no_shuffle(spark, sf_dir):
     scored = lr_score(_feats(spark, sf_dir), [1, 2, 3, 4])
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_trained_weights_attach_or_refit(spark, tmp_path):
+    """The trained weights are served model state: an unchanged source
+    ATTACHES the published values (the fit callback never runs), a
+    regenerated source refits and publishes a new version — the
+    train-once/score-everywhere split under fingerprint governance."""
+    from hadoop_project_spark.serving import ensure_trained_artifact
+
+    src = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id bigint, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    calls = []
+
+    def fit_rows():
+        calls.append(1)
+        return [("bias", len(calls))]
+
+    name = "lr_test_governance"
+    spark.sql(f"DROP TABLE IF EXISTS srv_art_{name}")
+    t = ensure_trained_artifact(
+        spark, name, "feature STRING, wq BIGINT", src, "p1", fit_rows
+    )
+    assert len(calls) == 1
+    assert spark.table(t).collect()[0]["wq"] == 1
+
+    # unchanged source, fresh catalog: attach, no refit
+    spark.sql(f"DROP TABLE {t}")
+    ensure_trained_artifact(
+        spark, name, "feature STRING, wq BIGINT", src, "p1", fit_rows
+    )
+    assert len(calls) == 1
+    assert spark.table(t).collect()[0]["wq"] == 1
+
+    # regenerated source: fingerprint mismatch -> refit, new version
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f"), (3, "g h i")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    ensure_trained_artifact(
+        spark, name, "feature STRING, wq BIGINT", src, "p1", fit_rows
+    )
+    assert len(calls) == 2
+    assert spark.table(t).collect()[0]["wq"] == 2
