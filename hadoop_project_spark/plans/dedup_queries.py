@@ -1101,10 +1101,12 @@ def neardup_gate_lsm_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     from hadoop_project_spark.streaming.lsh_segments import (
+        _prepare_bandkeys,
         admission_flags,
         compact_bandkeys_segments,
         gate_state,
         make_bandkeys_segment_sink,
+        publish_bandkeys_segment,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1119,21 +1121,27 @@ def neardup_gate_lsm_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(seg_root, ignore_errors=True)
     table = f"rt_lsh_state_{sf}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    sink = make_bandkeys_segment_sink(seg_root, publish="manifest")
     flags = []
     for b in range(4):
         batch = docs.filter(
             (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
         )
-        # probe against the state as of BEFORE this batch: the segment
-        # listing happens here (driver time), so the lazy plan reads
-        # exactly the already-published segments + the folded base
-        flags.append(admission_flags(batch, gate_state(spark, seg_root, table)))
-        sink(batch, b)
+        # one pinned key relation per batch feeds BOTH the probe and
+        # the publish; the probe targets the state as of BEFORE this
+        # batch (the segment listing happens here, driver time, so the
+        # lazy plan reads exactly the already-published segments + the
+        # folded base)
+        keys = eager_pin(_prepare_bandkeys(batch))
+        flags.append(
+            admission_flags(
+                batch, gate_state(spark, seg_root, table), keys=keys
+            )
+        )
+        publish_bandkeys_segment(keys, seg_root, b, publish="manifest")
         if b == 1:
             compact_bandkeys_segments(spark, seg_root, table)
     # replayed batch: manifest already committed -> publish is a no-op
-    sink(
+    make_bandkeys_segment_sink(seg_root, publish="manifest")(
         docs.filter(
             (F.col("doc_id") >= cuts[1]) & (F.col("doc_id") < cuts[2])
         ),

@@ -37,6 +37,14 @@ crash mid-write is healed by the replay.
 tests/test_streaming.py proves multi-batch equivalence: the final
 state equals the batch-computed band keys, and the flagged set equals
 a post-hoc recomputation from the recorded batch roster.
+
+Round 11: for LONG-LIVED ingest, streaming/lsh_segments.py supersedes
+this state layout — the same band keys kept as LSM segments with
+compaction into a (band, key)-bucketed served layout (bounded file
+counts, cross-session attach, bucket-local probes). This module stays
+as the minimal batch_id-partitioned form and the home of the shared
+batch_band_keys / gate_flags_for_ordered_corpus pipeline both gates
+certify against.
 """
 
 from __future__ import annotations
