@@ -23,12 +23,12 @@ from hadoop_project_spark.operators.lrquality import (
     LR_DEN,
     LR_FEATURES,
     LR_ITERS,
+    QS_THRESHOLD,
     W,
     lr_fit,
     lr_score,
     quality_features_quantized,
 )
-from hadoop_project_spark.operators.lrquality import QS_THRESHOLD
 from hadoop_project_spark.plans.registry import register
 from hadoop_project_spark.plans.text_pipeline import (
     SQL_NTOK,
