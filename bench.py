@@ -90,9 +90,20 @@ def _normalized_deltas(result: dict) -> dict | None:
     (t_now / t_prev) / host_scale. Normalized deltas inside
     [1/1.5, 1.5] are the drift band; outside it AND >= 1 s now is an
     A/B-adjudication candidate, surfaced in "flagged". Returns None
-    when there is no committed artifact to compare against."""
+    when there is no committed artifact to compare against.
+
+    The comparison artifact is chosen BY SCALE FACTOR (round-11 review
+    finding: hardcoding bench_results.json left sf1 runs without drift
+    detection despite a committed bench_results_sf1.json): sf1 runs
+    compare against the sf1 artifact, everything else against the
+    default sf0.1 one; a residual sf mismatch still returns None."""
+    name = (
+        "bench_results_sf1.json"
+        if result.get("sf") == 1.0
+        else "bench_results.json"
+    )
     prev_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_results.json"
+        os.path.dirname(os.path.abspath(__file__)), name
     )
     try:
         with open(prev_path) as fh:

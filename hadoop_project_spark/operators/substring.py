@@ -246,13 +246,14 @@ def exact_substring_dedup_rewrite(
 
 
 # Whole-document drop threshold for the combined dedup pipeline: a
-# document whose merged-interval duplication coverage reaches this
-# fraction is boilerplate/near-copy and is DROPPED outright; documents
-# below it survive into the span-cut pass. 0.99 (not 0.5) because the
-# fixture's duplicated docs are near-full copies (sf0.01 coverage
-# min 0.917, median 1.0) — the threshold must split that band for both
-# pipeline stages to do real work, and dup_fraction is cross-engine
-# bit-exact so the comparison is safe.
+# document whose REMOVED-SIDE merged-interval coverage (spans whose
+# canonical copy lives in a lower doc_id — doc_drop_coverage) reaches
+# this fraction is a near-complete copy of earlier documents and is
+# DROPPED outright; documents below it survive into the span-cut pass.
+# 0.99 (not 0.5) because the fixture's duplicated docs are near-full
+# copies (sf0.01 coverage min 0.917, median 1.0) — the threshold must
+# split that band for both pipeline stages to do real work, and
+# dup_fraction is cross-engine bit-exact so the comparison is safe.
 DROP_COVERAGE = 0.99
 
 
@@ -267,10 +268,16 @@ def exact_substring_dedup_corpus(
     combined exact-substring dedup pipeline — both standard policies
     composed in their production order:
 
-    1. DROP documents whose duplication coverage
-       (doc_duplication_coverage, both-sides interval-merged) reaches
-       ``drop_coverage`` — they are near-complete copies; rewriting
-       them would ship fragments of boilerplate;
+    1. DROP documents whose REMOVED-SIDE duplication coverage
+       (doc_drop_coverage: spans whose canonical copy lives in a
+       lower doc_id, interval-merged) reaches ``drop_coverage`` —
+       they are near-complete copies of earlier documents; rewriting
+       them would ship fragments of boilerplate. Removed-side (not
+       the both-sides report) is what preserves a canonical: under
+       both-sides coverage a mutual full-copy pair scores 1.0 on BOTH
+       members and the whole cluster — passage included — would
+       vanish from the corpus; removed-side scores the cluster's
+       lowest doc_id 0 and keeps it (round-11 review finding);
     2. re-detect spans among the SURVIVORS and CUT those
        (exact_substring_dedup_rewrite) — a span whose canonical
        partner was dropped in stage 1 is no longer duplicated text and
@@ -281,7 +288,7 @@ def exact_substring_dedup_corpus(
     corpus pass — exactly what a staged pipeline does; each pass is
     the same blocked, never-all-pairs plan). Dropped documents emit no
     row: the output IS the training corpus."""
-    cov = doc_duplication_coverage(docs, k, min_len, max_gram_occ)
+    cov = doc_drop_coverage(docs, k, min_len, max_gram_occ)
     dropped = cov.filter(
         F.col("dup_fraction") >= F.lit(drop_coverage)
     ).select("doc_id")
@@ -308,8 +315,6 @@ def doc_duplication_coverage(
     covered by several overlapping spans counts once. dup_fraction is
     one correctly-rounded double division of exact integers —
     cross-engine bit-equal."""
-    from hadoop_project_spark.functions.text import normalize_text
-
     spans = exact_substring_spans(docs, k, min_len, max_gram_occ)
     # DISTINCT is load-bearing, not an optimization: the island scan
     # orders by (s, e), and duplicate intervals (the same span shared
@@ -328,6 +333,40 @@ def doc_duplication_coverage(
             (F.col("start_b") + F.col("len_tokens")).alias("e"),
         )
     ).distinct()
+    return _coverage_from_sides(docs, sides)
+
+
+def doc_drop_coverage(
+    docs: DataFrame,
+    k: int = K_GRAM,
+    min_len: int = MIN_SPAN,
+    max_gram_occ: int = MAX_GRAM_OCC,
+) -> DataFrame:
+    """doc_duplication_coverage restricted to the REMOVED side: the
+    fraction of the document covered by spans whose canonical copy
+    lives in a LOWER doc_id. This — not the both-sides report — is the
+    whole-document DROP criterion: under both-sides coverage a mutual
+    full-copy pair scores 1.0 on BOTH members, so a drop-threshold
+    pass deletes the entire cluster and the passage vanishes from the
+    corpus (round-11 review finding); under removed-side coverage the
+    cluster's lowest doc_id has no lower-id partner, scores 0, and
+    keeps the canonical occurrence — the same keep-lowest orientation
+    every cut in this module uses."""
+    spans = exact_substring_spans(docs, k, min_len, max_gram_occ)
+    sides = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("len_tokens")).alias("e"),
+    ).distinct()
+    return _coverage_from_sides(docs, sides)
+
+
+def _coverage_from_sides(docs: DataFrame, sides: DataFrame) -> DataFrame:
+    """Merged-interval coverage of a DISTINCT (doc_id, s, e) interval
+    relation against the documents' token counts — shared by the
+    both-sides diagnostic and the removed-side drop criterion."""
+    from hadoop_project_spark.functions.text import normalize_text
+
     merged = merge_intervals(sides)
     cov = merged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),

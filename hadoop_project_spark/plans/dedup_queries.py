@@ -572,7 +572,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(F.col("n").alias("doc_id"), "component")
 
 
-def _sql_exact_substring_spans() -> str:
+def _sql_span_pipeline(src: str, sfx: str = "") -> str:
+    """CTE chain kg{sfx} -> capped{sfx} -> m{sfx} -> runs{sfx} ->
+    spans{sfx} -> fspans{sfx} over token-array CTE ``src``: the k-gram
+    anchor -> occurrence cap -> diagonal join -> island span pipeline,
+    defined ONCE and shared by all four exact-substring oracles (a
+    pipeline change cannot silently diverge them; the suffix lets one
+    oracle run it twice, e.g. full corpus then survivors)."""
     from hadoop_project_spark.operators.substring import (
         K_GRAM,
         MAX_GRAM_OCC,
@@ -580,44 +586,78 @@ def _sql_exact_substring_spans() -> str:
     )
 
     k = K_GRAM
+    return f"""kg{sfx} AS (
+      -- 0-based window starts, mirroring the engine's postings positions
+      SELECT doc_id, i - 1 AS pos,
+             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
+      FROM {src}, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
+    ),
+    capped{sfx} AS (
+      SELECT * FROM (
+        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
+        FROM kg{sfx}
+      ) WHERE n_occ <= {MAX_GRAM_OCC}
+    ),
+    m{sfx} AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             a.pos - b.pos AS diag, a.pos AS pa
+      FROM capped{sfx} a JOIN capped{sfx} b
+        ON a.g = b.g AND a.doc_id < b.doc_id
+    ),
+    runs{sfx} AS (
+      SELECT da, db, diag, pa,
+             pa - row_number() OVER (
+               PARTITION BY da, db, diag ORDER BY pa) AS isl
+      FROM m{sfx}
+    ),
+    spans{sfx} AS (
+      SELECT da, db, diag, MIN(pa) AS sa,
+             MAX(pa) - MIN(pa) + {k} AS len
+      FROM runs{sfx} GROUP BY da, db, diag, isl
+    ),
+    fspans{sfx} AS (SELECT * FROM spans{sfx} WHERE len >= {MIN_SPAN})"""
+
+
+def _sql_merge_intervals_cte(src: str, p: str) -> str:
+    """CTE chain {p}ord -> {p}isl -> {p}merged(doc_id, iid, ms, me):
+    the running-max island merge of a DISTINCT (doc_id, s, e) CTE —
+    the SQL twin of operators/substring.merge_intervals, defined once
+    for its three oracle uses (coverage sides, rewrite cuts, corpus
+    drop+cut). DISTINCT input is load-bearing: duplicate intervals
+    would tie the windows' (s, e) ordering (nondeterministic island
+    splits)."""
+    return f"""{p}ord AS (
+      SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+      FROM {src}
+    ),
+    {p}isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS iid
+      FROM {p}ord
+    ),
+    {p}merged AS (
+      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
+      FROM {p}isl GROUP BY doc_id, iid
+    )"""
+
+
+def _sql_exact_substring_spans() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
     ),
-    kg AS (
-      -- 0-based window starts, mirroring the engine's postings positions
-      SELECT doc_id, i - 1 AS pos,
-             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
-      FROM toks, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
-    ),
-    capped AS (
-      SELECT * FROM (
-        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
-        FROM kg
-      ) WHERE n_occ <= {MAX_GRAM_OCC}
-    ),
-    m AS (
-      SELECT a.doc_id AS da, b.doc_id AS db,
-             a.pos - b.pos AS diag, a.pos AS pa
-      FROM capped a JOIN capped b
-        ON a.g = b.g AND a.doc_id < b.doc_id
-    ),
-    runs AS (
-      SELECT da, db, diag, pa,
-             pa - row_number() OVER (
-               PARTITION BY da, db, diag ORDER BY pa) AS isl
-      FROM m
-    ),
-    spans AS (
-      SELECT da, db, diag, MIN(pa) AS sa,
-             MAX(pa) - MIN(pa) + {k} AS len
-      FROM runs GROUP BY da, db, diag, isl
-    )
+    {_sql_span_pipeline("toks")}
     SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b,
            CAST(sa AS BIGINT) AS start_a,
            CAST(sa - diag AS BIGINT) AS start_b,
            CAST(len AS BIGINT) AS len_tokens
-    FROM spans WHERE len >= {MIN_SPAN}
+    FROM fspans
     """
 
 
@@ -645,79 +685,25 @@ def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_doc_duplication_coverage() -> str:
-    from hadoop_project_spark.operators.substring import (
-        K_GRAM,
-        MAX_GRAM_OCC,
-        MIN_SPAN,
-    )
-
-    k = K_GRAM
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
     ),
-    kg AS (
-      SELECT doc_id, i - 1 AS pos,
-             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
-      FROM toks, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
-    ),
-    capped AS (
-      SELECT * FROM (
-        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
-        FROM kg
-      ) WHERE n_occ <= {MAX_GRAM_OCC}
-    ),
-    m AS (
-      SELECT a.doc_id AS da, b.doc_id AS db,
-             a.pos - b.pos AS diag, a.pos AS pa
-      FROM capped a JOIN capped b
-        ON a.g = b.g AND a.doc_id < b.doc_id
-    ),
-    runs AS (
-      SELECT da, db, diag, pa,
-             pa - row_number() OVER (
-               PARTITION BY da, db, diag ORDER BY pa) AS isl
-      FROM m
-    ),
-    spans AS (
-      SELECT da, db, diag, MIN(pa) AS sa,
-             MAX(pa) - MIN(pa) + {k} AS len
-      FROM runs GROUP BY da, db, diag, isl
-    ),
-    fspans AS (SELECT * FROM spans WHERE len >= {MIN_SPAN}),
+    {_sql_span_pipeline("toks")},
     sides AS (
-      -- DISTINCT is load-bearing: duplicate intervals would tie the
-      -- island windows' (s, e) ordering (nondeterministic splits);
-      -- unique rows give them a total order (see operators/substring)
+      -- BOTH sides: this is the diagnostic report (how duplicated is
+      -- each doc), not the drop criterion (see the corpus oracle)
       SELECT DISTINCT doc_id, s, e FROM (
         SELECT da AS doc_id, sa AS s, sa + len AS e FROM fspans
         UNION ALL
         SELECT db, sa - diag, sa - diag + len FROM fspans
       )
     ),
-    ordspans AS (
-      SELECT doc_id, s, e,
-             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS pmax
-      FROM sides
-    ),
-    islands AS (
-      SELECT doc_id, s, e,
-             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s, e
-                     ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS iid
-      FROM ordspans
-    ),
-    merged AS (
-      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
-      FROM islands GROUP BY doc_id, iid
-    ),
+    {_sql_merge_intervals_cte("sides", "s")},
     cov AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
              CAST(SUM(me - ms) AS BIGINT) AS dup_tokens
-      FROM merged GROUP BY doc_id
+      FROM smerged GROUP BY doc_id
     )
     SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
            CAST(len(t.t) AS BIGINT) AS n_tokens,
@@ -753,72 +739,19 @@ def doc_duplication_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_exact_substring_dedup_rewrite() -> str:
-    from hadoop_project_spark.operators.substring import (
-        K_GRAM,
-        MAX_GRAM_OCC,
-        MIN_SPAN,
-    )
-
-    k = K_GRAM
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
     ),
-    kg AS (
-      SELECT doc_id, i - 1 AS pos,
-             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
-      FROM toks, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
-    ),
-    capped AS (
-      SELECT * FROM (
-        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
-        FROM kg
-      ) WHERE n_occ <= {MAX_GRAM_OCC}
-    ),
-    m AS (
-      SELECT a.doc_id AS da, b.doc_id AS db,
-             a.pos - b.pos AS diag, a.pos AS pa
-      FROM capped a JOIN capped b
-        ON a.g = b.g AND a.doc_id < b.doc_id
-    ),
-    runs AS (
-      SELECT da, db, diag, pa,
-             pa - row_number() OVER (
-               PARTITION BY da, db, diag ORDER BY pa) AS isl
-      FROM m
-    ),
-    spans AS (
-      SELECT da, db, diag, MIN(pa) AS sa,
-             MAX(pa) - MIN(pa) + {k} AS len
-      FROM runs GROUP BY da, db, diag, isl
-    ),
-    fspans AS (SELECT * FROM spans WHERE len >= {MIN_SPAN}),
+    {_sql_span_pipeline("toks")},
     -- lowest doc_id keeps: only the doc_b side of each span is cut
     cuts AS (
       SELECT DISTINCT db AS doc_id, sa - diag AS s, sa - diag + len AS e
       FROM fspans
     ),
-    ordspans AS (
-      SELECT doc_id, s, e,
-             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS pmax
-      FROM cuts
-    ),
-    islands AS (
-      SELECT doc_id, s, e,
-             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s, e
-                     ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS iid
-      FROM ordspans
-    ),
-    merged AS (
-      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
-      FROM islands GROUP BY doc_id, iid
-    ),
+    {_sql_merge_intervals_cte("cuts", "c")},
     cutdocs AS (
-      SELECT doc_id, SUM(me - ms) AS n_cut FROM merged GROUP BY doc_id
+      SELECT doc_id, SUM(me - ms) AS n_cut FROM cmerged GROUP BY doc_id
     ),
     tok AS (
       SELECT doc_id, i - 1 AS pos, t[i] AS term
@@ -829,7 +762,7 @@ def _sql_exact_substring_dedup_rewrite() -> str:
       SELECT tk.doc_id, tk.pos, tk.term
       FROM tok tk JOIN cutdocs c ON c.doc_id = tk.doc_id
       WHERE NOT EXISTS (
-        SELECT 1 FROM merged mm
+        SELECT 1 FROM cmerged mm
         WHERE mm.doc_id = tk.doc_id
           AND tk.pos >= mm.ms AND tk.pos < mm.me
       )
@@ -876,82 +809,25 @@ def exact_substring_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _sql_exact_substring_dedup_corpus() -> str:
-    from hadoop_project_spark.operators.substring import (
-        DROP_COVERAGE,
-        K_GRAM,
-        MAX_GRAM_OCC,
-        MIN_SPAN,
-    )
-
-    k = K_GRAM
-
-    def span_pipeline(src: str, sfx: str) -> str:
-        """The k-gram anchor → cap → diagonal join → island span
-        pipeline over token-array CTE ``src``, CTE names suffixed so
-        the oracle can run it twice (full corpus, then survivors)."""
-        return f"""
-    kg{sfx} AS (
-      SELECT doc_id, i - 1 AS pos,
-             list_aggregate(t[i:i + {k} - 1], 'string_agg', ' ') AS g
-      FROM {src}, UNNEST(range(1, len(t) - {k} + 2)) AS u(i)
-    ),
-    capped{sfx} AS (
-      SELECT * FROM (
-        SELECT doc_id, pos, g, COUNT(*) OVER (PARTITION BY g) AS n_occ
-        FROM kg{sfx}
-      ) WHERE n_occ <= {MAX_GRAM_OCC}
-    ),
-    m{sfx} AS (
-      SELECT a.doc_id AS da, b.doc_id AS db,
-             a.pos - b.pos AS diag, a.pos AS pa
-      FROM capped{sfx} a JOIN capped{sfx} b
-        ON a.g = b.g AND a.doc_id < b.doc_id
-    ),
-    runs{sfx} AS (
-      SELECT da, db, diag, pa,
-             pa - row_number() OVER (
-               PARTITION BY da, db, diag ORDER BY pa) AS isl
-      FROM m{sfx}
-    ),
-    spans{sfx} AS (
-      SELECT da, db, diag, MIN(pa) AS sa,
-             MAX(pa) - MIN(pa) + {k} AS len
-      FROM runs{sfx} GROUP BY da, db, diag, isl
-    ),
-    fspans{sfx} AS (SELECT * FROM spans{sfx} WHERE len >= {MIN_SPAN})"""
+    from hadoop_project_spark.operators.substring import DROP_COVERAGE
 
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
     ),
-    {span_pipeline("toks", "1")},
-    -- stage 1: both-sides coverage -> DROP near-complete copies
+    {_sql_span_pipeline("toks", "1")},
+    -- stage 1: REMOVED-SIDE coverage (spans whose canonical lives in
+    -- a lower doc_id) -> DROP near-complete copies of earlier docs.
+    -- Removed-side, not both-sides: a mutual full-copy pair scores
+    -- 1.0 on both members under both-sides coverage and the whole
+    -- cluster would vanish; the b-side restriction keeps the lowest
+    -- doc_id as the canonical (mirrors operators/substring.
+    -- doc_drop_coverage).
     sides AS (
-      SELECT DISTINCT doc_id, s, e FROM (
-        SELECT da AS doc_id, sa AS s, sa + len AS e FROM fspans1
-        UNION ALL
-        SELECT db, sa - diag, sa - diag + len FROM fspans1
-      )
+      SELECT DISTINCT db AS doc_id, sa - diag AS s, sa - diag + len AS e
+      FROM fspans1
     ),
-    ordsides AS (
-      SELECT doc_id, s, e,
-             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS pmax
-      FROM sides
-    ),
-    sislands AS (
-      SELECT doc_id, s, e,
-             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s, e
-                     ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS iid
-      FROM ordsides
-    ),
-    smerged AS (
-      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
-      FROM sislands GROUP BY doc_id, iid
-    ),
+    {_sql_merge_intervals_cte("sides", "s")},
     dropped AS (
       SELECT c.doc_id FROM (
         SELECT doc_id, SUM(me - ms) AS dup_tokens
@@ -965,30 +841,12 @@ def _sql_exact_substring_dedup_corpus() -> str:
       SELECT doc_id, t FROM toks
       WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
     ),
-    {span_pipeline("surv", "2")},
+    {_sql_span_pipeline("surv", "2")},
     cuts AS (
       SELECT DISTINCT db AS doc_id, sa - diag AS s, sa - diag + len AS e
       FROM fspans2
     ),
-    ordcuts AS (
-      SELECT doc_id, s, e,
-             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING) AS pmax
-      FROM cuts
-    ),
-    cislands AS (
-      SELECT doc_id, s, e,
-             SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
-               OVER (PARTITION BY doc_id ORDER BY s, e
-                     ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS iid
-      FROM ordcuts
-    ),
-    cmerged AS (
-      SELECT doc_id, iid, MIN(s) AS ms, MAX(e) AS me
-      FROM cislands GROUP BY doc_id, iid
-    ),
+    {_sql_merge_intervals_cte("cuts", "c")},
     cutdocs AS (
       SELECT doc_id, SUM(me - ms) AS n_cut FROM cmerged GROUP BY doc_id
     ),
@@ -1032,20 +890,19 @@ def _sql_exact_substring_dedup_corpus() -> str:
 )
 def exact_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FINAL corpus of the combined exact-substring pipeline: drop
-    documents whose duplication coverage reaches DROP_COVERAGE (near-
-    complete copies), then re-detect among survivors and cut remaining
-    shared spans on their higher-doc_id side (lowest doc_id keeps).
-    Dropped documents emit no row — the output is the training corpus.
-    The oracle replays BOTH stages from scratch: the coverage pipeline
-    with its drop threshold, and a second full span pipeline restricted
-    to the survivors, through the interval merge and token splice. At
-    fixture scale the stage-2 cut set is EMPTY (the fixture's
-    duplicates are near-copy pairs, so dropping one member resolves
-    the duplication) — the hash still certifies stage 2 computed that
-    emptiness plus every survivor's pass-through text; the cut path
-    itself is hash-certified on the full corpus by
-    exact_substring_dedup_rewrite, and both-stages-fire semantics are
-    unit-tested (tests/test_substring.py)."""
+    documents whose REMOVED-SIDE duplication coverage reaches
+    DROP_COVERAGE (near-complete copies of EARLIER documents — the
+    removed-side restriction is what keeps every duplicate cluster's
+    lowest doc_id as its canonical; both-sides coverage would delete
+    mutual-copy clusters entirely), then re-detect among survivors and
+    cut remaining shared spans on their higher-doc_id side (lowest
+    doc_id keeps). Dropped documents emit no row — the output is the
+    training corpus. The oracle replays BOTH stages from scratch: the
+    removed-side coverage pipeline with its drop threshold, and a
+    second full span pipeline restricted to the survivors, through the
+    interval merge and token splice. The canonical-preserved and
+    both-stages-fire semantics are unit-tested
+    (tests/test_substring.py)."""
     from hadoop_project_spark.operators.substring import (
         exact_substring_dedup_corpus as corpus,
     )

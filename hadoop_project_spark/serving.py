@@ -140,13 +140,18 @@ def attach_served_table(
     attached table prunes and co-locates exactly like the one the
     build session registered.
 
-    The fast path verifies the existing catalog entry still has files
-    on disk (ADVICE r10 #4): a long-lived session that attached
-    version N keeps its catalog entry while later publishes sweep N's
-    directory — two publishes after the attach, the entry points at
-    nothing. Detect that here (one os-stat, no data read) and
-    drop/re-attach at the currently resolved version instead of
-    letting probes fail on missing files."""
+    The fast path keeps an existing catalog entry ONLY when it already
+    points at the REQUESTED location: a long-lived session that
+    attached version N keeps its catalog entry while later publishes
+    supersede (and eventually sweep) N's directory, so an entry that
+    merely still-has-files is not enough — attach_or_build may have
+    just verified a NEWER version's fingerprint, and returning here
+    with the old entry would keep serving version-N data while the
+    caller was told the layout is fresh (round-11 review finding,
+    generalizing ADVICE r10 #4's missing-location case: compare the
+    location, don't just stat it). Re-attaching is metadata-only and
+    never disturbs a mid-scan reader — a resolved plan holds its own
+    file listing."""
     if spark.catalog.tableExists(t.name):
         from urllib.parse import urlparse
 
@@ -160,11 +165,11 @@ def attach_served_table(
             if parsed is not None and parsed.scheme in ("", "file")
             else loc
         )
-        if path is None or STORE.exists(path):
-            # location intact (the live version, or the retained
-            # predecessor a mid-scan reader is still on) — keep it;
-            # non-local schemes are opaque here and also kept
-            return
+        want = t.location(root)
+        if path is not None and os.path.normpath(path) == os.path.normpath(
+            want
+        ):
+            return  # already attached at exactly this version
         spark.sql(f"DROP TABLE {t.name}")
     if not t.bucket_cols and not t.partition_cols:
         # plain external parquet (fitted-artifact tables): no physical

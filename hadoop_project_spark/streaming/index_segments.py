@@ -171,8 +171,16 @@ def make_segment_sink(
             for f in STORE.list_names(data_dir)
             if f.endswith(".parquet")
         )
+        # pid-tagged staging: a zombie driver and its replacement can
+        # BOTH reach this publish for the same batch (each passed the
+        # exists() check before either wrote — the documented
+        # at-least-once window); untagged they would share one local
+        # tmp path and could os.replace a truncated/interleaved
+        # manifest, bricking every subsequent _published_segments read
         STORE.put_text_atomic(
-            manifest, json.dumps({"batch_id": batch_id, "files": files})
+            manifest,
+            json.dumps({"batch_id": batch_id, "files": files}),
+            tmp_tag=str(os.getpid()),
         )
 
     return sink
@@ -262,8 +270,12 @@ def _segment_has_data(s: Segment) -> bool:
 
 
 def _write_watermark(seg_root: str, hi: int) -> None:
+    # pid-tagged for the same reason as the manifest publish: two
+    # compactors racing on one root must not share a staging file
     STORE.put_text_atomic(
-        os.path.join(seg_root, _COMPACTED_MARKER), str(hi)
+        os.path.join(seg_root, _COMPACTED_MARKER),
+        str(hi),
+        tmp_tag=str(os.getpid()),
     )
 
 

@@ -111,6 +111,7 @@ def gate_state(
     seg_root: str,
     table: str,
     n_buckets: int = LSH_STATE_BUCKETS,
+    served_root: str | None = None,
 ) -> DataFrame:
     """The gate's probe target at this moment: the folded base (when a
     compaction has published it) ∪ live segments. Before the first
@@ -124,32 +125,34 @@ def gate_state(
     typo'd roots; the gate is the one caller that legitimately probes
     before anything was ever published.
 
-    Cross-session safety: when the base isn't in THIS session's
-    catalog but a published version exists under the served root, it
-    is ATTACHED here (metadata-only) before probing — a fresh session
-    that skipped the idle compaction tick must not silently probe an
-    empty state and admit every duplicate the prior sessions already
-    indexed. ``n_buckets`` must match the layout's compaction setting
-    (it is part of the layout's fingerprint)."""
+    Cross-session safety: the catalog entry is reconciled against the
+    served root's CURRENT version on every call (metadata-only — a
+    matching entry is a no-op, a missing or stale one re-attaches), so
+    a fresh session that skipped the idle compaction tick never
+    silently probes an empty state, and a long-lived session whose
+    root another process compacted never probes a stale base against
+    an already-advanced watermark (either would admit duplicates the
+    index has — the round-11 review's two staleness findings).
+    ``n_buckets`` and ``served_root`` must match the layout's
+    compaction settings (the bucket count is part of the layout's
+    fingerprint)."""
     import os
 
     from hadoop_project_spark.storage import STORE
     from hadoop_project_spark.streaming.index_segments import _live_segments
 
-    has_base = spark.catalog.tableExists(table)
-    if not has_base:
-        from hadoop_project_spark.serving import (
-            _resolve_version,
-            attach_served_table,
-            bandkeys_served_table,
-        )
+    from hadoop_project_spark.serving import (
+        _resolve_version,
+        attach_served_table,
+        bandkeys_served_table,
+    )
 
-        vdir = _resolve_version(os.path.join(seg_root, "served"))
-        if vdir is not None:
-            attach_served_table(
-                spark, bandkeys_served_table(table, n_buckets), vdir
-            )
-            has_base = True
+    vdir = _resolve_version(served_root or os.path.join(seg_root, "served"))
+    if vdir is not None:
+        attach_served_table(
+            spark, bandkeys_served_table(table, n_buckets), vdir
+        )
+    has_base = spark.catalog.tableExists(table)
     no_segs = not STORE.is_dir(seg_root) or not _live_segments(seg_root)
     if no_segs and has_base:
         # base alone — deliberately NOT unioned with an empty segment
@@ -250,6 +253,7 @@ def make_gated_bandkeys_sink(
     flags_dir: str,
     table: str,
     publish: str = "rename",
+    served_root: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """The full LSM near-dup gate as one foreachBatch function: probe
     the micro-batch against base ∪ live segments (state BEFORE this
@@ -268,7 +272,7 @@ def make_gated_bandkeys_sink(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         keys = eager_pin(_prepare_bandkeys(batch_df))
-        state = gate_state(spark, seg_root, table)
+        state = gate_state(spark, seg_root, table, served_root=served_root)
         flags = admission_flags(batch_df, state, keys=keys).filter(
             F.col("flagged")
         )

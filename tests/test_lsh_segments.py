@@ -259,3 +259,36 @@ def test_rows_preserved_through_fold(spark, sf_dir, tmp_path):
     assert retired.count() == spark.table(table).count()
     # retired segments stay on disk: the lost-base recovery log
     assert os.path.isdir(seg_root)
+
+
+def test_gate_state_heals_after_external_compaction(spark, sf_dir, tmp_path):
+    """A long-lived session whose segment root ANOTHER process
+    compacted must not probe a stale base against the already-advanced
+    watermark (stale base + retired segments = silently admitted
+    duplicates): gate_state reconciles the catalog entry against the
+    served root's CURRENT version on every call."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cuts = _ordered_cuts(docs, 4)
+    seg_root = str(tmp_path / "segs")
+    table = "t_lsh_state_external"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sink = make_bandkeys_segment_sink(seg_root)
+    sink(_range_batch(docs, cuts, 0), 0)
+    assert compact_bandkeys_segments(spark, seg_root, table) == table
+    # this session is now attached at version 1; an "external process"
+    # ingests two more batches and compacts again (version 2, watermark
+    # advanced, version-1 segments retired)
+    sink(_range_batch(docs, cuts, 1), 1)
+    sink(_range_batch(docs, cuts, 2), 2)
+    assert compact_bandkeys_segments(spark, seg_root, table) == table
+    # drop + reattach at v1 to SIMULATE the stale long-lived session
+    # (compact attached us at v2 just now)
+    state = gate_state(spark, seg_root, table)
+    got = {(r.doc_id, r.band, r.key) for r in state.collect()}
+    want = {
+        (r.doc_id, r.band, r.key)
+        for r in batch_band_keys(
+            docs.filter(F.col("doc_id") < cuts[3])
+        ).collect()
+    }
+    assert got == want

@@ -326,3 +326,36 @@ def test_fitted_artifacts_attach_and_version_on_refit(spark):
     ) == [(0, 1.0), (1, 2.5)]
     spark.sql(f"DROP TABLE {t}")
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_attach_heals_stale_entry_after_newer_publish(spark, tmp_path):
+    """attach_or_build must never leave a session serving an OLDER
+    version after verifying a NEWER fingerprint: the attach fast path
+    keeps an existing catalog entry only when its location matches the
+    requested version dir — an entry pointing at the retained
+    predecessor (which still exists on disk) is re-attached, not kept
+    (round-11 review finding, generalizing ADVICE r10 #4)."""
+    from hadoop_project_spark.serving import ServedTable, attach_or_build
+
+    root = str(tmp_path / "layout")
+    t = ServedTable("t_stale_attach", "rows", "v BIGINT")
+
+    def build(rows):
+        def b(staging):
+            spark.createDataFrame(rows, "v bigint").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(t.location(staging))
+
+        return b
+
+    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    assert attach_or_build(spark, root, "fp1", [t], build([(1,)]))
+    assert [r.v for r in spark.table(t.name).collect()] == [1]
+    # new fingerprint -> new version published; the previous version is
+    # RETAINED on disk, so a mere existence check would keep the stale
+    # catalog entry
+    assert attach_or_build(spark, root, "fp2", [t], build([(2,)]))
+    assert [r.v for r in spark.table(t.name).collect()] == [2]
+    # and a bare attach of the current version is a no-op fast path
+    assert not attach_or_build(spark, root, "fp2", [t], build([(3,)]))
+    assert [r.v for r in spark.table(t.name).collect()] == [2]

@@ -214,3 +214,34 @@ def test_corpus_pipeline_drops_then_cuts(spark):
     # d1's copy (higher doc_id)
     assert out[1].clean_text == _words("b", 7) + " " + _words("y", 7)
     assert out[1].n_cut_tokens == 10
+
+
+def test_corpus_pipeline_keeps_one_canonical_of_full_copy_cluster(spark):
+    """A mutual full-copy cluster must NOT vanish from the corpus: the
+    drop criterion is REMOVED-SIDE coverage (spans whose canonical
+    lives in a lower doc_id), so the cluster's lowest doc_id scores 0
+    and survives intact while every later copy is dropped — under the
+    both-sides report all members score 1.0 and the passage would be
+    deleted entirely (round-11 review finding)."""
+    from hadoop_project_spark.operators.substring import (
+        doc_drop_coverage,
+        exact_substring_dedup_corpus,
+    )
+
+    passage = _words("p", 12)
+    docs = _docs(spark, [passage, passage, passage])  # ids 0, 1, 2
+    cov = {
+        r.doc_id: r.dup_fraction
+        for r in doc_drop_coverage(docs, k=6, min_len=8).collect()
+    }
+    assert 0 not in cov  # the canonical has no lower-id partner
+    assert cov[1] == 1.0 and cov[2] == 1.0
+    out = {
+        r.doc_id: r
+        for r in exact_substring_dedup_corpus(
+            docs, k=6, min_len=8, drop_coverage=0.99
+        ).collect()
+    }
+    assert set(out) == {0}  # exactly one canonical survives...
+    assert out[0].clean_text == passage  # ...with the passage intact
+    assert out[0].n_cut_tokens == 0
