@@ -36,3 +36,4 @@ from hadoop_project_spark.plans import sampling_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import behavior_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import invindex_queries  # noqa: F401,E402
 from hadoop_project_spark.plans import quality_lr_queries  # noqa: F401,E402
+from hadoop_project_spark.plans import retrieval_queries  # noqa: F401,E402

@@ -70,6 +70,10 @@ MUST_VERIFY = {
     "semantic_dedup_decisions",
     "semantic_dedup_bucketed",
     "ann_topk_ivfpq",
+    # round-11 new: hybrid retrieval (operators/retrieval.py — RRF
+    # fusion in integer micro-units; BM25 → PRF centroid → dense rerank)
+    "hybrid_topk_rrf",
+    "bm25_prf_dense_rerank",
 }
 
 

@@ -1,0 +1,97 @@
+"""Hybrid-retrieval operators (operators/retrieval.py): RRF fusion
+semantics, PRF centroid exactness, and leg composition — local unit
+tests; the full pipelines are oracle-hash-verified through the registry
+(tests/test_oracle_parity.py: hybrid_topk_rrf, bm25_prf_dense_rerank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.operators import retrieval as rt
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, rank int"
+    )
+
+
+def test_rrf_fuse_integer_units_and_absent_legs(spark):
+    """A doc in both legs sums both contributions; a doc in one leg gets
+    rank 0 on the other side and exactly RRF_MICRO // (RRF_K + r)."""
+    a = _leg(spark, [(1, 10, 1), (1, 11, 2)])
+    b = _leg(spark, [(1, 10, 2), (1, 12, 1)])
+    got = {
+        r["neighbor_id"]: (r["lex_rank"], r["dense_rank"], r["rrf_micro"])
+        for r in rt.rrf_fuse(a, b, k=10).collect()
+    }
+    m, k = rt.RRF_MICRO, rt.RRF_K
+    assert got[10] == (1, 2, m // (k + 1) + m // (k + 2))
+    assert got[11] == (2, 0, m // (k + 2))
+    assert got[12] == (0, 1, m // (k + 1))
+
+
+def test_rrf_fuse_ranking_and_ties(spark):
+    """Fused order is rrf_micro DESC with neighbor_id tie-break, and k
+    truncates."""
+    a = _leg(spark, [(1, 10, 1), (1, 11, 1)])  # impossible in one leg,
+    b = _leg(spark, [(1, 12, 1)])  # but exercises the tie-break exactly
+    rows = rt.rrf_fuse(a, b, k=2).orderBy("rank").collect()
+    assert [r["neighbor_id"] for r in rows] == [10, 11]
+    assert [r["rank"] for r in rows] == [1, 2]
+
+
+def test_jaccard_topk_values(spark):
+    """Exact Jaccard on a crafted corpus; zero-overlap docs are not
+    candidates at all."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c d"),  # J = 1.0
+            (2, "a b x y"),  # J = 2/6
+            (3, "p q r s"),  # no shared token -> absent
+        ],
+        "doc_id long, text string",
+    )
+    rows = rt.jaccard_topk(docs, n_queries=1, k=10).collect()
+    got = {r["neighbor_id"]: (r["score"], r["rank"]) for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1] == (1.0, 1)
+    assert got[2] == (2.0 / 6.0, 2)
+
+
+def test_prf_centroid_rank_order_fold(spark, sf_dir):
+    """Centroid equals the fixed-order ((v1+v2)+v3)/3 fold of the
+    top-3 docs' embeddings, and under-filled queries drop."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = spark.createDataFrame(
+        [("q", 0, 1), ("q", 1, 2), ("q", 2, 3), ("short", 0, 1)],
+        "query string, doc_id long, rnk int",
+    )
+    out = rt.prf_centroids(topk, emb, m=3).collect()
+    assert [r["query"] for r in out] == ["q"]
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    expect = [
+        ((float(vecs[0][i]) + float(vecs[1][i])) + float(vecs[2][i])) / 3.0
+        for i in range(len(vecs[0]))
+    ]
+    assert out[0]["q_vec"] == expect
+
+
+def test_hybrid_legs_agree_with_components(spark, sf_dir):
+    """The fused result's per-leg ranks equal the standalone legs'."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = rt.hybrid_rrf_topk(docs, emb, n_queries=2, leg_depth=5, k=5)
+    lex = rt.jaccard_topk(docs, 2, 5)
+    lex_ranks = {
+        (r["query_id"], r["neighbor_id"]): r["rank"] for r in lex.collect()
+    }
+    for r in fused.collect():
+        if r["lex_rank"] > 0:
+            assert lex_ranks[(r["query_id"], r["neighbor_id"])] == r["lex_rank"]
