@@ -111,12 +111,13 @@ def _sql_minhash_pairs() -> str:
     """
 
 
-def _sql_dedup_clusters(min_jaccard: float) -> str:
-    """Connected components of the near-dup graph via recursive
-    min-label propagation — the SQL twin of
-    operators/graph.connected_components."""
-    return f"""
-    WITH RECURSIVE {_sql_minhash_ctes()},
+def _sql_components_ctes(min_jaccard: float) -> str:
+    """CTE chain through ``comp(doc_id, component)`` — connected
+    components of the near-dup graph via recursive min-label
+    propagation, the SQL twin of operators/graph.connected_components.
+    Defined once so the cluster and canonical-selection oracles share
+    one spelling (must follow a WITH RECURSIVE)."""
+    return f"""{_sql_minhash_ctes()},
     bidir(a, b) AS (
       SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {min_jaccard}
       UNION
@@ -126,8 +127,14 @@ def _sql_dedup_clusters(min_jaccard: float) -> str:
       SELECT doc_id, doc_id FROM documents
       UNION
       SELECT e.b, w.l FROM walk w JOIN bidir e ON e.a = w.n
-    )
-    SELECT n AS doc_id, MIN(l) AS component FROM walk GROUP BY n
+    ),
+    comp AS (SELECT n AS doc_id, MIN(l) AS component FROM walk GROUP BY n)"""
+
+
+def _sql_dedup_clusters(min_jaccard: float) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(min_jaccard)}
+    SELECT doc_id, component FROM comp
     """
 
 
@@ -570,6 +577,88 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_col="doc_a", dst_col="doc_b",
     )
     return comp.select(F.col("n").alias("doc_id"), "component")
+
+
+def _sql_canonical_by_quality(min_jaccard: float) -> str:
+    from hadoop_project_spark.plans.text_pipeline import (
+        SQL_NTOK,
+        SQL_PUNCT_RATIO,
+        SQL_QUALITY,
+        _sql_stop_hits,
+    )
+
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(min_jaccard)},
+    q AS (
+      SELECT doc_id, {SQL_QUALITY} AS quality_score FROM (
+        SELECT doc_id,
+               CAST({SQL_NTOK} AS BIGINT) AS n_tok,
+               {SQL_PUNCT_RATIO} AS punct_ratio,
+               CAST({_sql_stop_hits('en')} AS BIGINT) AS s_en
+        FROM documents
+      )
+    ),
+    lab AS (
+      SELECT c.doc_id, c.component, q.quality_score
+      FROM comp c JOIN q USING (doc_id)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           quality_score,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS cluster_size,
+           row_number() OVER (
+             PARTITION BY component ORDER BY quality_score DESC, doc_id
+           ) = 1 AS is_canonical
+    FROM lab
+    """
+
+
+@register(
+    "dedup_canonical_by_quality",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_canonical_by_quality(0.5),
+    tags=("dedup", "graph", "quality", "canonical", "extension"),
+)
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: each near-dup cluster keeps
+    its HIGHEST-QUALITY member (textstats.quality_score; ties -> lowest
+    doc_id) instead of dedup_clusters' lowest-id convention — the policy
+    a real training pipeline wants, since the canonical should be the
+    best copy, not the earliest-crawled one.
+
+    Composition of three certified pieces: the MinHash-LSH pair graph,
+    the iterative connected-components loop, and the quality heuristic;
+    the oracle re-derives all three (recursive CTE for the loop). The
+    per-cluster argmax is a window over component — clusters are tiny by
+    construction (LSH blocks bound them), so no skew concern at scale.
+    Near-identical copies tie on quality (identical text -> identical
+    score) and resolve deterministically on doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    from hadoop_project_spark.operators import textstats as ts
+    from hadoop_project_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    q = docs.select("doc_id", ts.quality_score("text").alias("quality_score"))
+    lab = comp.select(F.col("n").alias("doc_id"), "component").join(q, "doc_id")
+    w_rank = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    w_comp = Window.partitionBy("component")
+    return lab.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        "quality_score",
+        F.count(F.lit(1)).over(w_comp).cast("long").alias("cluster_size"),
+        (F.row_number().over(w_rank) == 1).alias("is_canonical"),
+    )
 
 
 def _sql_span_pipeline(src: str, sfx: str = "") -> str:

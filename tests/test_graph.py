@@ -79,3 +79,35 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row["n_triangles"] == expected == 7
     assert row["n_nodes"] == len(adj)
     assert row["n_edges"] == len(edges)
+
+
+def test_canonical_by_quality_picks_best_member(spark, monkeypatch):
+    """dedup_canonical_by_quality keeps the highest-quality doc per
+    cluster (ties -> lowest doc_id), exercised on a crafted corpus where
+    the best copy is NOT the lowest id."""
+    from hadoop_project_spark.plans import dedup_queries as dq
+
+    # same cyclic phrase at two lengths: identical DISTINCT bigram
+    # shingle sets (Jaccard 1.0) but the longer doc 1 earns the higher
+    # length credit -> higher quality; plus an unrelated singleton
+    rows = [
+        (0, "the spark table scan fast " * 10),
+        (1, "the spark table scan fast " * 20),
+        (2, "completely different unrelated words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(
+        "hadoop_project_spark.catalog.load_table",
+        lambda s, d, n: docs,
+    )
+    monkeypatch.setattr(
+        dq, "load_table", lambda s, d, n: docs
+    )
+    out = dq.dedup_canonical_by_quality(spark, "unused").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["component"] == by_id[1]["component"]
+    assert by_id[0]["cluster_size"] == 2
+    # doc 1 has the higher stopword density -> higher quality -> canonical
+    assert by_id[1]["quality_score"] > by_id[0]["quality_score"]
+    assert by_id[1]["is_canonical"] and not by_id[0]["is_canonical"]
+    assert by_id[2]["is_canonical"] and by_id[2]["cluster_size"] == 1

@@ -74,6 +74,10 @@ MUST_VERIFY = {
     # fusion in integer micro-units; BM25 → PRF centroid → dense rerank)
     "hybrid_topk_rrf",
     "bm25_prf_dense_rerank",
+    # round-11 new: quality-aware canonical selection (keep the BEST
+    # cluster member, not the lowest id); the cluster CTE refactor also
+    # re-certifies dedup_clusters via its existing ever-green row + CI
+    "dedup_canonical_by_quality",
 }
 
 
