@@ -221,6 +221,63 @@ def hybrid_rrf_topk(
     )
 
 
+def hard_negatives_for_anchors(
+    docs: DataFrame,
+    anchors: DataFrame,
+    exclude_pairs: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Top-k HARD NEGATIVES per anchor: the documents with the highest
+    unigram token-set Jaccard to the anchor that are NOT in
+    ``exclude_pairs`` (the positive/near-dup set) — lexically close but
+    not duplicates, the classic contrastive-training negative.
+
+    ``anchors``: (anchor_id); ``exclude_pairs``: (anchor_id, other_id)
+    covering both orientations. Candidates come from the shared-token
+    join (postings form, anchor side broadcast — anchors are the docs in
+    positive pairs, a tiny fraction of the corpus), so the corpus-sized
+    work is one scan plus the (anchor_id, other_id) count aggregate.
+    Returns (query_id, neighbor_id, score, rank).
+    """
+    tok = distinct_token_postings(docs)
+    at = (
+        tok.join(
+            F.broadcast(anchors),
+            tok["doc_id"] == anchors["anchor_id"],
+        )
+        .select("anchor_id", F.col("n_toks").alias("na"), "term")
+    )
+    inter = (
+        tok.join(F.broadcast(at), "term")
+        .filter(F.col("doc_id") != F.col("anchor_id"))
+        .groupBy(
+            F.col("anchor_id").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.max("n_toks").alias("nc"),
+            F.max("na").alias("na"),
+        )
+    )
+    excl = exclude_pairs.select(
+        F.col("anchor_id").alias("query_id"),
+        F.col("other_id").alias("neighbor_id"),
+    )
+    scored = (
+        inter.join(F.broadcast(excl), ["query_id", "neighbor_id"], "left_anti")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nc") - F.col("ni"))
+            ).alias("score"),
+        )
+    )
+    return topk_per_query(scored, k)
+
+
 def prf_centroids(topk: DataFrame, emb: DataFrame, m: int) -> DataFrame:
     """Rocchio-style pseudo-relevance-feedback query vectors: the
     element-wise mean of the top-``m`` ranked documents' embeddings per

@@ -187,3 +187,156 @@ def source_quality_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     window state only, no global ordering."""
     docs = load_table(spark, sf_dir, "documents")
     return cp.cap_per_source(docs, ts.quality_score("text"))
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (embedding-training data curation)
+# ---------------------------------------------------------------------------
+NEG_PER_ANCHOR = 3
+
+
+def _sql_contrastive_pairs() -> str:
+    from hadoop_project_spark.operators import ssjoin as sj
+
+    tau_n, tau_d = sj.SSJOIN_TAU_NUM, sj.SSJOIN_TAU_DEN
+    return f"""
+    WITH {SQL_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    si AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT i.doc_a, i.doc_b, i.i,
+             sx.n + sy.n - i.i AS u,
+             CAST(i.i AS DOUBLE) / CAST(sx.n + sy.n - i.i AS DOUBLE)
+               AS score
+      FROM si i
+      JOIN sz sx ON sx.doc_id = i.doc_a
+      JOIN sz sy ON sy.doc_id = i.doc_b
+      WHERE i.i * {tau_d} >= {tau_n} * (sx.n + sy.n - i.i)
+    ),
+    anch AS (
+      SELECT DISTINCT a FROM (
+        SELECT doc_a AS a FROM pos UNION ALL SELECT doc_b FROM pos
+      )
+    ),
+    tokset AS (
+      SELECT doc_id,
+             list_distinct([t for t in string_split({SQL_NORM}, ' ')
+                            if t <> '']) AS ts
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, len(ts) AS n, UNNEST(ts) AS term FROM tokset),
+    at AS (
+      SELECT t.doc_id AS anchor_id, t.n AS na, t.term
+      FROM tok t JOIN anch ON t.doc_id = anch.a
+    ),
+    ni AS (
+      SELECT a.anchor_id, c.doc_id AS other_id,
+             MAX(a.na) AS na, MAX(c.n) AS nc,
+             CAST(COUNT(*) AS BIGINT) AS ni
+      FROM tok c JOIN at a ON c.term = a.term AND c.doc_id <> a.anchor_id
+      GROUP BY 1, 2
+    ),
+    negc AS (
+      SELECT anchor_id, other_id,
+             CAST(ni AS DOUBLE) / (na + nc - ni) AS score
+      FROM ni n
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE (p.doc_a = n.anchor_id AND p.doc_b = n.other_id)
+           OR (p.doc_b = n.anchor_id AND p.doc_a = n.other_id)
+      )
+    ),
+    negr AS (
+      SELECT anchor_id, other_id, score,
+             row_number() OVER (
+               PARTITION BY anchor_id ORDER BY score DESC, other_id
+             ) AS r
+      FROM negc
+    ),
+    posr AS (
+      SELECT doc_a AS anchor_id, doc_b AS other_id, score,
+             row_number() OVER (
+               PARTITION BY doc_a ORDER BY score DESC, doc_b
+             ) AS r
+      FROM pos
+    )
+    SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+           CAST(other_id AS BIGINT) AS other_id,
+           'positive' AS pair_type, score, CAST(r AS INT) AS rank
+    FROM posr
+    UNION ALL
+    SELECT CAST(anchor_id AS BIGINT), CAST(other_id AS BIGINT),
+           'hard_negative', score, CAST(r AS INT)
+    FROM negr WHERE r <= {NEG_PER_ANCHOR}
+    """
+
+
+@register(
+    "contrastive_pairs",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_contrastive_pairs(),
+    tags=("corpus", "contrastive", "dedup", "retrieval", "extension"),
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training pairs for embedding-model fine-tuning,
+    mined entirely from certified machinery: POSITIVES are the exact
+    near-dup pairs (3-shingle Jaccard >= tau via the PPJoin
+    prefix-filtered join — two crawls of the same content), HARD
+    NEGATIVES are each anchor's top unigram-Jaccard non-duplicates
+    (lexically close, not the same content — the negatives that make a
+    contrastive objective learn semantics instead of vocabulary).
+
+    Scale shape: positives are the ssjoin (blocked, never all-pairs);
+    anchors — docs appearing in a positive — are a tiny fraction of the
+    corpus, broadcast into the shared-token candidate join; the only
+    corpus-sized shuffle is the per-(anchor, candidate) count aggregate;
+    ranking is the two-stage top-k. The oracle re-derives shingles,
+    positives (integer threshold test), token sets, exclusions, and both
+    rankings from scratch.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as w
+
+    from hadoop_project_spark.operators import retrieval as rt
+    from hadoop_project_spark.operators import ssjoin as sj
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = sj.prefix_filtered_jaccard_pairs(docs)
+    anchors = (
+        pos.select(F.col("doc_a").alias("anchor_id"))
+        .unionByName(pos.select(F.col("doc_b").alias("anchor_id")))
+        .distinct()
+    )
+    excl = pos.select(
+        F.col("doc_a").alias("anchor_id"), F.col("doc_b").alias("other_id")
+    ).unionByName(
+        pos.select(
+            F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("other_id")
+        )
+    )
+    negs = rt.hard_negatives_for_anchors(docs, anchors, excl, NEG_PER_ANCHOR)
+    pos_ranked = pos.select(
+        F.col("doc_a").cast("long").alias("anchor_id"),
+        F.col("doc_b").cast("long").alias("other_id"),
+        F.lit("positive").alias("pair_type"),
+        F.col("jaccard").alias("score"),
+        F.row_number()
+        .over(
+            w.partitionBy("doc_a").orderBy(
+                F.col("jaccard").desc(), F.col("doc_b")
+            )
+        )
+        .alias("rank"),
+    )
+    neg_rows = negs.select(
+        F.col("query_id").cast("long").alias("anchor_id"),
+        F.col("neighbor_id").cast("long").alias("other_id"),
+        F.lit("hard_negative").alias("pair_type"),
+        "score",
+        "rank",
+    )
+    return pos_ranked.unionByName(neg_rows)

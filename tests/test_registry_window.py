@@ -78,6 +78,9 @@ MUST_VERIFY = {
     # cluster member, not the lowest id); the cluster CTE refactor also
     # re-certifies dedup_clusters via its existing ever-green row + CI
     "dedup_canonical_by_quality",
+    # round-11 new: contrastive pair mining (positives = ssjoin
+    # near-dups; hard negatives = top unigram-Jaccard non-duplicates)
+    "contrastive_pairs",
 }
 
 

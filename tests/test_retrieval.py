@@ -95,3 +95,25 @@ def test_hybrid_legs_agree_with_components(spark, sf_dir):
     for r in fused.collect():
         if r["lex_rank"] > 0:
             assert lex_ranks[(r["query_id"], r["neighbor_id"])] == r["lex_rank"]
+
+
+def test_hard_negatives_exclude_positives_and_rank(spark):
+    """Hard negatives never include excluded (positive) pairs or the
+    anchor itself, and rank by unigram Jaccard descending."""
+    from hadoop_project_spark.operators import retrieval as rt
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "a b c d e"),   # the positive (excluded)
+            (2, "a b c x y"),   # J = 3/7 vs anchor
+            (3, "a p q r s"),   # J = 1/9
+            (4, "zz yy xx"),    # no overlap -> absent
+        ],
+        "doc_id long, text string",
+    )
+    anchors = spark.createDataFrame([(0,)], "anchor_id long")
+    excl = spark.createDataFrame([(0, 1), (1, 0)], "anchor_id long, other_id long")
+    rows = rt.hard_negatives_for_anchors(docs, anchors, excl, k=5).collect()
+    got = [(r["neighbor_id"], r["score"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(2, 3.0 / 7.0, 1), (3, 1.0 / 9.0, 2)]
