@@ -1000,6 +1000,81 @@ def exact_substring_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus(docs)
 
 
+def _sql_corpus_version_diff() -> str:
+    return f"""
+    WITH oldv AS (
+      SELECT doc_id, len(string_split({SQL_NORM}, ' ')) AS n_before
+      FROM documents
+    ),
+    newv AS (
+      SELECT doc_id, n_cut_tokens
+      FROM ({_sql_exact_substring_dedup_corpus()})
+    )
+    SELECT CAST(o.doc_id AS BIGINT) AS doc_id,
+           CASE WHEN n.doc_id IS NULL THEN 'dropped'
+                WHEN n.n_cut_tokens > 0 THEN 'rewritten'
+                ELSE 'unchanged' END AS status,
+           CAST(o.n_before AS BIGINT) AS n_tokens_before,
+           CAST(CASE WHEN n.doc_id IS NULL THEN 0
+                     ELSE o.n_before - n.n_cut_tokens END AS BIGINT)
+             AS n_tokens_after,
+           CAST(COALESCE(n.n_cut_tokens, o.n_before) AS BIGINT)
+             AS n_cut_tokens
+    FROM oldv o LEFT JOIN newv n USING (doc_id)
+    """
+
+
+@register(
+    "corpus_version_diff",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_corpus_version_diff(),
+    tags=("dedup", "substring", "cdc", "governance", "extension"),
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture report between the RAW corpus and the
+    cleaned corpus the combined drop-then-cut pipeline ships: per
+    document, whether the new version DROPPED it (near-complete copy of
+    an earlier doc), REWROTE it (shared spans cut), or left it
+    unchanged, with token counts before/after. Token counts are
+    normalized-split slot counts (the span pipeline's own position
+    space), so before - cut = after by construction on both engines.
+
+    This is the governance artifact a versioned-corpus publish wants
+    next to the data (what changed and why, auditable per doc) — one
+    left join over the already-certified pipeline output; the oracle
+    replays the entire two-stage pipeline and the diff."""
+    from hadoop_project_spark.operators.substring import (
+        exact_substring_dedup_corpus as corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).cast("long").alias("n_before"),
+    )
+    new = corpus(docs).select("doc_id", "n_cut_tokens")
+    j = old.join(new, "doc_id", "left")
+    return j.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("n_cut_tokens").isNull(), F.lit("dropped"))
+        .when(F.col("n_cut_tokens") > 0, F.lit("rewritten"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.col("n_before").cast("long").alias("n_tokens_before"),
+        F.when(F.col("n_cut_tokens").isNull(), F.lit(0))
+        .otherwise(F.col("n_before") - F.col("n_cut_tokens"))
+        .cast("long")
+        .alias("n_tokens_after"),
+        F.coalesce("n_cut_tokens", "n_before").cast("long").alias(
+            "n_cut_tokens"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # The LSM near-dup gate (round 11): streaming/lsh_segments.py — the
 # gate's LSH band-key state as segments + compaction + versioned

@@ -81,6 +81,8 @@ MUST_VERIFY = {
     # round-11 new: contrastive pair mining (positives = ssjoin
     # near-dups; hard negatives = top unigram-Jaccard non-duplicates)
     "contrastive_pairs",
+    # round-11 new: CDC report between raw and cleaned corpus versions
+    "corpus_version_diff",
 }
 
 
