@@ -142,3 +142,112 @@ def tfidf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking rounds to 9 dp per the house determinism rule)."""
     docs = load_table(spark, sf_dir, "documents")
     return tfidf_top_terms(docs)
+
+
+# ---------------------------------------------------------------------------
+# Training shard export (round 11): the last mile — a deterministic
+# seeded global shuffle into fixed-size shards plus the shard manifest.
+# ---------------------------------------------------------------------------
+SHUFFLE_SALT = "r11shuf"
+SHARD_SIZE = 64
+
+_SQL_SHARD_RANKS = f"""
+    d AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('{SHUFFLE_SALT}|'
+                                      || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS u,
+             CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY u, doc_id) AS rank FROM d
+    )"""
+
+
+@register(
+    "training_shard_assignment",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=f"""
+    WITH {_SQL_SHARD_RANKS}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST((rank - 1) // {SHARD_SIZE} AS BIGINT) AS shard_id,
+           CAST((rank - 1) % {SHARD_SIZE} AS BIGINT) AS pos_in_shard,
+           n_tokens
+    FROM r
+    """,
+    tags=("packing", "export", "shuffle", "extension"),
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded GLOBAL SHUFFLE into fixed-size training
+    shards: order every document by a salted 32-bit hash uniform
+    (portable md5 prefix — replayable on any engine), then assign
+    shard_id and position by integer division of the exact global rank.
+
+    The rank comes from operators/ranking.global_distribution_ranks —
+    range-repartition + mapInPandas local ranks + prefix-sum offsets —
+    never a parallelism-1 global window, so the shuffle order is
+    reproducible AND distributed (the oracle's naive ORDER BY window is
+    exactly what the distributed formulation must reproduce). This is
+    the export contract a trainer consumes: same salt -> same order ->
+    same shards, on any cluster size."""
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.operators.corpus import hash_uniform32
+    from hadoop_project_spark.operators.ranking import (
+        global_distribution_ranks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        hash_uniform32(
+            F.concat(F.lit(f"{SHUFFLE_SALT}|"), F.col("doc_id").cast("string"))
+        ).alias("u"),
+        ts.token_count("text").alias("n_tokens"),
+    )
+    ranked = global_distribution_ranks(d, [F.col("u"), F.col("doc_id")])
+    return ranked.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.floor((F.col("rank") - 1) / SHARD_SIZE).cast("long").alias("shard_id"),
+        ((F.col("rank") - 1) % SHARD_SIZE).cast("long").alias("pos_in_shard"),
+        "n_tokens",
+    )
+
+
+@register(
+    "training_shard_manifest",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=f"""
+    WITH {_SQL_SHARD_RANKS}
+    SELECT CAST((rank - 1) // {SHARD_SIZE} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min_by(doc_id, rank) AS BIGINT) AS first_doc_id,
+           CAST(max_by(doc_id, rank) AS BIGINT) AS last_doc_id
+    FROM r GROUP BY 1
+    """,
+    tags=("packing", "export", "manifest", "extension"),
+)
+def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard MANIFEST for the export above: per shard, row and
+    token totals plus the first/last document in shuffle order — the
+    sidecar a trainer (or a resumable downloader) checks before
+    touching data. One rollup over the assignment relation."""
+    from pyspark.sql import functions as F
+
+    a = training_shard_assignment(spark, sf_dir)
+    return (
+        a.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min_by("doc_id", "pos_in_shard").cast("long").alias(
+                "first_doc_id"
+            ),
+            F.max_by("doc_id", "pos_in_shard").cast("long").alias(
+                "last_doc_id"
+            ),
+        )
+        .select("shard_id", "n_docs", "n_tokens", "first_doc_id", "last_doc_id")
+    )

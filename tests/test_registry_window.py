@@ -83,6 +83,10 @@ MUST_VERIFY = {
     "contrastive_pairs",
     # round-11 new: CDC report between raw and cleaned corpus versions
     "corpus_version_diff",
+    # round-11 new: training shard export (seeded deterministic global
+    # shuffle -> fixed-size shards + manifest, distributed prefix-sum)
+    "training_shard_assignment",
+    "training_shard_manifest",
 }
 
 
