@@ -133,6 +133,47 @@ def pack_wav_pcm16(samples: list[int], sample_rate: int, n_channels: int = 1) ->
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def bmp_pixels(payload: bytes) -> "object":
+    """Parse a 24 bpp uncompressed Windows BMP into a top-down
+    row-major (h, w, 3) uint8 numpy array of (r, g, b) pixels — the
+    shared parsing core of bmp_decoder and image_dhash. Handles both
+    row orders (positive height = bottom-up, negative = top-down) and
+    the 4-byte row padding.
+
+    Normalises with numpy stride slicing (BMP stores BGR within each
+    pixel): the vectorized path is bit-identical to a per-pixel loop
+    while decoding ~50× faster; decode is the per-row hot loop inside
+    the Arrow batches, so its constant is what the mapInPandas stage's
+    throughput scales with."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24bpp supported, got {bpp}bpp")
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (3 * w + 3) & ~3  # rows padded to 4 bytes
+    if data_off + stride * h > len(payload):
+        raise ValueError("truncated BMP pixel data")
+    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    img = buf.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    # BGR on disk -> (r, g, b)
+    return img[:, :, ::-1]
+
+
 def bmp_decoder(payload: bytes, fmt: str) -> list[float]:
     """REAL image codec through the pluggable seam: a pure-stdlib
     Windows BMP (BITMAPINFOHEADER, 24 bpp uncompressed) parser — the
@@ -154,41 +195,13 @@ def bmp_decoder(payload: bytes, fmt: str) -> list[float]:
     The downsample features depend on pixel COORDINATES, not just the
     multiset of bytes — a hash-green oracle row certifies the row-order
     flip and stride arithmetic, not just byte accounting."""
-    import struct
-
-    if len(payload) < 54 or payload[:2] != b"BM":
-        raise ValueError("not a BMP payload")
-    (data_off,) = struct.unpack_from("<I", payload, 10)
-    hdr_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
-    planes, bpp = struct.unpack_from("<HH", payload, 26)
-    (compression,) = struct.unpack_from("<I", payload, 30)
-    if hdr_size < 40 or planes != 1:
-        raise ValueError(f"unsupported BMP header (size={hdr_size})")
-    if bpp != 24 or compression != 0:
-        raise ValueError(f"only uncompressed 24bpp supported, got {bpp}bpp")
-    top_down = h_signed < 0
-    h = abs(h_signed)
-    if w <= 0 or h <= 0:
-        raise ValueError("degenerate BMP dimensions")
-    stride = (3 * w + 3) & ~3  # rows padded to 4 bytes
-    if data_off + stride * h > len(payload):
-        raise ValueError("truncated BMP pixel data")
-
-    # Normalise to top-down row-major (r, g, b) triples with numpy
-    # stride slicing (BMP stores BGR within each pixel) — the features
-    # are integer reductions over uint8 pixels, so the vectorized path
-    # is bit-identical to a per-pixel loop while decoding ~50× faster;
-    # decode is the per-row hot loop inside the Arrow batches, so its
-    # constant is what the mapInPandas stage's throughput scales with.
     import numpy as np
 
-    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
-    img = buf.reshape(h, stride)[:, : 3 * w].reshape(h, w, 3)
-    if not top_down:
-        img = img[::-1]
-    b_ch = img[:, :, 0].astype(np.int64)
+    img = bmp_pixels(payload)  # (h, w, 3) rgb
+    w, h = img.shape[1], img.shape[0]
+    r_ch = img[:, :, 0].astype(np.int64)
     g_ch = img[:, :, 1].astype(np.int64)
-    r_ch = img[:, :, 2].astype(np.int64)
+    b_ch = img[:, :, 2].astype(np.int64)
     ds = img[::2, ::2]  # 2x nearest-neighbour downsample grid
     return [
         float(w),
@@ -261,6 +274,81 @@ CODECS: "dict[str, Decoder]" = {
     "wav": wav_decoder,
     "bmp": bmp_decoder,
 }
+
+# Pixel-level codec registry for operators that need the raster, not a
+# feature vector (perceptual hashing below); same pluggable seam.
+PIXEL_CODECS: "dict[str, Callable[[bytes], object]]" = {
+    "bmp": bmp_pixels,
+}
+
+# dHash geometry: sample to a 9x8 grayscale grid, compare horizontally
+# adjacent cells -> 8x8 = 64 comparisons; keep the first DHASH_BITS
+# (60 — the house bit width shared with the MinHash/SimHash families,
+# keeping every code comfortably inside a signed BIGINT on any engine).
+DHASH_GRID_W = 9
+DHASH_GRID_H = 8
+DHASH_BITS = 60
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ]
+)
+
+
+def dhash60(img) -> int:
+    """The 60-bit difference hash of one (h, w, 3) uint8 rgb array:
+    integer grayscale (r+g+b)//3, nearest-neighbour sample onto the
+    9x8 grid (src = (dst * size) // grid — floor arithmetic, so any
+    engine computes identical sample coordinates), bit (y*8+x) set when
+    grid[y][x] > grid[y][x+1]. Pure integer pipeline end to end — the
+    property that lets a SQL oracle re-derive whole codes exactly."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype(np.int64).sum(axis=2) // 3
+    sx = (np.arange(DHASH_GRID_W, dtype=np.int64) * w) // DHASH_GRID_W
+    sy = (np.arange(DHASH_GRID_H, dtype=np.int64) * h) // DHASH_GRID_H
+    grid = gray[np.ix_(sy, sx)]  # (8, 9)
+    bits = grid[:, :-1] > grid[:, 1:]  # (8, 8) row-major comparisons
+    code = 0
+    for pos, b in enumerate(bits.flatten()):
+        if pos >= DHASH_BITS:
+            break
+        if b:
+            code |= 1 << pos
+    return code
+
+
+def image_dhash(media: DataFrame, decoder: str = "bmp") -> DataFrame:
+    """Perceptual hash per image: decode via the pixel codec seam and
+    emit (media_id, width, height, dhash) — the Arrow-batched
+    mapInPandas stage feeding the banded Hamming near-dup join
+    (plans/multimodal_queries.image_dhash_neardup). One pass over the
+    payload column; output is O(#images) tiny rows, so everything
+    downstream of decode is cheap at any corpus size."""
+    if decoder not in PIXEL_CODECS:
+        raise KeyError(
+            f"unknown pixel codec {decoder!r}; registered: "
+            f"{sorted(PIXEL_CODECS)}"
+        )
+    pix = PIXEL_CODECS[decoder]
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "dhash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = pix(payload if payload is not None else b"")
+                out["media_id"].append(int(mid))
+                out["width"].append(int(img.shape[1]))
+                out["height"].append(int(img.shape[0]))
+                out["dhash"].append(dhash60(img))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_map, schema=DHASH_SCHEMA)
 
 
 def extract_features(

@@ -346,3 +346,198 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"),
     )
     return audio_window_plan(media, window_ms=400, hop_ms=250)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup over the image column (round 11): decode ->
+# dHash (Arrow-batched) -> banded Hamming join. The multimodal twin of
+# the SimHash text family — image near-dup without all-pairs.
+# ---------------------------------------------------------------------------
+DHASH_HAM_T = 6  # near-dup verification threshold (of 60 bits)
+DHASH_BANDS = 4  # 15-bit bands: candidates must share >= 1 band
+_GROUP = 4  # synthetic near-dup group size (doc_id // _GROUP)
+
+
+def _sql_image_dhash_neardup() -> str:
+    from hadoop_project_spark.operators.multimodal import (
+        DHASH_BITS,
+        DHASH_GRID_H,
+        DHASH_GRID_W,
+    )
+
+    band_bits = DHASH_BITS // DHASH_BANDS
+    return f"""
+    WITH base AS (SELECT doc_id, doc_id // {_GROUP} AS grp FROM documents),
+    mix AS (
+      SELECT doc_id, grp,
+             14 + grp % 3 AS w, 10 + grp % 2 AS h,
+             (grp * 2654435761) % 2147483647 AS m
+      FROM base
+    ),
+    grid AS (
+      SELECT doc_id, w, h,
+             m % 251 + 1 AS ca, (m // 251) % 241 + 1 AS cb,
+             (m // 60491) % 31 AS cc,
+             unnest(generate_series(0, {DHASH_GRID_W * DHASH_GRID_H - 1}))
+               AS p
+      FROM mix
+    ),
+    g AS (
+      SELECT doc_id, p % {DHASH_GRID_W} AS gx, p // {DHASH_GRID_W} AS gy,
+             (ca * (sx + 1) + cb * (sy + 1) + cc * sx * sy
+              + CASE WHEN (sx + 2 * sy + doc_id) % 17 = 0
+                     THEN (doc_id % {_GROUP}) * 9 ELSE 0 END) % 256 AS v
+      FROM (
+        SELECT *, ((p % {DHASH_GRID_W}) * w) // {DHASH_GRID_W} AS sx,
+               ((p // {DHASH_GRID_W}) * h) // {DHASH_GRID_H} AS sy
+        FROM grid
+      )
+    ),
+    bits AS (
+      SELECT a.doc_id, a.gy * 8 + a.gx AS pos,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b
+        ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+      WHERE a.gx < {DHASH_GRID_W - 1} AND a.gy * 8 + a.gx < {DHASH_BITS}
+    ),
+    hsh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN bit = 1
+                      THEN CAST(1 AS BIGINT) << CAST(pos AS INTEGER)
+                      ELSE 0 END) AS dhash
+      FROM bits GROUP BY doc_id
+    ),
+    keys AS (
+      SELECT doc_id, dhash, band,
+             (dhash >> ({band_bits} * band)) & {2 ** band_bits - 1} AS key
+      FROM (
+        SELECT doc_id, dhash,
+               unnest(generate_series(0, {DHASH_BANDS - 1})) AS band
+        FROM hsh
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM keys a JOIN keys b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(media_a AS BIGINT) AS media_a,
+           CAST(media_b AS BIGINT) AS media_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+           media_a // {_GROUP} = media_b // {_GROUP} AS same_group
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {DHASH_HAM_T}
+    """
+
+
+@register(
+    "image_dhash_neardup",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_image_dhash_neardup(),
+    tags=("multimodal", "image", "dedup", "dhash", "mapInPandas",
+          "extension"),
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup end to end: synthetic 24 bpp BMPs
+    (deterministic per-group pattern + per-doc sparse perturbation, so
+    each group of {_GROUP} docs are genuine near-duplicate images;
+    alternating bottom-up/top-down row order certifies both decoder
+    branches), decoded by the REAL stdlib BMP parser, dHashed on the
+    9x8 grid (integer grayscale, floor-division sampling — the whole
+    code is integer-exact), then paired by the banded Hamming join:
+    4 x 15-bit bands, candidates must share a band, verified at
+    bit_count(xor) <= {DHASH_HAM_T}. The SimHash trick applied to the
+    image column — near-dup at corpus scale with zero all-pairs work;
+    band keys are the only shuffle key. ~1% of true near-dup pairs miss
+    all 4 bands (the documented LSH recall trade) — the oracle mirrors
+    the banded candidates exactly, so the hash-match certifies decode,
+    hashing, banding, and verification bit-for-bit."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from hadoop_project_spark.operators.multimodal import (
+        DHASH_BITS,
+        image_dhash,
+        pack_bmp24,
+    )
+
+    band_bits = DHASH_BITS // DHASH_BANDS
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp = d // _GROUP
+                w, h = 14 + grp % 3, 10 + grp % 2
+                m = (grp * 2654435761) % 2147483647
+                ca, cb = m % 251 + 1, (m // 251) % 241 + 1
+                cc = (m // 60491) % 31
+                pix = []
+                for p in range(w * h):
+                    x, y = p % w, p // w
+                    v = (ca * (x + 1) + cb * (y + 1) + cc * x * y) % 256
+                    if (x + 2 * y + d) % 17 == 0:
+                        v = (v + (d % _GROUP) * 9) % 256
+                    pix.append((v, v, v))
+                payloads.append(pack_bmp24(pix, w, h, top_down=bool(d % 2)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema=media_schema)
+    codes = image_dhash(media, decoder="bmp")
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("dhash", band_bits * b)
+                .bitwiseAND(F.lit(2 ** band_bits - 1))
+                .alias("key"),
+            )
+            for b in range(DHASH_BANDS)
+        ]
+    )
+    keys = codes.select(
+        "media_id", "dhash", F.explode(entries).alias("e")
+    ).select("media_id", "dhash", F.col("e.band").alias("band"),
+             F.col("e.key").alias("key"))
+    a = keys.select(
+        F.col("band"), F.col("key"),
+        F.col("media_id").alias("media_a"), F.col("dhash").alias("ha"),
+    )
+    b = keys.select(
+        F.col("band"), F.col("key"),
+        F.col("media_id").alias("media_b"), F.col("dhash").alias("hb"),
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= DHASH_HAM_T)
+        .select(
+            F.col("media_a").cast("long").alias("media_a"),
+            F.col("media_b").cast("long").alias("media_b"),
+            "hamming",
+            F.expr(f"media_a DIV {_GROUP} = media_b DIV {_GROUP}").alias(
+                "same_group"
+            ),
+        )
+    )

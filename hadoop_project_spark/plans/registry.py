@@ -76,6 +76,10 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             # quantizer through load_semdedup_centroids now
             "semantic_dedup_decisions",
             "semantic_dedup_bucketed",
+            # r11: operators/multimodal.py refactored (bmp_pixels
+            # factored out of bmp_decoder for the dHash family) —
+            # re-certify the BMP decode query in-window
+            "multimodal_bmp_features",
         )
     },
     # --- green in r1-r8, still CI-oracle-tested: demote (prio 500) ---
@@ -124,7 +128,6 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "dedup_exact",
             "dedup_ngram_jaccard",
             "doc_quality_model_filter",
-            "multimodal_bmp_features",
             "bpe_train_merges",
             "bpe_encode_token_counts",
             "tfidf_top_terms",

@@ -228,3 +228,45 @@ def test_bmp_property_roundtrip():
         assert bmp_decoder(payload, "bmp") == _bmp_expected(pix, w, h)
 
     check()
+
+
+def test_bmp_pixels_rgb_order_and_roundtrip():
+    """bmp_pixels returns (h, w, 3) RGB (not disk BGR) for both row
+    orders."""
+    import numpy as np
+
+    from hadoop_project_spark.operators.multimodal import (
+        bmp_pixels,
+        pack_bmp24,
+    )
+
+    pix = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+    for top_down in (False, True):
+        img = bmp_pixels(pack_bmp24(pix, 2, 2, top_down=top_down))
+        assert img.shape == (2, 2, 3)
+        assert img[0, 0].tolist() == [10, 20, 30]
+        assert img[1, 1].tolist() == [100, 110, 120]
+        assert img.dtype == np.uint8
+
+
+def test_dhash60_gradient_and_sensitivity():
+    """A horizontal left-bright gradient sets every kept bit; flipping
+    it clears them; a single-cell perturbation changes few bits."""
+    import numpy as np
+
+    from hadoop_project_spark.operators.multimodal import (
+        DHASH_BITS,
+        dhash60,
+    )
+
+    w, h = 18, 16
+    col = np.linspace(255, 0, w).astype(np.uint8)
+    img = np.repeat(col[None, :, None], 3, axis=2).repeat(h, axis=0)
+    full = dhash60(img)
+    assert full == (1 << DHASH_BITS) - 1
+    assert dhash60(img[:, ::-1]) == 0
+    # bump one sampled cell: hamming distance stays small but nonzero
+    img2 = img.copy()
+    img2[0:2, 0:2] = 0
+    d = bin(full ^ dhash60(img2)).count("1")
+    assert 1 <= d <= 4

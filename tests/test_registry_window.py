@@ -87,6 +87,10 @@ MUST_VERIFY = {
     # shuffle -> fixed-size shards + manifest, distributed prefix-sum)
     "training_shard_assignment",
     "training_shard_manifest",
+    # round-11 new: perceptual image near-dup (decode -> dHash ->
+    # banded Hamming join); the bmp_pixels refactor also re-certifies
+    "image_dhash_neardup",
+    "multimodal_bmp_features",
 }
 
 
