@@ -221,57 +221,93 @@ def hybrid_rrf_topk(
     )
 
 
+# Hot-shingle fuse for the hard-negative candidate join: a shingle
+# occurring in more than this many documents (boilerplate) generates no
+# candidates — the same discipline as operators/substring.MAX_GRAM_OCC
+# and the PPJoin rarest-prefix rule. At the shipped fixtures every
+# shingle df is far below it (max 25 at sf0.1), so it is a pure scale
+# fuse, not a behavior knob.
+NEG_SHINGLE_DF_CAP = 64
+
+
 def hard_negatives_for_anchors(
     docs: DataFrame,
     anchors: DataFrame,
     exclude_pairs: DataFrame,
     k: int,
+    df_cap: int = NEG_SHINGLE_DF_CAP,
 ) -> DataFrame:
-    """Top-k HARD NEGATIVES per anchor: the documents with the highest
-    unigram token-set Jaccard to the anchor that are NOT in
-    ``exclude_pairs`` (the positive/near-dup set) — lexically close but
-    not duplicates, the classic contrastive-training negative.
+    """Top-k HARD NEGATIVES per anchor: documents that share a
+    (df-capped) 3-shingle with the anchor — lexically close at the
+    phrase level — ranked by exact unigram token-set Jaccard, excluding
+    ``exclude_pairs`` (the positive/near-dup set). The classic
+    contrastive-training negative: close enough to confuse a lexical
+    model, not the same content.
 
-    ``anchors``: (anchor_id); ``exclude_pairs``: (anchor_id, other_id)
-    covering both orientations. Candidates come from the shared-token
-    join (postings form, anchor side broadcast — anchors are the docs in
-    positive pairs, a tiny fraction of the corpus), so the corpus-sized
-    work is one scan plus the (anchor_id, other_id) count aggregate.
+    Candidate generation is SHINGLE-BLOCKED, never token-blocked: a
+    natural-language corpus's unigram vocabulary has stopword-class
+    terms whose postings touch most documents (measured here: 31-term
+    fixture vocabulary, max df 3923/5000 — a token-blocked candidate
+    join materialized ~90M rows at sf0.1), while 3-shingle dfs stay
+    small (max 25) and the df cap fuses any boilerplate shingle. The
+    anchor-side shingle postings broadcast (anchors are the docs in
+    positive pairs — a tiny fraction of the corpus); scoring joins the
+    per-doc distinct token ARRAYS only for the bounded candidate set.
     Returns (query_id, neighbor_id, score, rank).
     """
-    tok = distinct_token_postings(docs)
-    at = (
-        tok.join(
-            F.broadcast(anchors),
-            tok["doc_id"] == anchors["anchor_id"],
-        )
-        .select("anchor_id", F.col("n_toks").alias("na"), "term")
+    from hadoop_project_spark.execution import pin
+    from hadoop_project_spark.operators import dedup as dd
+
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(ts.tokens_nonempty("text")).alias("ts"),
+    ).select("doc_id", "ts", F.size("ts").cast("long").alias("n"))
+    # pinned: the df aggregate, the corpus join side, and the anchor
+    # join side all consume the exploded shingle stream
+    sh = pin(dd.doc_shingles(docs))
+    dfc = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("sh")
     )
-    inter = (
-        tok.join(F.broadcast(at), "term")
+    shc = sh.join(dfc, "sh")
+    a_sh = shc.join(
+        F.broadcast(anchors), shc["doc_id"] == anchors["anchor_id"]
+    ).select("anchor_id", "sh")
+    cand = (
+        shc.join(F.broadcast(a_sh), "sh")
         .filter(F.col("doc_id") != F.col("anchor_id"))
-        .groupBy(
+        .select(
             F.col("anchor_id").alias("query_id"),
             F.col("doc_id").alias("neighbor_id"),
         )
-        .agg(
-            F.count(F.lit(1)).alias("ni"),
-            F.max("n_toks").alias("nc"),
-            F.max("na").alias("na"),
-        )
+        .distinct()
     )
     excl = exclude_pairs.select(
         F.col("anchor_id").alias("query_id"),
         F.col("other_id").alias("neighbor_id"),
     )
+    cand = cand.join(F.broadcast(excl), ["query_id", "neighbor_id"], "left_anti")
+    a_sets = sets.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("ts").alias("a_ts"),
+        F.col("n").alias("na"),
+    )
+    c_sets = sets.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("n").alias("nc"),
+    )
+    inter = F.size(F.array_intersect("a_ts", "c_ts"))
     scored = (
-        inter.join(F.broadcast(excl), ["query_id", "neighbor_id"], "left_anti")
+        cand.join(a_sets, "query_id")
+        .join(c_sets, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
             (
-                F.col("ni").cast("double")
-                / (F.col("na") + F.col("nc") - F.col("ni"))
+                inter.cast("double") / (F.col("na") + F.col("nc") - inter)
             ).alias("score"),
         )
     )

@@ -196,6 +196,7 @@ NEG_PER_ANCHOR = 3
 
 
 def _sql_contrastive_pairs() -> str:
+    from hadoop_project_spark.operators import retrieval as rt
     from hadoop_project_spark.operators import ssjoin as sj
 
     tau_n, tau_d = sj.SSJOIN_TAU_NUM, sj.SSJOIN_TAU_DEN
@@ -222,6 +223,25 @@ def _sql_contrastive_pairs() -> str:
         SELECT doc_a AS a FROM pos UNION ALL SELECT doc_b FROM pos
       )
     ),
+    dfc AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+            WHERE df <= {rt.NEG_SHINGLE_DF_CAP}),
+    shc AS (SELECT s.doc_id, s.sh FROM sh s JOIN dfc USING (sh)),
+    ash AS (
+      SELECT s.doc_id AS anchor_id, s.sh
+      FROM shc s JOIN anch ON s.doc_id = anch.a
+    ),
+    ncand AS (
+      SELECT DISTINCT a.anchor_id, c.doc_id AS other_id
+      FROM shc c JOIN ash a ON c.sh = a.sh AND c.doc_id <> a.anchor_id
+    ),
+    nexcl AS (
+      SELECT anchor_id, other_id FROM ncand n
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE (p.doc_a = n.anchor_id AND p.doc_b = n.other_id)
+           OR (p.doc_b = n.anchor_id AND p.doc_a = n.other_id)
+      )
+    ),
     tokset AS (
       SELECT doc_id,
              list_distinct([t for t in string_split({SQL_NORM}, ' ')
@@ -229,26 +249,19 @@ def _sql_contrastive_pairs() -> str:
       FROM documents
     ),
     tok AS (SELECT doc_id, len(ts) AS n, UNNEST(ts) AS term FROM tokset),
-    at AS (
-      SELECT t.doc_id AS anchor_id, t.n AS na, t.term
-      FROM tok t JOIN anch ON t.doc_id = anch.a
-    ),
     ni AS (
-      SELECT a.anchor_id, c.doc_id AS other_id,
-             MAX(a.na) AS na, MAX(c.n) AS nc,
+      SELECT n.anchor_id, n.other_id,
+             MAX(x.n) AS na, MAX(y.n) AS nc,
              CAST(COUNT(*) AS BIGINT) AS ni
-      FROM tok c JOIN at a ON c.term = a.term AND c.doc_id <> a.anchor_id
+      FROM nexcl n
+      JOIN tok x ON x.doc_id = n.anchor_id
+      JOIN tok y ON y.doc_id = n.other_id AND y.term = x.term
       GROUP BY 1, 2
     ),
     negc AS (
       SELECT anchor_id, other_id,
              CAST(ni AS DOUBLE) / (na + nc - ni) AS score
-      FROM ni n
-      WHERE NOT EXISTS (
-        SELECT 1 FROM pos p
-        WHERE (p.doc_a = n.anchor_id AND p.doc_b = n.other_id)
-           OR (p.doc_b = n.anchor_id AND p.doc_a = n.other_id)
-      )
+      FROM ni
     ),
     negr AS (
       SELECT anchor_id, other_id, score,
@@ -286,26 +299,35 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mined entirely from certified machinery: POSITIVES are the exact
     near-dup pairs (3-shingle Jaccard >= tau via the PPJoin
     prefix-filtered join — two crawls of the same content), HARD
-    NEGATIVES are each anchor's top unigram-Jaccard non-duplicates
-    (lexically close, not the same content — the negatives that make a
-    contrastive objective learn semantics instead of vocabulary).
+    NEGATIVES are each anchor's top unigram-Jaccard documents among
+    those sharing a df-capped 3-SHINGLE (lexically close at the phrase
+    level, not the same content — the negatives that make a contrastive
+    objective learn semantics instead of vocabulary).
 
     Scale shape: positives are the ssjoin (blocked, never all-pairs);
     anchors — docs appearing in a positive — are a tiny fraction of the
-    corpus, broadcast into the shared-token candidate join; the only
-    corpus-sized shuffle is the per-(anchor, candidate) count aggregate;
+    corpus, broadcast into the SHINGLE-blocked candidate join
+    (token-blocking is a measured anti-pattern here: see
+    operators/retrieval.hard_negatives_for_anchors); exact Jaccard
+    scoring joins token arrays only for the bounded candidate set;
     ranking is the two-stage top-k. The oracle re-derives shingles,
-    positives (integer threshold test), token sets, exclusions, and both
-    rankings from scratch.
+    positives (integer threshold test), the df cap, candidates, token
+    sets, exclusions, and both rankings from scratch.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as w
 
+    from hadoop_project_spark.execution import eager_pin
     from hadoop_project_spark.operators import retrieval as rt
     from hadoop_project_spark.operators import ssjoin as sj
 
     docs = load_table(spark, sf_dir, "documents")
-    pos = sj.prefix_filtered_jaccard_pairs(docs)
+    # pinned: the prefix-filtered join feeds FOUR consumers (anchors,
+    # the exclusion anti-join, the positive output, and — via anchors —
+    # the negative candidate join's broadcast side); unpinned, each
+    # re-executes the whole ssjoin pipeline (measured at sf0.1:
+    # 17.8 s -> ~4 s warm with the pin)
+    pos = eager_pin(sj.prefix_filtered_jaccard_pairs(docs))
     anchors = (
         pos.select(F.col("doc_a").alias("anchor_id"))
         .unionByName(pos.select(F.col("doc_b").alias("anchor_id")))

@@ -98,17 +98,20 @@ def test_hybrid_legs_agree_with_components(spark, sf_dir):
 
 
 def test_hard_negatives_exclude_positives_and_rank(spark):
-    """Hard negatives never include excluded (positive) pairs or the
-    anchor itself, and rank by unigram Jaccard descending."""
+    """Hard negatives: candidates must share a 3-shingle with the
+    anchor (token-only overlap is NOT enough), excluded (positive)
+    pairs and the anchor itself never appear, and ranking is by exact
+    unigram Jaccard descending."""
     from hadoop_project_spark.operators import retrieval as rt
 
     docs = spark.createDataFrame(
         [
             (0, "a b c d e"),
             (1, "a b c d e"),   # the positive (excluded)
-            (2, "a b c x y"),   # J = 3/7 vs anchor
-            (3, "a p q r s"),   # J = 1/9
-            (4, "zz yy xx"),    # no overlap -> absent
+            (2, "a b c x y"),   # shares shingle "a b c"; J = 3/7
+            (3, "c d e q r"),   # shares shingle "c d e"; J = 3/7
+            (4, "a p c q e"),   # shares tokens but NO shingle -> absent
+            (5, "zz yy xx"),    # no overlap -> absent
         ],
         "doc_id long, text string",
     )
@@ -116,4 +119,20 @@ def test_hard_negatives_exclude_positives_and_rank(spark):
     excl = spark.createDataFrame([(0, 1), (1, 0)], "anchor_id long, other_id long")
     rows = rt.hard_negatives_for_anchors(docs, anchors, excl, k=5).collect()
     got = [(r["neighbor_id"], r["score"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
-    assert got == [(2, 3.0 / 7.0, 1), (3, 1.0 / 9.0, 2)]
+    # equal scores tie-break on neighbor_id
+    assert got == [(2, 3.0 / 7.0, 1), (3, 3.0 / 7.0, 2)]
+
+
+def test_hard_negatives_df_cap_fuses_hot_shingles(spark):
+    """A shingle occurring in more docs than the df cap generates no
+    candidates."""
+    from hadoop_project_spark.operators import retrieval as rt
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(5)],
+        "doc_id long, text string",
+    )
+    anchors = spark.createDataFrame([(0,)], "anchor_id long")
+    excl = spark.createDataFrame([], "anchor_id long, other_id long")
+    out = rt.hard_negatives_for_anchors(docs, anchors, excl, k=5, df_cap=3)
+    assert out.count() == 0
