@@ -67,19 +67,12 @@ def fake_image_decoder(payload: bytes, fmt: str) -> list[float]:
     return [b / 255.0 for b in h[:16]]
 
 
-def wav_decoder(payload: bytes, fmt: str) -> list[float]:
-    """REAL codec through the pluggable seam: a pure-stdlib RIFF/WAVE
-    PCM parser (chunk walk with word-alignment, `fmt ` + `data` chunk
-    extraction, little-endian int16 decode — the container layout from
-    the public RIFF spec). No external library, so it ships in this
-    environment as the working alternative to the NotImplementedError
-    stub.
-
-    Features (6 floats): sample_rate, n_channels, n_samples,
-    sample_sum, sample_min, sample_max — integer-valued by
-    construction, so they survive the float32 feature column exactly
-    for clips ≤ 2^24 absolute sum (the synthetic fixture stays ≤ 2^21)
-    and an SQL oracle can recompute them bit-for-bit."""
+def wav_samples(payload: bytes) -> "tuple[int, int, tuple]":
+    """Parse a RIFF/WAVE PCM16 container into (sample_rate, n_channels,
+    samples) — the shared parsing core of wav_decoder and
+    audio_fingerprint. Pure-stdlib chunk walk with word-alignment,
+    `fmt ` + `data` chunk extraction, little-endian int16 decode — the
+    container layout from the public RIFF spec."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -102,7 +95,20 @@ def wav_decoder(payload: bytes, fmt: str) -> list[float]:
         raise ValueError("missing fmt/data chunk")
     if bits != 16:
         raise ValueError(f"only PCM16 supported, got {bits}")
-    samples = struct.unpack(f"<{len(data) // 2}h", data)
+    return sr, ch, struct.unpack(f"<{len(data) // 2}h", data)
+
+
+def wav_decoder(payload: bytes, fmt: str) -> list[float]:
+    """REAL codec through the pluggable seam (parsing core:
+    wav_samples). No external library, so it ships in this environment
+    as the working alternative to the NotImplementedError stub.
+
+    Features (6 floats): sample_rate, n_channels, n_samples,
+    sample_sum, sample_min, sample_max — integer-valued by
+    construction, so they survive the float32 feature column exactly
+    for clips ≤ 2^24 absolute sum (the synthetic fixture stays ≤ 2^21)
+    and an SQL oracle can recompute them bit-for-bit."""
+    sr, ch, samples = wav_samples(payload)
     if not samples:
         return [float(sr), float(ch), 0.0, 0.0, 0.0, 0.0]
     return [
@@ -349,6 +355,116 @@ def image_dhash(media: DataFrame, decoder: str = "bmp") -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(_map, schema=DHASH_SCHEMA)
+
+
+# Audio fingerprint geometry: the energy-profile difference code —
+# split the clip into AFP_WINDOWS equal sample windows (floor-division
+# assignment), sum |sample| per window, bit w set when energy[w] >
+# energy[w+1]. The 1-D twin of dHash, same 60-bit house width.
+AFP_WINDOWS = 61
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType(), False),
+    ]
+)
+
+
+def audio_fingerprint60(samples) -> int:
+    """60-bit energy-profile fingerprint of one PCM16 clip: window
+    w = (i * AFP_WINDOWS) // n for sample i (exact floor arithmetic),
+    energy = Σ|sample| per window, bit w = energy[w] > energy[w+1].
+    Integer end to end — SQL-oracle-exact like dhash60."""
+    n = len(samples)
+    e = [0] * AFP_WINDOWS
+    for i, v in enumerate(samples):
+        e[(i * AFP_WINDOWS) // n] += abs(int(v))
+    code = 0
+    for w in range(DHASH_BITS):
+        if e[w] > e[w + 1]:
+            code |= 1 << w
+    return code
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Fingerprint per audio clip: decode via the RIFF parsing core and
+    emit (media_id, n_samples, fingerprint) — the Arrow-batched
+    mapInPandas stage feeding the banded Hamming near-dup join. Same
+    shape and cost profile as image_dhash."""
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "n_samples": [], "fingerprint": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _sr, _ch, samples = wav_samples(
+                    payload if payload is not None else b""
+                )
+                out["media_id"].append(int(mid))
+                out["n_samples"].append(len(samples))
+                out["fingerprint"].append(audio_fingerprint60(samples))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_map, schema=AFP_SCHEMA)
+
+
+def banded_hamming_pairs(
+    codes: DataFrame,
+    code_col: str,
+    ham_t: int,
+    n_bands: int = 4,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-dup pairs under Hamming distance over 60-bit codes, WITHOUT
+    all-pairs work: split each code into ``n_bands`` equal bit bands,
+    candidates are pairs sharing at least one exact band (the SimHash/
+    LSH banding trick — the band key is the only shuffle key), verified
+    with bit_count(xor) <= ham_t. A pair at distance d misses all bands
+    only if every band holds >= 1 differing bit, so recall degrades
+    gracefully and is exactly mirrorable in SQL. Returns
+    (media_a, media_b, hamming)."""
+    from pyspark.sql import functions as F
+
+    band_bits = DHASH_BITS // n_bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(code_col, band_bits * b)
+                .bitwiseAND(F.lit(2**band_bits - 1))
+                .alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keys = codes.select(
+        F.col(id_col), F.col(code_col), F.explode(entries).alias("e")
+    ).select(
+        F.col(id_col),
+        F.col(code_col),
+        F.col("e.band").alias("band"),
+        F.col("e.key").alias("key"),
+    )
+    a = keys.select(
+        "band", "key",
+        F.col(id_col).alias("media_a"), F.col(code_col).alias("ha"),
+    )
+    b = keys.select(
+        "band", "key",
+        F.col(id_col).alias("media_b"), F.col(code_col).alias("hb"),
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("int"))
+        .filter(F.col("hamming") <= ham_t)
+        .select("media_a", "media_b", "hamming")
+    )
 
 
 def extract_features(

@@ -458,12 +458,11 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     from hadoop_project_spark.operators.multimodal import (
-        DHASH_BITS,
+        banded_hamming_pairs,
         image_dhash,
         pack_bmp24,
     )
 
-    band_bits = DHASH_BITS // DHASH_BANDS
     docs = widen_for_compute(
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
@@ -499,45 +498,153 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(synth, schema=media_schema)
     codes = image_dhash(media, decoder="bmp")
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright("dhash", band_bits * b)
-                .bitwiseAND(F.lit(2 ** band_bits - 1))
-                .alias("key"),
-            )
-            for b in range(DHASH_BANDS)
+    pairs = banded_hamming_pairs(
+        codes, "dhash", DHASH_HAM_T, n_bands=DHASH_BANDS
+    )
+    return pairs.select(
+        F.col("media_a").cast("long").alias("media_a"),
+        F.col("media_b").cast("long").alias("media_b"),
+        "hamming",
+        F.expr(f"media_a DIV {_GROUP} = media_b DIV {_GROUP}").alias(
+            "same_group"
+        ),
+    )
+
+
+def _sql_audio_fingerprint_neardup() -> str:
+    from hadoop_project_spark.operators.multimodal import (
+        AFP_WINDOWS,
+        DHASH_BITS,
+    )
+
+    band_bits = DHASH_BITS // DHASH_BANDS
+    return f"""
+    WITH base AS (
+      SELECT doc_id, doc_id // {_GROUP} AS grp FROM documents
+    ),
+    mix AS (
+      SELECT doc_id, grp, 240 + grp % 7 AS n,
+             (grp * 2654435761) % 2147483647 AS m
+      FROM base
+    ),
+    s AS (
+      SELECT doc_id, n, m % 127 + 3 AS ca, (m // 127) % 89 + 2 AS cb,
+             unnest(generate_series(0, n - 1)) AS i
+      FROM mix
+    ),
+    v AS (
+      SELECT doc_id,
+             (i * {AFP_WINDOWS}) // n AS w,
+             abs(((ca * i + cb * ((i * i) % 97)) % 4096) - 2048
+                 + CASE WHEN (i + doc_id) % 29 = 0
+                        THEN (doc_id % {_GROUP}) * 25 ELSE 0 END) AS av
+      FROM s
+    ),
+    e AS (SELECT doc_id, w, SUM(av) AS energy FROM v GROUP BY 1, 2),
+    bits AS (
+      SELECT a.doc_id, a.w AS pos,
+             CASE WHEN a.energy > b.energy THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+      WHERE a.w < {DHASH_BITS}
+    ),
+    hsh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN bit = 1
+                      THEN CAST(1 AS BIGINT) << CAST(pos AS INTEGER)
+                      ELSE 0 END) AS fp
+      FROM bits GROUP BY doc_id
+    ),
+    keys AS (
+      SELECT doc_id, fp, band,
+             (fp >> ({band_bits} * band)) & {2 ** band_bits - 1} AS key
+      FROM (
+        SELECT doc_id, fp,
+               unnest(generate_series(0, {DHASH_BANDS - 1})) AS band
+        FROM hsh
+      )
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+             a.fp AS ha, b.fp AS hb
+      FROM keys a JOIN keys b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(media_a AS BIGINT) AS media_a,
+           CAST(media_b AS BIGINT) AS media_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming,
+           media_a // {_GROUP} = media_b // {_GROUP} AS same_group
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {DHASH_HAM_T}
+    """
+
+
+@register(
+    "audio_fingerprint_neardup",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_audio_fingerprint_neardup(),
+    tags=("multimodal", "audio", "dedup", "fingerprint", "mapInPandas",
+          "extension"),
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end to end — the 1-D twin of image_dhash_neardup:
+    synthetic PCM16 clips in near-duplicate groups of {_GROUP} (same
+    seeded waveform, per-clip sparse amplitude perturbation; lengths
+    vary WITHIN the 61-window grid so the floor-division window
+    assignment is exercised), decoded by the real RIFF parser, reduced
+    to a 60-bit energy-profile difference fingerprint (integer-exact),
+    then paired by the same 4x15-bit banded Hamming join verified at
+    bit_count(xor) <= {DHASH_HAM_T}. Shares banded_hamming_pairs with
+    the image path — one banding implementation, two modalities."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from hadoop_project_spark.operators.multimodal import (
+        audio_fingerprint,
+        banded_hamming_pairs,
+        pack_wav_pcm16,
+    )
+
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
         ]
     )
-    keys = codes.select(
-        "media_id", "dhash", F.explode(entries).alias("e")
-    ).select("media_id", "dhash", F.col("e.band").alias("band"),
-             F.col("e.key").alias("key"))
-    a = keys.select(
-        F.col("band"), F.col("key"),
-        F.col("media_id").alias("media_a"), F.col("dhash").alias("ha"),
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                grp = d // _GROUP
+                n = 240 + grp % 7
+                m = (grp * 2654435761) % 2147483647
+                ca, cb = m % 127 + 3, (m // 127) % 89 + 2
+                samples = []
+                for i in range(n):
+                    v = ((ca * i + cb * ((i * i) % 97)) % 4096) - 2048
+                    if (i + d) % 29 == 0:
+                        v = v + (d % _GROUP) * 25
+                    samples.append(v)
+                payloads.append(pack_wav_pcm16(samples, sample_rate=8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, schema=media_schema)
+    codes = audio_fingerprint(media)
+    pairs = banded_hamming_pairs(
+        codes, "fingerprint", DHASH_HAM_T, n_bands=DHASH_BANDS
     )
-    b = keys.select(
-        F.col("band"), F.col("key"),
-        F.col("media_id").alias("media_b"), F.col("dhash").alias("hb"),
-    )
-    cand = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b", "ha", "hb")
-        .distinct()
-    )
-    ham = F.expr("bit_count(ha ^ hb)")
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= DHASH_HAM_T)
-        .select(
-            F.col("media_a").cast("long").alias("media_a"),
-            F.col("media_b").cast("long").alias("media_b"),
-            "hamming",
-            F.expr(f"media_a DIV {_GROUP} = media_b DIV {_GROUP}").alias(
-                "same_group"
-            ),
-        )
+    return pairs.select(
+        F.col("media_a").cast("long").alias("media_a"),
+        F.col("media_b").cast("long").alias("media_b"),
+        "hamming",
+        F.expr(f"media_a DIV {_GROUP} = media_b DIV {_GROUP}").alias(
+            "same_group"
+        ),
     )

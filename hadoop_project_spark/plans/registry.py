@@ -76,10 +76,11 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             # quantizer through load_semdedup_centroids now
             "semantic_dedup_decisions",
             "semantic_dedup_bucketed",
-            # r11: operators/multimodal.py refactored (bmp_pixels
-            # factored out of bmp_decoder for the dHash family) —
-            # re-certify the BMP decode query in-window
+            # r11: operators/multimodal.py refactored (bmp_pixels /
+            # wav_samples factored out of the decoders for the
+            # perceptual-hash family) — re-certify both decode queries
             "multimodal_bmp_features",
+            "multimodal_wav_features",
         )
     },
     # --- green in r1-r8, still CI-oracle-tested: demote (prio 500) ---
@@ -156,7 +157,6 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "price_quantile_histogram",
             # earlier-round self-promotions (registration priority<100)
             "embedding_neardup_pairs_bucketed",
-            "multimodal_wav_features",
             "events_decayed_engagement",
             "embedding_neardup_pairs",
             "ann_topk_ivf",

@@ -270,3 +270,58 @@ def test_dhash60_gradient_and_sensitivity():
     img2[0:2, 0:2] = 0
     d = bin(full ^ dhash60(img2)).count("1")
     assert 1 <= d <= 4
+
+
+def test_wav_samples_roundtrip():
+    from hadoop_project_spark.operators.multimodal import (
+        pack_wav_pcm16,
+        wav_samples,
+    )
+
+    sr, ch, samples = wav_samples(
+        pack_wav_pcm16([0, 100, -100, 32767, -32768], 8000)
+    )
+    assert (sr, ch) == (8000, 1)
+    assert list(samples) == [0, 100, -100, 32767, -32768]
+
+
+def test_audio_fingerprint60_profile():
+    """Monotone-decreasing window energies set every bit; flipping the
+    profile clears them."""
+    from hadoop_project_spark.operators.multimodal import (
+        AFP_WINDOWS,
+        DHASH_BITS,
+        audio_fingerprint60,
+    )
+
+    # 4 samples per window, amplitude decreasing by window
+    samples = []
+    for w in range(AFP_WINDOWS):
+        samples += [1000 - w * 10] * 4
+    assert audio_fingerprint60(samples) == (1 << DHASH_BITS) - 1
+    assert audio_fingerprint60(samples[::-1]) == 0
+
+
+def test_banded_hamming_pairs_candidates_and_verify(spark):
+    """Pairs sharing a band verify by exact Hamming; codes differing in
+    every band produce no candidate."""
+    from hadoop_project_spark.operators.multimodal import (
+        banded_hamming_pairs,
+    )
+
+    rows = [
+        (0, 0b0),
+        (1, 0b1),                    # shares 3 bands with 0; ham 1
+        (2, (1 << 0) | (1 << 15) | (1 << 30) | (1 << 45)),  # differs in
+        # every band from 0 -> never a candidate vs 0 even though ham 4
+    ]
+    codes = spark.createDataFrame(rows, "media_id long, code long")
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in banded_hamming_pairs(codes, "code", ham_t=6).collect()
+    }
+    assert got[(0, 1)] == 1
+    assert (0, 2) not in got
+    # 1 and 2 share band 0 (both have bit 0 set, bits 1-14 clear):
+    # candidate, verified at hamming 3
+    assert got[(1, 2)] == 3

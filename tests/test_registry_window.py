@@ -87,10 +87,13 @@ MUST_VERIFY = {
     # shuffle -> fixed-size shards + manifest, distributed prefix-sum)
     "training_shard_assignment",
     "training_shard_manifest",
-    # round-11 new: perceptual image near-dup (decode -> dHash ->
-    # banded Hamming join); the bmp_pixels refactor also re-certifies
+    # round-11 new: perceptual near-dup for BOTH media codecs (decode
+    # -> 60-bit code -> shared banded Hamming join); the bmp_pixels /
+    # wav_samples refactors also re-certify the decode queries
     "image_dhash_neardup",
+    "audio_fingerprint_neardup",
     "multimodal_bmp_features",
+    "multimodal_wav_features",
 }
 
 
