@@ -1264,3 +1264,79 @@ def ann_ivfpq_base_plus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(seg), queries, k=K, cents=cents, books=_PQ_BOOKS,
         n_probe=IVF_PROBE,
     )
+
+
+@register(
+    "ann_topk_prefiltered",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+             {_sql_cosine("q.qv", "c.embedding")} AS cosine
+      FROM embeddings c JOIN q ON c.label = q.label
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(label AS BIGINT) AS label,
+           cosine, CAST(rn AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s
+    )
+    WHERE rn <= {K}
+    """,
+    tags=("similarity", "ann", "filtered", "extension"),
+)
+def ann_topk_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — the query shape every vector
+    store serves ("nearest neighbors WHERE label = X"), with the
+    PRE-filter semantics (filter first, then exact top-k over the
+    filtered set): post-filtering a fixed-k unfiltered ANN result
+    under-fills whenever fewer than k of the unfiltered top-k satisfy
+    the predicate; pre-filtering is exact by construction.
+
+    The plan is the scale story: the predicate is an EQUI-JOIN key
+    (corpus joins the broadcast query set ON label), so scoring touches
+    only predicate-matching rows — against the label-partitioned served
+    layout this becomes partition pruning at the scan (the same
+    composition ann_topk_ivfpq_served proves for cell keys); no
+    crossJoin appears anywhere. Two-stage top-k as always."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label"),
+        F.col("embedding").alias("q_vec"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("embedding").alias("c_vec"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("label").cast("long").alias("label"),
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
+            ).alias("cosine"),
+        )
+    )
+    ranked = sim.global_topk(scored.drop("label"), K)
+    # the pre-filter guarantees neighbor label == query label, so the
+    # output label comes from the 8-row broadcast query side — no
+    # second corpus scan
+    qlab = queries.select(
+        "query_id", F.col("label").cast("long").alias("label")
+    )
+    return ranked.join(F.broadcast(qlab), "query_id").select(
+        "query_id", "neighbor_id", "label", "cosine", "rank"
+    )

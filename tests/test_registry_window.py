@@ -94,6 +94,9 @@ MUST_VERIFY = {
     "audio_fingerprint_neardup",
     "multimodal_bmp_features",
     "multimodal_wav_features",
+    # round-11 new: metadata-filtered vector search (pre-filter as an
+    # equi-join key, exact top-k over the filtered set)
+    "ann_topk_prefiltered",
 }
 
 
