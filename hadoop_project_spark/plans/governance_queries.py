@@ -1011,3 +1011,162 @@ def weighted_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles=[(1, 4), (1, 2), (3, 4)],
         tiebreak=["l_orderkey", "l_linenumber"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free splits (round 11): assign train/val/test by NEAR-DUP
+# CLUSTER, not by document — the standard fix for the eval-leakage
+# pitfall where two crawls of the same content land on opposite sides
+# of a doc-hashed split.
+# ---------------------------------------------------------------------------
+_SPLIT_CASE_DOC = (
+    f"CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'"
+    f" THEN 'train'"
+    f" WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'"
+    f" THEN 'val' ELSE 'test' END"
+)
+_SPLIT_CASE_COMP = (
+    f"CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) <"
+    f" '{_TRAIN_HI}' THEN 'train'"
+    f" WHEN substr(md5(CAST(component AS VARCHAR)), 1, 2) < '{_VAL_HI}'"
+    f" THEN 'val' ELSE 'test' END"
+)
+
+
+def _sql_leakage_free_split() -> str:
+    from hadoop_project_spark.plans.dedup_queries import _sql_components_ctes
+
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(0.5)}
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(component AS BIGINT) AS component,
+           {_SPLIT_CASE_COMP} AS split
+    FROM comp
+    """
+
+
+def _spark_split_of(col_expr):
+    hx = F.substring(F.md5(col_expr.cast("string")), 1, 2)
+    return (
+        F.when(hx < _TRAIN_HI, "train")
+        .when(hx < _VAL_HI, "val")
+        .otherwise("test")
+    )
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hadoop_project_spark.operators import dedup as dd
+    from hadoop_project_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    comp = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    return comp.select(F.col("n").alias("doc_id"), "component")
+
+
+@register(
+    "leakage_free_split",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_leakage_free_split(),
+    tags=("governance", "split", "dedup", "leakage", "extension"),
+)
+def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment hashed on the NEAR-DUP COMPONENT id
+    instead of the doc id: every member of a duplicate cluster lands on
+    the same side by construction, so near-identical copies can never
+    straddle train and eval (the leakage a doc-hashed split permits —
+    measured by split_leakage_report). Same md5-prefix ranges and
+    append-stability as docs_split_assignment; singleton components
+    (the vast majority) hash exactly like their doc_id would under a
+    component-keyed policy, and the oracle replays the full
+    connected-components loop plus the assignment."""
+    comp = _components(spark, sf_dir)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+        _spark_split_of(F.col("component")).alias("split"),
+    )
+
+
+def _sql_split_leakage_report() -> str:
+    from hadoop_project_spark.plans.dedup_queries import _sql_components_ctes
+
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(0.5)},
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
+    ),
+    ds AS (SELECT doc_id, {_SPLIT_CASE_DOC} AS split FROM documents),
+    cs AS (SELECT doc_id, {_SPLIT_CASE_COMP} AS split FROM comp),
+    pol AS (
+      SELECT 'doc_level' AS policy, e.doc_a, e.doc_b,
+             a.split AS sa, b.split AS sb
+      FROM edges e JOIN ds a ON a.doc_id = e.doc_a
+                   JOIN ds b ON b.doc_id = e.doc_b
+      UNION ALL
+      SELECT 'cluster_level', e.doc_a, e.doc_b, a.split, b.split
+      FROM edges e JOIN cs a ON a.doc_id = e.doc_a
+                   JOIN cs b ON b.doc_id = e.doc_b
+    )
+    SELECT policy,
+           CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs,
+           CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_cross_split_pairs,
+           CAST(SUM(CASE WHEN sa <> sb THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS leak_rate
+    FROM pol GROUP BY policy
+    """
+
+
+@register(
+    "split_leakage_report",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_split_leakage_report(),
+    tags=("governance", "split", "dedup", "leakage", "evaluation",
+          "extension"),
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured case FOR the cluster split: per policy, how many
+    near-dup pairs straddle train/eval. doc_level leaks a nonzero
+    fraction of pairs at every fixture scale; cluster_level is zero BY
+    CONSTRUCTION (both endpoints inherit the component's hash). The
+    pair relation and both assignments are re-derived by the oracle, so
+    the driver hash certifies the leak counts themselves."""
+    from hadoop_project_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = eager_pin(
+        dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    )
+    comp = _components(spark, sf_dir)
+    ds = docs.select(
+        "doc_id", _spark_split_of(F.col("doc_id")).alias("split")
+    )
+    cs = comp.select(
+        "doc_id", _spark_split_of(F.col("component")).alias("split")
+    )
+    def leg(assign: DataFrame, policy: str) -> DataFrame:
+        a = assign.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+        )
+        b = assign.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+        )
+        return (
+            edges.join(a, "doc_a").join(b, "doc_b")
+            .select(F.lit(policy).alias("policy"), "sa", "sb")
+        )
+    pol = leg(ds, "doc_level").unionByName(leg(cs, "cluster_level"))
+    return pol.groupBy("policy").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neardup_pairs"),
+        F.sum((F.col("sa") != F.col("sb")).cast("int"))
+        .cast("long")
+        .alias("n_cross_split_pairs"),
+        (
+            F.sum((F.col("sa") != F.col("sb")).cast("int")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("leak_rate"),
+    )

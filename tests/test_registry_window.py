@@ -97,6 +97,11 @@ MUST_VERIFY = {
     # round-11 new: metadata-filtered vector search (pre-filter as an
     # equi-join key, exact top-k over the filtered set)
     "ann_topk_prefiltered",
+    # round-11 new: cluster-hashed leakage-free split + the measured
+    # leak report (doc-level hashes leak 44% of near-dup pairs at
+    # sf0.01; cluster-level leaks zero by construction)
+    "leakage_free_split",
+    "split_leakage_report",
 }
 
 
