@@ -251,3 +251,67 @@ def training_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("shard_id", "n_docs", "n_tokens", "first_doc_id", "last_doc_id")
     )
+
+
+def _sql_incremental_shard_export() -> str:
+    from hadoop_project_spark.plans.dedup_queries import (
+        _sql_corpus_version_diff,
+    )
+
+    return f"""
+    WITH {_SQL_SHARD_RANKS},
+    assign AS (
+      SELECT doc_id, (rank - 1) // {SHARD_SIZE} AS shard_id FROM r
+    ),
+    diff AS (
+      SELECT doc_id, status FROM ({_sql_corpus_version_diff()})
+    )
+    SELECT CAST(a.shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.status = 'dropped' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN d.status = 'rewritten' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rewritten,
+           SUM(CASE WHEN d.status <> 'unchanged' THEN 1 ELSE 0 END) > 0
+             AS dirty
+    FROM assign a JOIN diff d USING (doc_id)
+    GROUP BY a.shard_id
+    """
+
+
+@register(
+    "incremental_shard_export",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_incremental_shard_export(),
+    tags=("packing", "export", "cdc", "incremental", "extension"),
+)
+def incremental_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL re-export plan: join the shard map against the
+    corpus CDC report and mark each shard dirty iff it contains at
+    least one dropped or rewritten document — clean shards are reused
+    byte-for-byte by a resuming exporter, dirty ones re-cut. This is
+    the operational payoff of the deterministic shuffle (assignments
+    never move for unchanged docs) composed with corpus_version_diff:
+    a small corpus change re-exports only the touched fraction of
+    shards instead of the world. The oracle replays the shard ranking,
+    the full two-stage dedup pipeline, the diff, and the rollup."""
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.plans.dedup_queries import corpus_version_diff
+
+    assign = training_shard_assignment(spark, sf_dir).select(
+        "doc_id", "shard_id"
+    )
+    diff = corpus_version_diff(spark, sf_dir).select("doc_id", "status")
+    j = assign.join(diff, "doc_id")
+    changed = (F.col("status") != "unchanged").cast("int")
+    return j.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("status") == "dropped").cast("int"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum((F.col("status") == "rewritten").cast("int"))
+        .cast("long")
+        .alias("n_rewritten"),
+        (F.sum(changed) > 0).alias("dirty"),
+    )

@@ -102,6 +102,8 @@ MUST_VERIFY = {
     # sf0.01; cluster-level leaks zero by construction)
     "leakage_free_split",
     "split_leakage_report",
+    # round-11 new: dirty-shard incremental export (shard map x CDC)
+    "incremental_shard_export",
 }
 
 
