@@ -37,7 +37,7 @@ curation and eval-set mining.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from hadoop_project_spark.functions.vector import dot, l2_norm
@@ -380,3 +380,87 @@ def dense_rerank(
         ).alias("score"),
     )
     return topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# MMR (Maximal Marginal Relevance, Carbonell & Goldstein '98): greedy
+# diversified re-rank of a bounded candidate pool. Scores live in exact
+# INTEGER nano-units so every greedy comparison is engine-identical:
+# rel/sim cosines are 9dp-rounded doubles -> *1e9 rounds to an exact
+# BIGINT, and the marginal score is 7*rel_n - 3*maxsim_n
+# (lambda = 0.7 scaled by 10) — pure integer arithmetic.
+MMR_LAM_NUM = 7  # lambda * 10
+MMR_DIV_NUM = 3  # (1 - lambda) * 10
+
+
+def nano(col: Column) -> Column:
+    """Exact integer nano-units of a 9dp-rounded double column."""
+    return F.round(_to_col(col) * F.lit(1e9)).cast("long")
+
+
+def _to_col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def mmr_select(cand: DataFrame, psim: DataFrame, k: int) -> DataFrame:
+    """Greedy MMR over per-query candidate pools.
+
+    ``cand``: (query_id, neighbor_id, rel_nano) — the pool (bounded,
+    e.g. a certified top-20); ``psim``: (query_id, a, b, sim_nano) —
+    pairwise candidate similarities, BOTH orientations. Step 1 picks
+    argmax rel (ties -> lowest neighbor_id); step i picks argmax
+    7*rel_n - 3*max(sim_n to selected). Returns (query_id, neighbor_id,
+    step, rel_nano, mmr_nano) with step 1's mmr_nano = 7*rel_n.
+
+    The greedy loop is sequential BY DEFINITION, so it runs per query
+    group in one cogrouped applyInPandas over the bounded pool — O(k *
+    pool) integer ops per query, never a corpus-sized operation; the
+    expensive parts (pool ranking, pairwise sims) stay JVM-side
+    upstream. The oracle replays the same greedy as k UNROLLED CTE
+    steps (the chained-CTE pattern the K-Means/BPE oracles use).
+    """
+    import pandas as pd
+
+    out_schema = (
+        "query_id long, neighbor_id long, step int, "
+        "rel_nano long, mmr_nano long"
+    )
+
+    def fn(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = int(key[0])
+        rel = dict(zip(cdf["neighbor_id"].astype(int), cdf["rel_nano"].astype(int)))
+        sims = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(pdf["a"], pdf["b"], pdf["sim_nano"])
+        }
+        remaining = set(rel)
+        selected: list[int] = []
+        rows = []
+        for step in range(1, k + 1):
+            if not remaining:
+                break
+            best = None
+            for n in remaining:
+                if not selected:
+                    score = MMR_LAM_NUM * rel[n]
+                else:
+                    ms = max(sims[(n, s)] for s in selected)
+                    score = MMR_LAM_NUM * rel[n] - MMR_DIV_NUM * ms
+                # argmax score, ties -> LOWEST neighbor_id
+                cur = (score, -n)
+                if best is None or cur > best[0]:
+                    best = (cur, n, score)
+            _, n, score = best
+            remaining.discard(n)
+            selected.append(n)
+            rows.append((qid, n, step, rel[n], score))
+        return pd.DataFrame(
+            rows,
+            columns=["query_id", "neighbor_id", "step", "rel_nano", "mmr_nano"],
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(psim.groupBy("query_id"))
+        .applyInPandas(fn, schema=out_schema)
+    )

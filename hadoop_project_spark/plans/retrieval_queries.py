@@ -244,3 +244,150 @@ def bm25_prf_dense_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rrf_micro",
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-rank (round 11): greedy diversity over the dense
+# top-20 pool, exact in integer nano-units, oracle = K unrolled CTE
+# steps (the chained-CTE iterative pattern).
+# ---------------------------------------------------------------------------
+MMR_POOL = 20
+MMR_K = 5
+
+
+def _sql_mmr_rerank() -> str:
+    lam, div = rt.MMR_LAM_NUM, rt.MMR_DIV_NUM
+    steps = []
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""selu{i - 1} AS (
+      {" UNION ALL ".join(
+          f"SELECT query_id, nid FROM sel{j}" for j in range(1, i)
+      )}
+    ),
+    sc{i} AS (
+      SELECT r.query_id, r.nid, r.rel_n,
+             {lam} * r.rel_n - {div} * MAX(p.sim_n) AS score_n
+      FROM cand r
+      JOIN psim p ON p.query_id = r.query_id AND p.a = r.nid
+      JOIN selu{i - 1} s ON s.query_id = p.query_id AND s.nid = p.b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM selu{i - 1} x
+        WHERE x.query_id = r.query_id AND x.nid = r.nid
+      )
+      GROUP BY r.query_id, r.nid, r.rel_n
+    ),
+    sel{i} AS (
+      SELECT query_id, nid, rel_n, score_n FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score_n DESC, nid
+        ) AS rn FROM sc{i}
+      ) WHERE rn = 1
+    )""")
+    finals = " UNION ALL ".join(
+        [f"SELECT query_id, nid, 1 AS step, rel_n, {lam} * rel_n AS mmr_n"
+         " FROM sel1"]
+        + [
+            f"SELECT query_id, nid, {i}, rel_n, score_n FROM sel{i}"
+            for i in range(2, MMR_K + 1)
+        ]
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, cosine FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               {_sql_cosine("q.qv", "c.embedding")} AS cosine,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cosine("q.qv", "c.embedding")} DESC,
+                          c.vec_id
+               ) AS rn
+        FROM embeddings c, q WHERE c.vec_id <> q.query_id
+      ) WHERE rn <= {MMR_POOL}
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id AS nid,
+             CAST(ROUND(cosine * 1e9) AS BIGINT) AS rel_n
+      FROM pool
+    ),
+    psim AS (
+      SELECT a.query_id, a.nid AS a, b.nid AS b,
+             CAST(ROUND({_sql_cosine("ea.embedding", "eb.embedding")}
+                        * 1e9) AS BIGINT) AS sim_n
+      FROM cand a
+      JOIN cand b ON b.query_id = a.query_id AND b.nid <> a.nid
+      JOIN embeddings ea ON ea.vec_id = a.nid
+      JOIN embeddings eb ON eb.vec_id = b.nid
+    ),
+    sel1 AS (
+      SELECT query_id, nid, rel_n FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel_n DESC, nid
+        ) AS rn FROM cand
+      ) WHERE rn = 1
+    ),
+    {",".join(steps)}
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(nid AS BIGINT) AS neighbor_id,
+           CAST(step AS INT) AS step,
+           CAST(rel_n AS BIGINT) AS rel_nano,
+           CAST(mmr_n AS BIGINT) AS mmr_nano
+    FROM ({finals})
+    """
+
+
+@register(
+    "mmr_diversified_topk",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_mmr_rerank(),
+    tags=("retrieval", "similarity", "mmr", "diversity", "extension"),
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank of the dense top-{MMR_POOL}
+    pool: step 1 takes the most relevant candidate, each later step the
+    argmax of 7*rel - 3*max(sim to already-selected) — the standard
+    diversified retrieval output (dedup the RESULT LIST, not the
+    corpus). All scores are integer nano-units of 9dp-rounded cosines,
+    so the greedy argmax chain is bit-identical cross-engine; the
+    oracle replays all {MMR_K} greedy steps as unrolled CTEs. Pool
+    ranking and pairwise sims stay JVM-side; only the O(k x pool)
+    integer greedy runs per query group in a cogrouped applyInPandas."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = rt.dense_topk(emb, N_QUERIES, MMR_POOL)
+    cand = pool.select(
+        "query_id", "neighbor_id", rt.nano(F.col("score")).alias("rel_nano")
+    )
+    ev = emb.select("vec_id", "embedding")
+    from hadoop_project_spark.functions.vector import dot, l2_norm
+
+    ca = cand.select("query_id", F.col("neighbor_id").alias("a")).alias("ca")
+    cb = cand.select("query_id", F.col("neighbor_id").alias("b")).alias("cb")
+    pairs = (
+        ca.join(cb, F.col("ca.query_id") == F.col("cb.query_id"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.col("ca.query_id").alias("query_id"), "a", "b")
+    )
+    ea = ev.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+        l2_norm("embedding").alias("na"),
+    )
+    eb = ev.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+        l2_norm("embedding").alias("nb"),
+    )
+    psim = (
+        pairs.join(F.broadcast(ea), "a")
+        .join(F.broadcast(eb), "b")
+        .select(
+            "query_id", "a", "b",
+            rt.nano(
+                F.round(dot("va", "vb") / (F.col("na") * F.col("nb")), 9)
+            ).alias("sim_nano"),
+        )
+    )
+    return rt.mmr_select(cand, psim, MMR_K)

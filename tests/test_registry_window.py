@@ -104,6 +104,9 @@ MUST_VERIFY = {
     "split_leakage_report",
     # round-11 new: dirty-shard incremental export (shard map x CDC)
     "incremental_shard_export",
+    # round-11 new: MMR diversified re-rank (greedy in integer
+    # nano-units; oracle = 5 unrolled CTE steps)
+    "mmr_diversified_topk",
 }
 
 

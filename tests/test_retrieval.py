@@ -136,3 +136,30 @@ def test_hard_negatives_df_cap_fuses_hot_shingles(spark):
     excl = spark.createDataFrame([], "anchor_id long, other_id long")
     out = rt.hard_negatives_for_anchors(docs, anchors, excl, k=5, df_cap=3)
     assert out.count() == 0
+
+
+def test_mmr_select_diversity_and_ties(spark):
+    """MMR: step 1 = most relevant; a near-duplicate of the first pick
+    is deferred below a less-relevant but diverse candidate."""
+    from hadoop_project_spark.operators import retrieval as rt
+
+    # rel: 10 best, 11 almost as relevant but ~identical to 10,
+    # 12 less relevant but diverse
+    cand = spark.createDataFrame(
+        [(1, 10, 900_000_000), (1, 11, 890_000_000), (1, 12, 500_000_000)],
+        "query_id long, neighbor_id long, rel_nano long",
+    )
+    sims = []
+    hi, lo = 990_000_000, 10_000_000
+    m = {(10, 11): hi, (10, 12): lo, (11, 12): lo}
+    for (a, b), s in m.items():
+        sims += [(1, a, b, s), (1, b, a, s)]
+    psim = spark.createDataFrame(
+        sims, "query_id long, a long, b long, sim_nano long"
+    )
+    rows = {r["step"]: r for r in rt.mmr_select(cand, psim, 3).collect()}
+    assert rows[1]["neighbor_id"] == 10
+    assert rows[1]["mmr_nano"] == 7 * 900_000_000
+    # 11: 7*0.89e9 - 3*0.99e9 = 3.26e9 < 12: 7*0.5e9 - 3*0.01e9 = 3.47e9
+    assert rows[2]["neighbor_id"] == 12
+    assert rows[3]["neighbor_id"] == 11
