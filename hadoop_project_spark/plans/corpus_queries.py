@@ -362,3 +362,124 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
     )
     return pos_ranked.unionByName(neg_rows)
+
+
+def _sql_contrastive_dense_negatives() -> str:
+    from hadoop_project_spark.operators import ssjoin as sj
+    from hadoop_project_spark.plans.similarity_queries import _sql_cosine
+
+    tau_n, tau_d = sj.SSJOIN_TAU_NUM, sj.SSJOIN_TAU_DEN
+    return f"""
+    WITH {SQL_SHINGLES_CTE},
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    si AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pos AS (
+      SELECT i.doc_a, i.doc_b
+      FROM si i
+      JOIN sz sx ON sx.doc_id = i.doc_a
+      JOIN sz sy ON sy.doc_id = i.doc_b
+      WHERE i.i * {tau_d} >= {tau_n} * (sx.n + sy.n - i.i)
+    ),
+    anch AS (
+      SELECT DISTINCT a FROM (
+        SELECT doc_a AS a FROM pos UNION ALL SELECT doc_b FROM pos
+      )
+    ),
+    sc AS (
+      SELECT anch.a AS anchor_id, c.vec_id AS other_id,
+             {_sql_cosine("qa.embedding", "c.embedding")} AS cosine
+      FROM anch
+      JOIN embeddings qa ON qa.vec_id = anch.a
+      JOIN embeddings c ON c.vec_id <> anch.a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pos p
+        WHERE (p.doc_a = anch.a AND p.doc_b = c.vec_id)
+           OR (p.doc_b = anch.a AND p.doc_a = c.vec_id)
+      )
+    )
+    SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+           CAST(other_id AS BIGINT) AS other_id,
+           cosine, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY anchor_id ORDER BY cosine DESC, other_id
+      ) AS rn FROM sc
+    ) WHERE rn <= {NEG_PER_ANCHOR}
+    """
+
+
+@register(
+    "contrastive_dense_negatives",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=_sql_contrastive_dense_negatives(),
+    tags=("corpus", "contrastive", "similarity", "extension"),
+)
+def contrastive_dense_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC-space twin of contrastive_pairs' hard negatives:
+    for each anchor (a doc in a near-dup positive pair), the top
+    embedding-cosine documents that are NOT its positives — negatives
+    that sit close in the embedding space being trained, the
+    highest-gradient examples for a contrastive objective. Anchors
+    broadcast against one corpus scan (the ann_topk_bruteforce shape
+    with the query set = anchors; at larger anchor counts the IVF/PQ
+    family substitutes unchanged); two-stage top-k; the exclusion
+    anti-join is anchor-pair-sized. The oracle re-derives positives,
+    anchors, cosines, exclusions, and the ranking."""
+    from pyspark.sql import functions as F
+
+    from hadoop_project_spark.execution import eager_pin
+    from hadoop_project_spark.functions.vector import dot, l2_norm
+    from hadoop_project_spark.operators import retrieval as rt
+    from hadoop_project_spark.operators import ssjoin as sj
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = eager_pin(
+        sj.prefix_filtered_jaccard_pairs(docs).select("doc_a", "doc_b")
+    )
+    anchors = (
+        pos.select(F.col("doc_a").alias("anchor_id"))
+        .unionByName(pos.select(F.col("doc_b").alias("anchor_id")))
+        .distinct()
+    )
+    q = anchors.join(emb, anchors["anchor_id"] == emb["vec_id"]).select(
+        F.col("anchor_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        l2_norm("embedding").alias("q_norm"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        l2_norm("embedding").alias("c_norm"),
+    )
+    excl = pos.select(
+        F.col("doc_a").alias("query_id"), F.col("doc_b").alias("neighbor_id")
+    ).unionByName(
+        pos.select(
+            F.col("doc_b").alias("query_id"),
+            F.col("doc_a").alias("neighbor_id"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(excl), ["query_id", "neighbor_id"], "left_anti")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
+            ).alias("score"),
+        )
+    )
+    ranked = rt.topk_per_query(scored, NEG_PER_ANCHOR)
+    return ranked.select(
+        F.col("query_id").cast("long").alias("anchor_id"),
+        F.col("neighbor_id").cast("long").alias("other_id"),
+        F.col("score").alias("cosine"),
+        "rank",
+    )

@@ -623,3 +623,48 @@ def winnowing_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
     )
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    priority=10,  # new in round 11 -> first driver window
+    oracle=f"""
+    SELECT source,
+           CAST(SUM({SQL_NTOK}) AS BIGINT) AS n_ws_tokens,
+           CAST(SUM({SQL_NBPE}) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM({SQL_NBPE}) AS DOUBLE) / CAST(SUM({SQL_NTOK}) AS DOUBLE)
+             AS fertility,
+           CAST(SUM(length(text)) AS DOUBLE)
+             / CAST(SUM({SQL_NBPE}) AS DOUBLE) AS chars_per_token
+    FROM documents GROUP BY source
+    """,
+    tags=("text", "tokenizer", "evaluation", "extension"),
+)
+def tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-cost report per source: FERTILITY (BPE-ish fragments
+    per whitespace word — the standard 'how expensive is this domain to
+    tokenize' number) and characters per token. The two ratios are what
+    a mixture designer reads next to the token budget: a high-fertility
+    source consumes budget faster than its character share suggests.
+    Single scan, one partial-aggregated rollup; ratios are single
+    divisions of exact integer sums (cross-engine identical)."""
+    docs = widen_for_compute(
+        load_table(spark, sf_dir, "documents").select("source", "text")
+    )
+    n_ws = ts.token_count("text")
+    n_bpe = ts.bpe_proxy_token_count("text")
+    return docs.groupBy("source").agg(
+        F.sum(n_ws).cast("long").alias("n_ws_tokens"),
+        F.sum(n_bpe).cast("long").alias("n_bpe_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars"),
+        (
+            F.sum(n_bpe).cast("double") / F.sum(n_ws).cast("double")
+        ).alias("fertility"),
+        (
+            F.sum(F.length("text")).cast("double")
+            / F.sum(n_bpe).cast("double")
+        ).alias("chars_per_token"),
+    )

@@ -107,6 +107,10 @@ MUST_VERIFY = {
     # round-11 new: MMR diversified re-rank (greedy in integer
     # nano-units; oracle = 5 unrolled CTE steps)
     "mmr_diversified_topk",
+    # round-11 new: semantic-space contrastive negatives + the
+    # tokenizer-cost report
+    "contrastive_dense_negatives",
+    "tokenizer_fertility_by_source",
 }
 
 
