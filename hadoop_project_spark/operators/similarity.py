@@ -803,3 +803,85 @@ def ivfpq_topk_over(
         )
     )
     return _ranked_by_adc(scored, k)
+
+
+def blocked_anchor_cosines(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) for every (anchor, same-block
+    vector) pair, anchor-restricted on one side — the asymmetric twin of
+    blocked_pair_cosines for "score a small id-set against its blocks"
+    (contrastive dense negatives, per-item re-scoring). ``anchors``:
+    (anchor_id) — broadcast; the Gram work per block is
+    O(block_anchors x block x dim) BLAS instead of the all-pairs
+    block², and the per-dimension SEQUENTIAL accumulation keeps every
+    cosine bit-identical to the JVM zip_with/aggregate fold (same
+    discipline, and same measured ~30x win over interpreted per-pair
+    folds, as blocked_pair_cosines)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    marked = corpus.join(
+        F.broadcast(anchors.select(F.col("anchor_id").alias(id_col))
+                    .withColumn("_is_anchor", F.lit(True))),
+        id_col,
+        "left",
+    ).select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.coalesce("_is_anchor", F.lit(False)).alias("_is_anchor"),
+    )
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        amask = pdf["_is_anchor"].to_numpy()
+        if not amask.any() or len(pdf) < 2:
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            )
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        A = M[amask]
+        a_ids = ids[amask]
+        a, dim = A.shape
+        n = M.shape[0]
+        # sequential per-dimension accumulation == F.aggregate's fold
+        G = np.zeros((a, n))
+        sqa = np.zeros(a)
+        sqc = np.zeros(n)
+        tmp = np.empty((a, n))
+        for d in range(dim):
+            ca, cc = A[:, d], M[:, d]
+            np.multiply.outer(ca, cc, out=tmp)
+            G += tmp
+            sqa += ca * ca
+            sqc += cc * cc
+        C = G / np.multiply.outer(np.sqrt(sqa), np.sqrt(sqc))
+        qi, ni = np.meshgrid(np.arange(a), np.arange(n), indexing="ij")
+        qi, ni = qi.ravel(), ni.ravel()
+        keep = a_ids[qi] != ids[ni]  # no self pairs
+        return pd.DataFrame(
+            {
+                "query_id": a_ids[qi[keep]],
+                "neighbor_id": ids[ni[keep]],
+                "cosine": C[qi[keep], ni[keep]],
+            }
+        )
+
+    return marked.groupBy("blk").applyInPandas(
+        score_block, schema=out_schema
+    )
