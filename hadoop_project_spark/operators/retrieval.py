@@ -258,10 +258,14 @@ def hard_negatives_for_anchors(
     from hadoop_project_spark.execution import pin
     from hadoop_project_spark.operators import dedup as dd
 
-    sets = docs.select(
-        "doc_id",
-        F.array_distinct(ts.tokens_nonempty("text")).alias("ts"),
-    ).select("doc_id", "ts", F.size("ts").cast("long").alias("n"))
+    # pinned: the anchor-side and candidate-side scoring joins both
+    # consume the corpus-wide tokenization (review finding)
+    sets = pin(
+        docs.select(
+            "doc_id",
+            F.array_distinct(ts.tokens_nonempty("text")).alias("ts"),
+        ).select("doc_id", "ts", F.size("ts").cast("long").alias("n"))
+    )
     # pinned: the df aggregate, the corpus join side, and the anchor
     # join side all consume the exploded shingle stream
     sh = pin(dd.doc_shingles(docs))

@@ -553,6 +553,34 @@ def neardup_gate_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gate_flags_for_ordered_corpus(docs)
 
 
+def neardup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame | None = None,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """(doc_id, component) — THE near-dup cluster definition: connected
+    components over the MinHash-LSH pair graph at ``min_jaccard``. The
+    single Spark-side spelling (SQL twin: _sql_components_ctes) shared
+    by dedup_clusters, dedup_canonical_by_quality, and the leakage-free
+    split family — a threshold or edge-source change lands everywhere
+    at once. Pass a prebuilt (and typically pinned) ``edges`` relation
+    when the caller also consumes the pair graph itself (the
+    multi-consumer pin discipline)."""
+    from hadoop_project_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    if edges is None:
+        edges = dd.minhash_lsh_pairs(docs).filter(
+            F.col("jaccard") >= min_jaccard
+        )
+    comp = connected_components(
+        docs.select("doc_id"), edges, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    return comp.select(F.col("n").alias("doc_id"), "component")
+
+
 @register(
     "dedup_clusters",
     oracle=_sql_dedup_clusters(0.5),
@@ -568,15 +596,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match therefore verifies an entire iterative graph algorithm,
     not just a projection.
     """
-    from hadoop_project_spark.operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    edges = dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
-    comp = connected_components(
-        docs.select("doc_id"), edges, node_col="doc_id",
-        src_col="doc_a", dst_col="doc_b",
-    )
-    return comp.select(F.col("n").alias("doc_id"), "component")
+    return neardup_components(spark, sf_dir)
 
 
 def _sql_canonical_by_quality(min_jaccard: float) -> str:
@@ -638,16 +658,11 @@ def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from hadoop_project_spark.operators import textstats as ts
-    from hadoop_project_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    edges = dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
-    comp = connected_components(
-        docs.select("doc_id"), edges, node_col="doc_id",
-        src_col="doc_a", dst_col="doc_b",
-    )
+    comp = neardup_components(spark, sf_dir)
     q = docs.select("doc_id", ts.quality_score("text").alias("quality_score"))
-    lab = comp.select(F.col("n").alias("doc_id"), "component").join(q, "doc_id")
+    lab = comp.join(q, "doc_id")
     w_rank = Window.partitionBy("component").orderBy(
         F.col("quality_score").desc(), F.col("doc_id")
     )
@@ -1048,13 +1063,13 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    from hadoop_project_spark.functions.text import normalize_text
+
     old = docs.select(
         "doc_id",
-        F.size(
-            F.split(
-                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
-            )
-        ).cast("long").alias("n_before"),
+        F.size(F.split(normalize_text("text"), " "))
+        .cast("long")
+        .alias("n_before"),
     )
     new = corpus(docs).select("doc_id", "n_cut_tokens")
     j = old.join(new, "doc_id", "left")

@@ -1054,17 +1054,6 @@ def _spark_split_of(col_expr):
     )
 
 
-def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from hadoop_project_spark.operators import dedup as dd
-    from hadoop_project_spark.operators.graph import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    edges = dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
-    comp = connected_components(
-        docs.select("doc_id"), edges, node_col="doc_id",
-        src_col="doc_a", dst_col="doc_b",
-    )
-    return comp.select(F.col("n").alias("doc_id"), "component")
 
 
 @register(
@@ -1083,7 +1072,9 @@ def leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the vast majority) hash exactly like their doc_id would under a
     component-keyed policy, and the oracle replays the full
     connected-components loop plus the assignment."""
-    comp = _components(spark, sf_dir)
+    from hadoop_project_spark.plans.dedup_queries import neardup_components
+
+    comp = neardup_components(spark, sf_dir)
     return comp.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
@@ -1136,12 +1127,16 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair relation and both assignments are re-derived by the oracle, so
     the driver hash certifies the leak counts themselves."""
     from hadoop_project_spark.operators import dedup as dd
+    from hadoop_project_spark.plans.dedup_queries import neardup_components
 
     docs = load_table(spark, sf_dir, "documents")
+    # ONE pinned edge relation feeds both policy legs AND the
+    # components loop (review finding: an unpinned second
+    # minhash_lsh_pairs build ran the dominant pipeline twice)
     edges = eager_pin(
         dd.minhash_lsh_pairs(docs).filter(F.col("jaccard") >= 0.5)
     )
-    comp = _components(spark, sf_dir)
+    comp = neardup_components(spark, sf_dir, edges=edges)
     ds = docs.select(
         "doc_id", _spark_split_of(F.col("doc_id")).alias("split")
     )

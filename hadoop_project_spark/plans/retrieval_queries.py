@@ -362,7 +362,12 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pool.select(
         "query_id", "neighbor_id", rt.nano(F.col("score")).alias("rel_nano")
     )
-    ev = emb.select("vec_id", "embedding")
+    # only the pool's <= N_QUERIES x MMR_POOL distinct ids need vectors:
+    # semi-join BEFORE broadcasting (review finding: broadcasting the
+    # full corpus embedding relation grows with corpus size while the
+    # needed rows stay constant)
+    pool_ids = cand.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    ev = emb.join(pool_ids, "vec_id").select("vec_id", "embedding")
     from hadoop_project_spark.functions.vector import dot, l2_norm
 
     ca = cand.select("query_id", F.col("neighbor_id").alias("a")).alias("ca")

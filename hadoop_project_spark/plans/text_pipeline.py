@@ -633,10 +633,13 @@ def winnowing_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM({SQL_NTOK}) AS BIGINT) AS n_ws_tokens,
            CAST(SUM({SQL_NBPE}) AS BIGINT) AS n_bpe_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-           CAST(SUM({SQL_NBPE}) AS DOUBLE) / CAST(SUM({SQL_NTOK}) AS DOUBLE)
-             AS fertility,
-           CAST(SUM(length(text)) AS DOUBLE)
-             / CAST(SUM({SQL_NBPE}) AS DOUBLE) AS chars_per_token
+           CASE WHEN SUM({SQL_NTOK}) = 0 THEN NULL
+                ELSE CAST(SUM({SQL_NBPE}) AS DOUBLE)
+                     / CAST(SUM({SQL_NTOK}) AS DOUBLE) END AS fertility,
+           CASE WHEN SUM({SQL_NBPE}) = 0 THEN NULL
+                ELSE CAST(SUM(length(text)) AS DOUBLE)
+                     / CAST(SUM({SQL_NBPE}) AS DOUBLE) END
+             AS chars_per_token
     FROM documents GROUP BY source
     """,
     tags=("text", "tokenizer", "evaluation", "extension"),
@@ -660,11 +663,16 @@ def tokenizer_fertility_by_source(
         F.sum(n_ws).cast("long").alias("n_ws_tokens"),
         F.sum(n_bpe).cast("long").alias("n_bpe_tokens"),
         F.sum(F.length("text")).cast("long").alias("n_chars"),
-        (
-            F.sum(n_bpe).cast("double") / F.sum(n_ws).cast("double")
+        # NULL (not inf/nan) on degenerate all-empty sources, matching
+        # the oracle's CASE guard cross-engine (review finding: Spark's
+        # x/0 is NULL, DuckDB's is inf — guard both sides explicitly)
+        F.when(
+            F.sum(n_ws) != 0,
+            F.sum(n_bpe).cast("double") / F.sum(n_ws).cast("double"),
         ).alias("fertility"),
-        (
+        F.when(
+            F.sum(n_bpe) != 0,
             F.sum(F.length("text")).cast("double")
-            / F.sum(n_bpe).cast("double")
+            / F.sum(n_bpe).cast("double"),
         ).alias("chars_per_token"),
     )
