@@ -255,12 +255,14 @@ def hard_negatives_for_anchors(
     per-doc distinct token ARRAYS only for the bounded candidate set.
     Returns (query_id, neighbor_id, score, rank).
     """
-    from hadoop_project_spark.execution import pin
+    from hadoop_project_spark.execution import eager_pin, pin
     from hadoop_project_spark.operators import dedup as dd
 
-    # pinned: the anchor-side and candidate-side scoring joins both
-    # consume the corpus-wide tokenization (review finding)
-    sets = pin(
+    # EAGER pin: the anchor-side and candidate-side scoring exchanges
+    # are submitted concurrently at job start, so a lazy persist loses
+    # the race and the corpus tokenization computes twice anyway (the
+    # documented eager_pin failure mode; review finding x2)
+    sets = eager_pin(
         docs.select(
             "doc_id",
             F.array_distinct(ts.tokens_nonempty("text")).alias("ts"),

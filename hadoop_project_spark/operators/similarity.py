@@ -833,7 +833,10 @@ def blocked_anchor_cosines(
             T.StructField("cosine", T.DoubleType()),
         ]
     )
-    marked = corpus.join(
+    # NULL block keys never pair under the equality-join semantics this
+    # implements (NULL = NULL is not true); groupBy would lump them
+    # into one scored block otherwise (review finding)
+    marked = corpus.filter(F.col(block_col).isNotNull()).join(
         F.broadcast(anchors.select(F.col("anchor_id").alias(id_col))
                     .withColumn("_is_anchor", F.lit(True))),
         id_col,

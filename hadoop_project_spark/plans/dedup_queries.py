@@ -557,7 +557,7 @@ def neardup_components(
     spark: SparkSession,
     sf_dir: str,
     edges: DataFrame | None = None,
-    min_jaccard: float = 0.5,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """(doc_id, component) — THE near-dup cluster definition: connected
     components over the MinHash-LSH pair graph at ``min_jaccard``. The
@@ -569,10 +569,15 @@ def neardup_components(
     multi-consumer pin discipline)."""
     from hadoop_project_spark.operators.graph import connected_components
 
+    if edges is not None and min_jaccard is not None:
+        raise ValueError(
+            "pass EITHER a prebuilt edges relation OR min_jaccard — a "
+            "threshold cannot be applied to edges built elsewhere"
+        )
     docs = load_table(spark, sf_dir, "documents")
     if edges is None:
         edges = dd.minhash_lsh_pairs(docs).filter(
-            F.col("jaccard") >= min_jaccard
+            F.col("jaccard") >= (0.5 if min_jaccard is None else min_jaccard)
         )
     comp = connected_components(
         docs.select("doc_id"), edges, node_col="doc_id",

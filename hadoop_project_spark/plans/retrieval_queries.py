@@ -357,18 +357,30 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer greedy runs per query group in a cogrouped applyInPandas."""
     from pyspark.sql import functions as F
 
+    from hadoop_project_spark.execution import eager_pin
+    from hadoop_project_spark.functions.vector import dot, l2_norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     pool = rt.dense_topk(emb, N_QUERIES, MMR_POOL)
-    cand = pool.select(
-        "query_id", "neighbor_id", rt.nano(F.col("score")).alias("rel_nano")
+    # EAGER pin: the corpus-wide dense ranking feeds FIVE consumers
+    # (pool_ids, both pair sides, the sim join, mmr_select); unpinned,
+    # each broadcast-exchange subtree recomputes the whole top-k
+    # pipeline (review finding)
+    cand = eager_pin(
+        pool.select(
+            "query_id", "neighbor_id",
+            rt.nano(F.col("score")).alias("rel_nano"),
+        )
     )
     # only the pool's <= N_QUERIES x MMR_POOL distinct ids need vectors:
-    # semi-join BEFORE broadcasting (review finding: broadcasting the
-    # full corpus embedding relation grows with corpus size while the
-    # needed rows stay constant)
+    # broadcast the tiny id set into the corpus join, then pin the
+    # bounded result consumed by both broadcast sides
     pool_ids = cand.select(F.col("neighbor_id").alias("vec_id")).distinct()
-    ev = emb.join(pool_ids, "vec_id").select("vec_id", "embedding")
-    from hadoop_project_spark.functions.vector import dot, l2_norm
+    ev = eager_pin(
+        emb.join(F.broadcast(pool_ids), "vec_id").select(
+            "vec_id", "embedding"
+        )
+    )
 
     ca = cand.select("query_id", F.col("neighbor_id").alias("a")).alias("ca")
     cb = cand.select("query_id", F.col("neighbor_id").alias("b")).alias("cb")
