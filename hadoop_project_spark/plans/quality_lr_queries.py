@@ -122,9 +122,28 @@ def _feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_features_quantized(docs)
 
 
+def _feature_semantics_token() -> str:
+    """code_version_token over everything that pins the FEATURE
+    SEMANTICS of the fit: the oracle's feature SQL (which interpolates
+    SQL_NTOK / SQL_PUNCT_RATIO / SQL_QUALITY / the stopword list, so a
+    change to any of them changes the string) and the Spark feature
+    builder's source. VERDICT r11 #1b: without this token, weights
+    published under one feature-code version fingerprint-match and get
+    served to another — the coherence seam behind the round-11 red
+    rows."""
+    import inspect
+
+    from hadoop_project_spark.serving import code_version_token
+
+    return code_version_token(
+        _SQL_FEATS, inspect.getsource(quality_features_quantized)
+    )
+
+
 _FIT_PARAMS = (
     f"it{LR_ITERS}:fq{FQ}:den{LR_DEN}:w{W}:"
-    f"feat{len(LR_FEATURES)}:qs{QS_THRESHOLD}"
+    f"feat{len(LR_FEATURES)}:qs{QS_THRESHOLD}:"
+    f"sem{_feature_semantics_token()}"
 )
 
 
@@ -140,7 +159,12 @@ def _fitted(spark: SparkSession, sf_dir: str, feats: DataFrame) -> list[int]:
     src = os.path.join(sf_dir, "documents.parquet")
     key = (sf_dir, source_fingerprint(src, extra=_FIT_PARAMS))
     if key not in _FIT_CACHE:
-        t = ensure_trained_artifact(
+        # ensure_trained_artifact returns the weights IN EFFECT for
+        # this process — when the fit runs here, the exact rows it
+        # fitted (never a read-back another publisher could have
+        # replaced mid-run: the round-11 red-row mechanism); when it
+        # attaches, the live version's rows after values verification
+        _t, rows = ensure_trained_artifact(
             spark,
             f"lr_quality_{_sf_tag(sf_dir)}",
             "feature STRING, wq BIGINT",
@@ -153,7 +177,7 @@ def _fitted(spark: SparkSession, sf_dir: str, feats: DataFrame) -> list[int]:
                 )
             ],
         )
-        by_name = {r["feature"]: int(r["wq"]) for r in spark.table(t).collect()}
+        by_name = {feature: int(wq) for feature, wq in rows}
         _FIT_CACHE[key] = [by_name[name] for name in LR_FEATURES]
     return _FIT_CACHE[key]
 

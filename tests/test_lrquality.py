@@ -129,18 +129,22 @@ def test_trained_weights_attach_or_refit(spark, tmp_path):
 
     name = "lr_test_governance"
     spark.sql(f"DROP TABLE IF EXISTS srv_art_{name}")
-    t = ensure_trained_artifact(
+    t, rows = ensure_trained_artifact(
         spark, name, "feature STRING, wq BIGINT", src, "p1", fit_rows
     )
     assert len(calls) == 1
+    # the RETURNED rows are the fit's own (round-12 coherence contract)
+    assert rows == [("bias", 1)]
     assert spark.table(t).collect()[0]["wq"] == 1
 
-    # unchanged source, fresh catalog: attach, no refit
+    # unchanged source, fresh catalog: attach, no refit — returned
+    # rows are the live version's, values-verified
     spark.sql(f"DROP TABLE {t}")
-    ensure_trained_artifact(
+    _t, rows = ensure_trained_artifact(
         spark, name, "feature STRING, wq BIGINT", src, "p1", fit_rows
     )
     assert len(calls) == 1
+    assert rows == [("bias", 1)]
     assert spark.table(t).collect()[0]["wq"] == 1
 
     # regenerated source: fingerprint mismatch -> refit, new version
@@ -148,8 +152,9 @@ def test_trained_weights_attach_or_refit(spark, tmp_path):
         [(1, "a b c"), (2, "d e f"), (3, "g h i")],
         "doc_id bigint, text string",
     ).coalesce(1).write.mode("overwrite").parquet(src)
-    ensure_trained_artifact(
+    _t, rows = ensure_trained_artifact(
         spark, name, "feature STRING, wq BIGINT", src, "p1", fit_rows
     )
     assert len(calls) == 2
+    assert rows == [("bias", 2)]
     assert spark.table(t).collect()[0]["wq"] == 2
