@@ -376,7 +376,19 @@ def audio_fingerprint60(samples) -> int:
     """60-bit energy-profile fingerprint of one PCM16 clip: window
     w = (i * AFP_WINDOWS) // n for sample i (exact floor arithmetic),
     energy = Σ|sample| per window, bit w = energy[w] > energy[w+1].
-    Integer end to end — SQL-oracle-exact like dhash60."""
+    Integer end to end — SQL-oracle-exact like dhash60.
+
+    Short-clip contract (ADVICE r11 #4): for n < AFP_WINDOWS the
+    sample-less windows have energy 0 and STILL participate in every
+    bit comparison — a clip with fewer samples than windows gets a
+    sparse-but-defined code (n = 0 degenerates to code 0). A SQL
+    replay must therefore densify the window axis (generate the full
+    0..AFP_WINDOWS-1 series and COALESCE missing energies to 0) rather
+    than join only the windows that received samples, which would
+    silently drop bit positions. This regime is cross-engine certified
+    by tests/test_multimodal.py::test_audio_fingerprint60_short_clips
+    _match_sql_oracle; the corpus fixture's clips are all
+    >= 240 samples, so the driver query never depends on it."""
     n = len(samples)
     e = [0] * AFP_WINDOWS
     for i, v in enumerate(samples):

@@ -450,8 +450,27 @@ def mmr_select(cand: DataFrame, psim: DataFrame, k: int) -> DataFrame:
                 if not selected:
                     score = MMR_LAM_NUM * rel[n]
                 else:
-                    ms = max(sims[(n, s)] for s in selected)
-                    score = MMR_LAM_NUM * rel[n] - MMR_DIV_NUM * ms
+                    # MAX over PRESENT pairs — the oracle's aggregate
+                    # semantics (ADVICE r11 #1: a caller passing a
+                    # filtered pair set must diverge detectably or
+                    # fail loudly, never KeyError). A candidate with
+                    # NO pair to any selected doc is a contract
+                    # violation (psim must carry both orientations
+                    # for the pool): raise with the missing key.
+                    present = [
+                        sims[(n, s)] for s in selected if (n, s) in sims
+                    ]
+                    if not present:
+                        raise ValueError(
+                            f"mmr_select: psim has no (candidate, "
+                            f"selected) similarity for query {qid}, "
+                            f"candidate {n} vs selected {selected} — "
+                            "pass both orientations of the pool's "
+                            "pairwise sims"
+                        )
+                    score = MMR_LAM_NUM * rel[n] - MMR_DIV_NUM * max(
+                        present
+                    )
                 # argmax score, ties -> LOWEST neighbor_id
                 cur = (score, -n)
                 if best is None or cur > best[0]:

@@ -431,9 +431,14 @@ def blocked_pair_cosines(
             G += tmp
             sq += col * col
         nrm = np.sqrt(sq)
-        C = G / np.multiply.outer(nrm, nrm)
+        # zero-norm guard (ADVICE r11 #2): suppress the 0/0 and drop
+        # pairs involving an all-zero vector — NaN compares False
+        # against cut, but an inf from G>0/0 (impossible) or a NaN
+        # must never reach callers' round/filter as a "cosine"
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = G / np.multiply.outer(nrm, nrm)
         ia, ib = np.triu_indices(n, k=1)
-        keep = C[ia, ib] >= cut
+        keep = (C[ia, ib] >= cut) & (sq[ia] > 0) & (sq[ib] > 0)
         ia, ib = ia[keep], ib[keep]
         a_ids, b_ids = ids[ia], ids[ib]
         swap = a_ids > b_ids  # emit id-ordered pairs like the join form
@@ -873,10 +878,19 @@ def blocked_anchor_cosines(
             G += tmp
             sqa += ca * ca
             sqc += cc * cc
-        C = G / np.multiply.outer(np.sqrt(sqa), np.sqrt(sqc))
+        # zero-norm guard (ADVICE r11 #2, mirroring blocked_pair_
+        # cosines' gap): an all-zero embedding has no defined cosine —
+        # suppress the 0/0 and drop its pairs instead of letting
+        # inf/NaN propagate into downstream ranking
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = G / np.multiply.outer(np.sqrt(sqa), np.sqrt(sqc))
         qi, ni = np.meshgrid(np.arange(a), np.arange(n), indexing="ij")
         qi, ni = qi.ravel(), ni.ravel()
-        keep = a_ids[qi] != ids[ni]  # no self pairs
+        keep = (
+            (a_ids[qi] != ids[ni])  # no self pairs
+            & (sqa[qi] > 0)
+            & (sqc[ni] > 0)
+        )
         return pd.DataFrame(
             {
                 "query_id": a_ids[qi[keep]],

@@ -1103,6 +1103,37 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sweep_dead_gate_roots(prefix: str) -> None:
+    """Remove pid-namespaced gate roots left by EXITED processes
+    (ADVICE r11 #3: repeated bench runs across processes accumulated
+    orphan rt_lsh_* dirs — each run's startup rmtree only clears its
+    own pid's path). The pid suffix stays (it is the round-10 defense
+    against CONCURRENT same-host drivers); what changes is that every
+    gate query now also retires siblings whose owning pid is gone, so
+    tmp usage is bounded by the number of LIVE processes. A root whose
+    pid is alive is never touched — no live run can lose its state."""
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    pat = re.compile(re.escape(prefix) + r"_.+_(\d+)$")
+    for entry in os.listdir(tmp):
+        m = pat.match(entry)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid: leave it alone
+
+
 @register(
     "neardup_gate_lsm_admissions",
     priority=10,  # new in round 11 -> first driver window
@@ -1155,6 +1186,7 @@ def neardup_gate_lsm_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.max("doc_id")).collect()[0][0]
     cuts = [(int(n) + 1) * b // 4 for b in range(5)]
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    _sweep_dead_gate_roots("rt_lsh_segs")
     seg_root = os.path.join(
         # pid-namespaced against concurrent same-host drivers
         tempfile.gettempdir(), f"rt_lsh_segs_{sf}_{os.getpid()}"
@@ -1239,6 +1271,7 @@ def neardup_gate_served_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = docs.agg(F.max("doc_id")).collect()[0][0]
     cut = 3 * (int(n) + 1) // 4
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    _sweep_dead_gate_roots("rt_lsh_srv_segs")
     seg_root = os.path.join(
         tempfile.gettempdir(), f"rt_lsh_srv_segs_{sf}_{os.getpid()}"
     )

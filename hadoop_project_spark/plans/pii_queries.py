@@ -77,11 +77,14 @@ def _synth_sql() -> str:
     )
 
 
-def _duck_oracle() -> str:
+def _duck_oracle(text_sql: str | None = None, final: str | None = None) -> str:
     """CTE chain mirroring operators/pii.pii_counts exactly: per kind,
     count on the progressively-redacted text then replace; boundary
     kinds count+replace twice. Generated from PII_PATTERNS so the
-    oracle tracks the operator."""
+    oracle tracks the operator. ``text_sql`` overrides the input text
+    expression (default: the pure synthetic column); ``final``
+    overrides the closing SELECT (receives the last CTE name via
+    ``{prev}`` and the per-kind count columns ``n_<kind>``)."""
 
     def sq(s: str) -> str:
         # Pattern/replacement strings land inside single-quoted SQL
@@ -93,7 +96,7 @@ def _duck_oracle() -> str:
         return sq(_replacement(kind).replace("$", "\\"))
 
     # DuckDB reads STRING as VARCHAR? No — normalize the synth fragment.
-    synth = _synth_sql().replace("AS STRING", "AS VARCHAR")
+    synth = text_sql or _synth_sql().replace("AS STRING", "AS VARCHAR")
     ctes = [f"s0 AS (SELECT doc_id, {synth} AS t FROM documents)"]
     prev = "s0"
     carried: list[str] = []
@@ -127,8 +130,8 @@ def _duck_oracle() -> str:
         f"CAST(SUM(n_{kind}) AS BIGINT) AS sum_{kind}" for kind, _ in PII_PATTERNS
     )
     total = " + ".join(f"n_{kind}" for kind, _ in PII_PATTERNS)
-    return f"""
-    WITH {', '.join(ctes)}
+    if final is None:
+        final = f"""
     SELECT doc_id % 4 AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            {kind_sums},
@@ -137,6 +140,12 @@ def _duck_oracle() -> str:
            MIN(md5(t)) AS redacted_md5_min
     FROM {prev}
     GROUP BY doc_id % 4
+    """
+    else:
+        final = final.format(prev=prev)
+    return f"""
+    WITH {', '.join(ctes)}
+    {final}
     """
 
 
@@ -169,4 +178,71 @@ def pii_redaction_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("long").alias("redacted_len"),
             F.min(F.md5(F.col("text").cast("binary"))).alias("redacted_md5_min"),
         )
+    )
+
+
+def _planted_text_sql(dialect: str) -> str:
+    """Planted-corpus text: a deterministic 40% of documents (doc_id %
+    5 < 2 — the 'known fraction' of VERDICT r11 #4) carry the
+    synthetic PII spans APPENDED TO THEIR REAL text; the rest pass
+    through untouched. The shipped testdata is read-only, so the plant
+    happens in the projection — identically on both engines — which
+    certifies the redaction chain firing on live corpus text (carrier
+    + spans) AND leaving clean documents byte-identical."""
+    synth = _synth_sql()
+    if dialect == "duck":
+        synth = synth.replace("AS STRING", "AS VARCHAR")
+    return (
+        f"CASE WHEN doc_id % 5 < 2 THEN text || ' ' || ({synth}) "
+        "ELSE text END"
+    )
+
+
+def _planted_final() -> str:
+    kinds = ", ".join(
+        f"CAST(n_{kind} AS BIGINT) AS n_{kind}" for kind, _ in PII_PATTERNS
+    )
+    total = " + ".join(f"n_{kind}" for kind, _ in PII_PATTERNS)
+    return f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           doc_id % 5 < 2 AS planted,
+           {kinds},
+           CAST({total} AS BIGINT) AS n_pii,
+           md5(t) AS redacted_md5
+    FROM {{prev}}
+    """
+
+
+@register(
+    "pii_planted_redaction",
+    priority=10,  # new in round 12 -> first driver window
+    oracle=_duck_oracle(
+        text_sql=_planted_text_sql("duck"), final=_planted_final()
+    ),
+    tags=("pii", "redaction", "corpus", "extension"),
+)
+def pii_planted_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document redaction audit over the PLANTED corpus (VERDICT
+    r11 #4: make PII fire at driver scale): 40% of documents carry
+    deterministic email/IP/SSN/CCN/phone spans appended to their real
+    text, the rest are untouched, and the full redaction chain runs
+    over every document. The per-doc md5 of the redacted text proves
+    both directions at once — planted docs end with their spans
+    replaced by typed placeholders and their carrier text intact,
+    clean docs come back byte-identical (zero false fires on the
+    word-salad corpus). Same scan-speed shape as the bucket audit:
+    codegen regexp chain, no joins, no shuffle before the compare."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_planted_text_sql("spark")).alias("text")
+    )
+    red = redact_documents(docs)
+    return red.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.col("doc_id") % 5 < 2).alias("planted"),
+        *[
+            F.col(f"n_{kind}").cast("long").alias(f"n_{kind}")
+            for kind, _ in PII_PATTERNS
+        ],
+        F.col("n_pii").cast("long").alias("n_pii"),
+        F.md5(F.col("text").cast("binary")).alias("redacted_md5"),
     )

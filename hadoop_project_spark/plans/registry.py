@@ -55,9 +55,16 @@ _ORDER: dict[str, int] = {}
 # anchors are demoted to 500, still oracle-tested every CI run by
 # tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- round-11 regression anchors: keep in-window (prio 20) ---
-    # (prio-10 self-promotions already inside: the substring trio, the
-    # four serving twins, ann_topk_ivfpq, and the two ANN LSM queries.)
+    # --- round-12 regression anchors: keep in-window (prio 20) ---
+    # (prio-10 registrations already inside and NOT demoted below: the
+    # LR trio + every serving twin [serving.py changed: trained-weights
+    # coherence + ivfpq quantizer fingerprint], the gate pair
+    # [dedup_queries.py gate cleanup], the retrieval trio + dense
+    # negatives [retrieval.py mmr guard, similarity.py zero-norm
+    # guard], audio_fingerprint_neardup [multimodal.py short-clip
+    # contract], the shard-export pair feeding the new rewrite query,
+    # and the three round-12-new queries incremental_shard_rewrite /
+    # pii_planted_redaction / pii_redaction_counts [re-promoted].)
     **{
         name: 20
         for name in (
@@ -67,19 +74,17 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # LSM compaction converged onto the versioned serving
-            # publish — re-certify the inverted-index LSM pair (the
-            # ANN pair self-promotes at registration)
+            # serving.py changed (r12 trained-artifact coherence):
+            # re-certify the inverted-index LSM pair publishing
+            # through attach_or_build
             "index_segment_compaction_roundtrip",
             "index_base_plus_segments_probe",
-            # fitted artifacts served: the semdedup pair routes its
-            # quantizer through load_semdedup_centroids now
+            # fitted artifacts: the semdedup pair rides the served
+            # artifact path whose module changed this round
             "semantic_dedup_decisions",
             "semantic_dedup_bucketed",
-            # r11: operators/multimodal.py refactored (bmp_pixels /
-            # wav_samples factored out of the decoders for the
-            # perceptual-hash family) — re-certify both decode queries
-            "multimodal_bmp_features",
+            # multimodal.py touched (audio short-clip contract):
+            # re-certify the wav decode leg beside the fingerprint row
             "multimodal_wav_features",
         )
     },
@@ -92,7 +97,21 @@ PRIORITY_OVERRIDES: dict[str, int] = {
     **{
         name: 500
         for name in (
-            # r10 anchors released this round (code untouched in r11;
+            # r11 prio-10 anchors released this round (code untouched
+            # in r12; all green in CORRECTNESS_r11)
+            "tokenizer_fertility_by_source",
+            "dedup_canonical_by_quality",
+            "exact_substring_spans",
+            "doc_duplication_coverage",
+            "exact_substring_dedup_rewrite",
+            "exact_substring_dedup_corpus",
+            "corpus_version_diff",
+            "contrastive_pairs",
+            "image_dhash_neardup",
+            "training_shard_manifest",
+            "leakage_free_split",
+            "split_leakage_report",
+            # r10 anchors released in r11 (code untouched;
             # all green in CORRECTNESS_r10)
             "avro_roundtrip_segment_stats",
             "ann_topk_pq_adc",
@@ -167,7 +186,6 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "nearest_two_centroids",
             "orc_roundtrip_order_priorities",
             "json_roundtrip_source_stats",
-            "pii_redaction_counts",
             "events_retention_cohorts",
             "events_dau_wau_stickiness",
             "events_session_concurrency",

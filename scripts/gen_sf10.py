@@ -124,6 +124,54 @@ def gen_documents(src: str, out: str) -> None:
     print("documents: 10 pool2-perturbed copies of sf1", flush=True)
 
 
+def gen_embeddings(src: str, out: str) -> None:
+    """10 orthogonally-remapped copies of the sf1 embeddings (round-12
+    third-decade rows for the retrieval family need a vector table at
+    sf10). Same construction as gen_sf1.gen_embeddings one decade up —
+    coordinate permutation + sign flips are orthogonal maps, so
+    within-copy cosines (and every certified top-k) are exact — under
+    a second seed namespace so sf10's copies differ from sf1's."""
+    import random
+
+    import numpy as np
+
+    tbl = pq.read_table(f"{src}/embeddings.parquet")
+    vec_ids = np.asarray(tbl["vec_id"])
+    labels = np.asarray(tbl["label"])
+    vecs = np.vstack(
+        [np.asarray(v) for v in tbl["embedding"].to_pylist()]
+    ).astype(np.float32)
+    dim = vecs.shape[1]
+    n_vec = len(vec_ids)
+    ids_out, labels_out, vecs_out = [], [], []
+    for c in range(COPIES):
+        rng = random.Random(zlib.crc32(f"sf10-emb:{c}".encode()))
+        perm = list(range(dim))
+        signs = np.ones(dim, dtype=np.float32)
+        if c > 0:  # copy 0 embeds sf1 verbatim
+            rng.shuffle(perm)
+            signs = np.array(
+                [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)],
+                dtype=np.float32,
+            )
+        ids_out.append(vec_ids + c * n_vec)
+        labels_out.append(labels)
+        vecs_out.append(vecs[:, perm] * signs)
+    flat = np.vstack(vecs_out)
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(flat.reshape(-1), type=pa.float32()), dim
+    ).cast(pa.list_(pa.float32()))
+    out_tbl = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(ids_out), type=pa.int64()),
+            "embedding": arr,
+            "label": pa.array(np.concatenate(labels_out), type=pa.int32()),
+        }
+    )
+    pq.write_table(out_tbl, f"{out}/embeddings.parquet", row_group_size=2048)
+    print("embeddings: 10 orthogonally-remapped sf1 copies", flush=True)
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     src = os.path.join(repo, "testdata_sf1")
@@ -136,7 +184,12 @@ def main() -> None:
     )
     gen_lineitem(con, src, out)
     gen_documents(src, out)
-    for t, n in (("lineitem", 60_000_000), ("documents", 500_000)):
+    gen_embeddings(src, out)
+    for t, n in (
+        ("lineitem", 60_000_000),
+        ("documents", 500_000),
+        ("embeddings", 200_000),
+    ):
         got = con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')"
         ).fetchone()[0]

@@ -325,3 +325,79 @@ def test_banded_hamming_pairs_candidates_and_verify(spark):
     # 1 and 2 share band 0 (both have bit 0 set, bits 1-14 clear):
     # candidate, verified at hamming 3
     assert got[(1, 2)] == 3
+
+
+def test_audio_fingerprint60_short_clips_match_sql_oracle():
+    """ADVICE r11 #4: clips with fewer samples than AFP_WINDOWS leave
+    empty windows that read as ZERO energy and still participate in
+    every bit comparison. Certify that contract cross-engine: a DuckDB
+    replay with a DENSIFIED window axis (full series, missing energies
+    coalesced to 0) must reproduce audio_fingerprint60 bit-exactly for
+    sub-window clips — while the naive sparse join (only windows that
+    received samples) provably drops bit positions, which is why the
+    dense fill is the documented SQL recipe."""
+    import duckdb
+
+    from hadoop_project_spark.operators.multimodal import (
+        AFP_WINDOWS,
+        DHASH_BITS,
+        audio_fingerprint60,
+    )
+
+    con = duckdb.connect()
+
+    def sql_fp(samples: list[int], dense: bool) -> int:
+        con.execute("DROP TABLE IF EXISTS smp")
+        con.execute("CREATE TABLE smp (i BIGINT, v BIGINT)")
+        if samples:
+            con.executemany(
+                "INSERT INTO smp VALUES (?, ?)",
+                list(enumerate(samples)),
+            )
+        n = max(len(samples), 1)
+        if dense:
+            energy = f"""
+            SELECT w.w, COALESCE(e.energy, 0) AS energy
+            FROM (SELECT unnest(generate_series(0, {AFP_WINDOWS - 1}))
+                    AS w) w
+            LEFT JOIN (
+              SELECT (i * {AFP_WINDOWS}) // {n} AS w,
+                     SUM(abs(v)) AS energy
+              FROM smp GROUP BY 1
+            ) e USING (w)
+            """
+        else:
+            energy = f"""
+            SELECT (i * {AFP_WINDOWS}) // {n} AS w,
+                   SUM(abs(v)) AS energy
+            FROM smp GROUP BY 1
+            """
+        row = con.execute(f"""
+            WITH e AS ({energy})
+            SELECT COALESCE(SUM(
+                     CASE WHEN a.energy > b.energy
+                          THEN CAST(1 AS BIGINT) << CAST(a.w AS INT)
+                          ELSE 0 END), 0)
+            FROM e a JOIN e b ON b.w = a.w + 1
+            WHERE a.w < {DHASH_BITS}
+        """).fetchone()
+        return int(row[0])
+
+    clips = [
+        [],                      # degenerate: code 0
+        [1000],                  # one sample -> window 0 only
+        [500, -400, 300, 200, 100],          # 5 sparse windows
+        [((i * 37) % 91) - 45 for i in range(37)],
+        [((i * 53) % 200) - 100 for i in range(60)],
+        [((i * 29) % 150) - 75 for i in range(61)],   # exactly full
+        [((i * 17) % 300) - 150 for i in range(200)],  # dense control
+    ]
+    sparse_diverged = False
+    for samples in clips:
+        want = audio_fingerprint60(samples)
+        assert sql_fp(samples, dense=True) == want, len(samples)
+        if len(samples) < AFP_WINDOWS and sql_fp(samples, dense=False) != want:
+            sparse_diverged = True
+    # the naive sparse replay is genuinely wrong for the short regime
+    # (otherwise this test certifies nothing)
+    assert sparse_diverged

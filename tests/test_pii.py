@@ -54,3 +54,25 @@ def test_clean_text_untouched(spark):
     r = rows[0]
     assert r.text == "the quick brown fox jumps over the lazy dog"
     assert r.n_pii == 0
+
+
+def test_planted_corpus_fires_every_kind_at_driver_scale(spark, sf_dir):
+    """VERDICT r11 #4: the shipped word-salad corpus is digit/@-free,
+    so the planted-corpus query must be what makes the patterns FIRE
+    at driver scale — assert the plant puts >0 spans of EVERY kind in
+    the corpus (the known 40% fraction), that every planted doc fires,
+    and that no clean doc false-fires."""
+    from hadoop_project_spark.operators.pii import PII_PATTERNS
+    from hadoop_project_spark.plans.pii_queries import (
+        pii_planted_redaction,
+    )
+
+    rows = pii_planted_redaction(spark, sf_dir).collect()
+    planted = [r for r in rows if r.planted]
+    clean = [r for r in rows if not r.planted]
+    assert planted and clean
+    assert len(planted) * 5 == len(rows) * 2  # exactly the 40% fraction
+    assert all(r.n_pii > 0 and r.n_email >= 1 for r in planted)
+    assert all(r.n_pii == 0 for r in clean)
+    for kind, _ in PII_PATTERNS:
+        assert sum(r[f"n_{kind}"] for r in planted) > 0, kind

@@ -24,9 +24,10 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 11 (VERDICT r10 items 1-2, 6-7): the
-# headline set, the new round-11 rewrite query, and a hash anchor for
-# every query whose code round 11 touched — must be proven green THIS
+# Regression anchors for round 12 (VERDICT r11 items 1, 3-4, 6-8 +
+# ADVICE r11): the headline set, the re-certified LR trio, the new
+# incremental-rewrite and planted-PII queries, and a hash anchor for
+# every query whose code round 12 touched — must be proven green THIS
 # round.
 MUST_VERIFY = {
     # headline (every round)
@@ -35,82 +36,54 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # round-11 new: the exact-substring corpus REWRITE (the cleaned
-    # corpus, VERDICT r10 #1; self-promoted prio=10) and the combined
-    # drop-then-cut FINAL corpus
-    "exact_substring_dedup_rewrite",
-    "exact_substring_dedup_corpus",
-    # round-11 new: the LSM near-dup gate (streaming/lsh_segments.py —
-    # the gate's LSH state as segments + compaction + versioned serving)
-    "neardup_gate_lsm_admissions",
-    "neardup_gate_served_probe",
-    # round-11 new: the TRAINED quality classifier (operators/
-    # lrquality.py — hard-sigmoid fixed-point logistic distillation,
-    # full fit oracle-replayed)
+    # round-12 #1: the trained quality classifier trio — the round-11
+    # red rows, re-certified after the coherence fix (fit returns its
+    # own weights, feature-semantics fingerprint token, values-verified
+    # attach; serving.py + plans/quality_lr_queries.py)
     "quality_lr_train",
     "quality_lr_corpus_filter",
     "quality_lr_eval",
-    # operators/substring.py refactored (merge_intervals factored out,
-    # shared by spans/coverage/rewrite) — re-certify the r10 pair
-    "exact_substring_spans",
-    "doc_duplication_coverage",
-    # LSM compaction converged onto serving.py's versioned publish
-    # (VERDICT r10 #2): both instantiations' segment queries
-    "index_segment_compaction_roundtrip",
-    "index_base_plus_segments_probe",
-    "ann_ivfpq_segment_compaction",
-    "ann_ivfpq_base_plus_segments",
-    # serving.py changed (ADVICE r10 fixes, fitted artifacts, storage
-    # seam): every *_served twin re-certifies
+    # round-12 new: the incremental export CLOSED — dirty shards
+    # re-cut via dynamic partition overwrite, clean shards reused
+    # byte-for-byte, manifest read back from the files
+    # (operators/shardexport.py); its two feeder queries re-certify
+    "incremental_shard_rewrite",
+    "training_shard_assignment",
+    "incremental_shard_export",
+    # round-12 new: PII fires at driver scale on planted corpus text
+    # (40% of docs carry spans appended to their REAL text; clean docs
+    # certified byte-identical), plus the re-promoted bucket audit
+    "pii_planted_redaction",
+    "pii_redaction_counts",
+    # serving.py changed (trained-artifact coherence + the ivfpq
+    # quantizer values fingerprint): every serving twin re-certifies
+    "part_pagerank_served",
     "phrase_search_served",
     "bm25_topk_served",
-    "part_pagerank_served",
     "ann_topk_ivfpq_served",
-    # fitted artifacts arrive via served tables now (VERDICT r10 #6)
+    "ann_topk_ivfpq",
+    "ann_ivfpq_segment_compaction",
+    "ann_ivfpq_base_plus_segments",
+    "ann_topk_prefiltered",
+    "index_segment_compaction_roundtrip",
+    "index_base_plus_segments_probe",
     "semantic_dedup_decisions",
     "semantic_dedup_bucketed",
-    "ann_topk_ivfpq",
-    # round-11 new: hybrid retrieval (operators/retrieval.py — RRF
-    # fusion in integer micro-units; BM25 → PRF centroid → dense rerank)
+    "neardup_gate_served_probe",
+    # dedup_queries.py touched (gate temp-root/table cleanup, ADVICE
+    # r11 #3): the LSM gate pair re-certifies
+    "neardup_gate_lsm_admissions",
+    # retrieval.py touched (mmr_select missing-pair guard, ADVICE r11
+    # #1): the retrieval trio re-certifies
+    "mmr_diversified_topk",
     "hybrid_topk_rrf",
     "bm25_prf_dense_rerank",
-    # round-11 new: quality-aware canonical selection (keep the BEST
-    # cluster member, not the lowest id); the cluster CTE refactor also
-    # re-certifies dedup_clusters via its existing ever-green row + CI
-    "dedup_canonical_by_quality",
-    # round-11 new: contrastive pair mining (positives = ssjoin
-    # near-dups; hard negatives = top unigram-Jaccard non-duplicates)
-    "contrastive_pairs",
-    # round-11 new: CDC report between raw and cleaned corpus versions
-    "corpus_version_diff",
-    # round-11 new: training shard export (seeded deterministic global
-    # shuffle -> fixed-size shards + manifest, distributed prefix-sum)
-    "training_shard_assignment",
-    "training_shard_manifest",
-    # round-11 new: perceptual near-dup for BOTH media codecs (decode
-    # -> 60-bit code -> shared banded Hamming join); the bmp_pixels /
-    # wav_samples refactors also re-certify the decode queries
-    "image_dhash_neardup",
-    "audio_fingerprint_neardup",
-    "multimodal_bmp_features",
-    "multimodal_wav_features",
-    # round-11 new: metadata-filtered vector search (pre-filter as an
-    # equi-join key, exact top-k over the filtered set)
-    "ann_topk_prefiltered",
-    # round-11 new: cluster-hashed leakage-free split + the measured
-    # leak report (doc-level hashes leak 44% of near-dup pairs at
-    # sf0.01; cluster-level leaks zero by construction)
-    "leakage_free_split",
-    "split_leakage_report",
-    # round-11 new: dirty-shard incremental export (shard map x CDC)
-    "incremental_shard_export",
-    # round-11 new: MMR diversified re-rank (greedy in integer
-    # nano-units; oracle = 5 unrolled CTE steps)
-    "mmr_diversified_topk",
-    # round-11 new: semantic-space contrastive negatives + the
-    # tokenizer-cost report
+    # similarity.py touched (blocked_anchor_cosines zero-norm guard,
+    # ADVICE r11 #2)
     "contrastive_dense_negatives",
-    "tokenizer_fertility_by_source",
+    # multimodal.py touched (audio short-clip contract, ADVICE r11 #4)
+    "audio_fingerprint_neardup",
+    "multimodal_wav_features",
 }
 
 
