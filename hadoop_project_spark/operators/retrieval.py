@@ -450,26 +450,26 @@ def mmr_select(cand: DataFrame, psim: DataFrame, k: int) -> DataFrame:
                 if not selected:
                     score = MMR_LAM_NUM * rel[n]
                 else:
-                    # MAX over PRESENT pairs — the oracle's aggregate
-                    # semantics (ADVICE r11 #1: a caller passing a
-                    # filtered pair set must diverge detectably or
-                    # fail loudly, never KeyError). A candidate with
-                    # NO pair to any selected doc is a contract
-                    # violation (psim must carry both orientations
-                    # for the pool): raise with the missing key.
-                    present = [
-                        sims[(n, s)] for s in selected if (n, s) in sims
-                    ]
-                    if not present:
+                    # STRICT completeness (ADVICE r11 #1, tightened by
+                    # the round-12 review): psim must carry BOTH
+                    # orientations for the whole pool. Any missing
+                    # (candidate, selected) pair fails loudly with a
+                    # descriptive error — a partial pair set (e.g. the
+                    # id-ordered single-orientation output of the pair
+                    # kernels) would otherwise silently take max over
+                    # a subset and corrupt the ranking, while the
+                    # oracle's MAX-over-present diverges undetectably.
+                    missing = [s for s in selected if (n, s) not in sims]
+                    if missing:
                         raise ValueError(
-                            f"mmr_select: psim has no (candidate, "
-                            f"selected) similarity for query {qid}, "
-                            f"candidate {n} vs selected {selected} — "
+                            f"mmr_select: psim is missing (candidate, "
+                            f"selected) similarities for query {qid}, "
+                            f"candidate {n} vs selected {missing} — "
                             "pass both orientations of the pool's "
                             "pairwise sims"
                         )
                     score = MMR_LAM_NUM * rel[n] - MMR_DIV_NUM * max(
-                        present
+                        sims[(n, s)] for s in selected
                     )
                 # argmax score, ties -> LOWEST neighbor_id
                 cur = (score, -n)

@@ -153,9 +153,9 @@ def incremental_shard_rewrite(
         for r in dirty_rows.select("shard_id").distinct().collect()
     }
     if surviving:
-        overwrite_dirty_shards(
-            spark, root, dirty_rows.filter(F.col("shard_id").isin(list(surviving)))
-        )
+        # dirty_rows only holds rows for shards in `surviving` by
+        # construction — no further filter needed
+        overwrite_dirty_shards(spark, root, dirty_rows)
     remove_empty_dirty_shards(root, [s for s in dirty if s not in surviving])
 
     after = export_file_stats(root)

@@ -1112,26 +1112,11 @@ def _sweep_dead_gate_roots(prefix: str) -> None:
     gate query now also retires siblings whose owning pid is gone, so
     tmp usage is bounded by the number of LIVE processes. A root whose
     pid is alive is never touched — no live run can lose its state."""
-    import os
-    import re
-    import shutil
     import tempfile
 
-    tmp = tempfile.gettempdir()
-    pat = re.compile(re.escape(prefix) + r"_.+_(\d+)$")
-    for entry in os.listdir(tmp):
-        m = pat.match(entry)
-        if not m:
-            continue
-        pid = int(m.group(1))
-        if pid == os.getpid():
-            continue
-        try:
-            os.kill(pid, 0)  # signal 0: existence probe only
-        except ProcessLookupError:
-            shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
-        except PermissionError:
-            pass  # pid exists under another uid: leave it alone
+    from hadoop_project_spark.storage import sweep_dead_pid_dirs
+
+    sweep_dead_pid_dirs(tempfile.gettempdir(), prefix)
 
 
 @register(

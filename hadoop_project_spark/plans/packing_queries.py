@@ -407,14 +407,19 @@ def incremental_shard_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hadoop_project_spark.serving import _sf_tag
     from hadoop_project_spark.sources.sinks import warehouse_path
+    from hadoop_project_spark.storage import sweep_dead_pid_dirs
 
     docs = load_table(spark, sf_dir, "documents")
     a64 = training_shard_assignment(spark, sf_dir)
     pos = (F.col("shard_id") * SHARD_SIZE + F.col("pos_in_shard"))
-    assign = a64.select(
-        "doc_id",
-        F.floor(pos / RW_SHARD_SIZE).cast("long").alias("shard_id"),
-        (pos % RW_SHARD_SIZE).cast("long").alias("pos_in_shard"),
+    # pinned: three consumers (v1 write, v2 write, dirty-mark collect)
+    # would each replay the global range-repartition prefix-sum rank
+    assign = eager_pin(
+        a64.select(
+            "doc_id",
+            F.floor(pos / RW_SHARD_SIZE).cast("long").alias("shard_id"),
+            (pos % RW_SHARD_SIZE).cast("long").alias("pos_in_shard"),
+        )
     )
     # ONE run of the span pipeline feeds both the dirty set and the v2
     # rows (pinned: the two consumers would otherwise replay it)
@@ -440,9 +445,14 @@ def incremental_shard_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]  # O(#shards) driver rows
 
-    root = os.path.join(
-        warehouse_path(spark), "shard_export", _sf_tag(sf_dir)
-    )
+    # pid-namespaced export root + dead-pid sibling sweep (round-12
+    # review finding: a shared fixed root is rmtree'd at query start,
+    # so concurrent same-host drivers sharing a warehouse would clobber
+    # each other's export mid-run — the same threat model the gate
+    # roots and the versioned serving publishes already defend)
+    base = os.path.join(warehouse_path(spark), "shard_export")
+    sweep_dead_pid_dirs(base, "shards")
+    root = os.path.join(base, f"shards_{_sf_tag(sf_dir)}_{os.getpid()}")
     reused = se.incremental_shard_rewrite(spark, root, v1, v2, dirty_ids)
 
     back = spark.read.parquet(root).select(

@@ -619,9 +619,22 @@ _VALUES_MARKER = "_SERVED_VALUES_SHA256"
 
 def _rows_sha(rows) -> str:
     """Order-independent canonical hash of an artifact's rows (repr of
-    each tuple, sorted) — parquet read-back order is not guaranteed."""
+    each tuple, sorted) — parquet read-back order is not guaranteed.
+    Values are normalized to Python natives first (``.item()`` on
+    numpy-like scalars): the publish side hashes ``fit_rows()`` output
+    and the verify side hashes parquet read-back tuples, and a repr
+    that differs across that boundary (numpy>=2 prints
+    ``np.int64(10)``) would fail verification forever and silently
+    turn train-once governance into train-always (round-12 review
+    finding)."""
+
+    def canon(v):
+        if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+            return v.item()
+        return v
+
     h = hashlib.sha256()
-    for r in sorted(repr(tuple(x)) for x in rows):
+    for r in sorted(repr(tuple(canon(x) for x in row)) for row in rows):
         h.update(r.encode())
         h.update(b"\n")
     return h.hexdigest()
@@ -687,12 +700,28 @@ def ensure_trained_artifact(
     tables = [ServedTable(tname, "rows", schema_ddl)]
     fp = source_fingerprint(src, extra=f"v{LAYOUT_VERSION}:{fp_extra}")
 
-    vdir = _resolve_version(root)
-    if (
-        vdir is not None
-        and _marker_value(vdir) == fp
-        and STORE.exists(os.path.join(tables[0].location(vdir), "_SUCCESS"))
-    ):
+    def verified_attach() -> list[tuple] | None:
+        """Attach the live version and return its rows ONLY when that
+        version's fingerprint marker equals OUR fp and its rows pass
+        values verification. Any return path that skips the fp check
+        re-opens the r11 defect (round-12 review finding: the
+        post-attach_or_build fallback re-resolved CURRENT without it,
+        so a concurrent publisher's different-fingerprint weights
+        could be returned for this caller's request). A
+        fingerprint-matching version with bad/missing values marker is
+        poisoned: its markers are broken so the next build supersedes
+        it (the dir becomes unattachable immediately; the files
+        physically retire via the publish sweep once superseded, or
+        via the orphan TTL)."""
+        vdir = _resolve_version(root)
+        if (
+            vdir is None
+            or _marker_value(vdir) != fp
+            or not STORE.exists(
+                os.path.join(tables[0].location(vdir), "_SUCCESS")
+            )
+        ):
+            return None
         want = STORE.read_text(os.path.join(vdir, _VALUES_MARKER))
         rows = [
             tuple(r)
@@ -700,11 +729,9 @@ def ensure_trained_artifact(
         ]
         if want is not None and want.strip() == _rows_sha(rows):
             attach_served_table(spark, tables[0], vdir)
-            return tname, rows
-        # poisoned / pre-values-marker version: break its fingerprint
-        # marker so the rebuild below supersedes it (the dir itself is
-        # retired by the publish-time retention sweep)
+            return rows
         STORE.remove(os.path.join(vdir, _MARKER))
+        return None
 
     fitted: list[list[tuple]] = []
 
@@ -721,25 +748,29 @@ def ensure_trained_artifact(
             os.path.join(staging, _VALUES_MARKER), _rows_sha(rows)
         )
 
-    attach_or_build(spark, root, fp, tables, build)
-    if fitted:
-        return tname, fitted[0]
-    # attach_or_build attached an existing version that raced in
-    # between our staleness check and its own (another publisher won):
-    # read THAT version's rows, values-verified the same way
-    vdir = _resolve_version(root)
-    assert vdir is not None, f"no live version after publish: {root}"
-    rows = [
-        tuple(r)
-        for r in spark.read.parquet(tables[0].location(vdir)).collect()
-    ]
-    want = STORE.read_text(os.path.join(vdir, _VALUES_MARKER))
-    if want is None or want.strip() != _rows_sha(rows):
-        raise RuntimeError(
-            f"trained artifact {name}: live version {vdir} failed "
-            "values verification after concurrent publish"
-        )
-    return tname, rows
+    # Bounded attach-or-fit loop: each round first tries the verified
+    # attach, then attach_or_build. When OUR build ran, the fitted rows
+    # are authoritative. When attach_or_build attached instead (its own
+    # check saw a matching live version), loop back to the VERIFIED
+    # attach rather than trusting a re-resolved CURRENT: between those
+    # two points a concurrent publisher may have moved the pointer to a
+    # different fingerprint's version. Each verified-attach miss under
+    # a matching-fp-but-bad-values version breaks that version's
+    # marker, so the next attach_or_build round publishes; ping-ponging
+    # publishers make every round either fit (return) or verify-attach
+    # (return), so 5 rounds is generous.
+    for _ in range(5):
+        rows = verified_attach()
+        if rows is not None:
+            return tname, rows
+        attach_or_build(spark, root, fp, tables, build)
+        if fitted:
+            return tname, fitted[0]
+    raise RuntimeError(
+        f"trained artifact {name}: could not converge on a "
+        f"fingerprint-verified version under concurrent publishing "
+        f"({root})"
+    )
 
 
 def ensure_semdedup_centroids(spark: SparkSession) -> str:

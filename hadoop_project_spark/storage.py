@@ -131,3 +131,34 @@ class LocalStore:
 #: Module default — the one instance LSM + serving use. A deployment
 #: with a real object store swaps this (or passes its own Store).
 STORE = LocalStore()
+
+
+def sweep_dead_pid_dirs(base: str, prefix: str) -> None:
+    """Remove ``<base>/<prefix>_*_<pid>`` directories whose owning pid
+    no longer exists (ADVICE r11 #3, generalized in round 12): pid
+    namespacing defends concurrently-running same-host processes, but
+    each process's startup cleanup only clears its OWN path, so exited
+    runs accumulate orphans. Calling this at operation start bounds
+    disk usage by the number of LIVE processes; a directory whose pid
+    is alive (or unverifiable) is never touched, so no live run can
+    lose state. POSIX-scoped like LocalStore itself — an object-store
+    deployment namespaces by job id and sweeps via lifecycle policy."""
+    import re
+    import shutil
+
+    if not os.path.isdir(base):
+        return
+    pat = re.compile(re.escape(prefix) + r"_.+_(\d+)$")
+    for entry in os.listdir(base):
+        m = pat.match(entry)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+        except PermissionError:
+            pass  # pid exists under another uid: leave it alone
