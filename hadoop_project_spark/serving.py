@@ -723,10 +723,22 @@ def ensure_trained_artifact(
         ):
             return None
         want = STORE.read_text(os.path.join(vdir, _VALUES_MARKER))
-        rows = [
-            tuple(r)
-            for r in spark.read.parquet(tables[0].location(vdir)).collect()
-        ]
+        try:
+            rows = [
+                tuple(r)
+                for r in spark.read.parquet(
+                    tables[0].location(vdir)
+                ).collect()
+            ]
+        except Exception:  # noqa: BLE001
+            # The resolved version vanished mid-read: a concurrent
+            # publisher superseded it twice and the retention sweep
+            # retired its files between our pointer resolution and the
+            # scan (the one documented reader race, attach_or_build
+            # docstring). Treat as a miss — the bounded loop re-resolves
+            # or refits; any persistent storage fault still surfaces via
+            # the loop's RuntimeError after 5 rounds.
+            return None
         if want is not None and want.strip() == _rows_sha(rows):
             attach_served_table(spark, tables[0], vdir)
             return rows
