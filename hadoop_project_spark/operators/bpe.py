@@ -80,10 +80,37 @@ def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return toks.groupBy("word").agg(F.count("*").alias("n"))
 
 
+#: symbol-boundary marker of the wrapped-string state representation
+#: ('\x01sym\x01...' — the SAME representation the SQL oracle and the
+#: corpus encode use); never occurs inside a symbol (clean_words).
+_M = "\x01"
+
+
 def with_symbols(words: DataFrame) -> DataFrame:
-    """Attach the initial symbol sequence: one single-character symbol
-    per character (``split(word, '')``)."""
-    return words.select("word", "n", F.split("word", "").alias("syms"))
+    """Attach the initial symbol string: every single-character symbol
+    wrapped in markers ('\\x01c\\x01' per char). Round-12 optimization
+    (guide §4.1 — prefer built-ins over interpreted expressions): the
+    former array<string> state forced the merge rewrite through an
+    interpreted per-element ``aggregate`` fold; the wrapped string
+    turns it into ONE literal codegen ``replace`` per rule — the exact
+    representation/semantics the DuckDB oracle has replayed since
+    round 7 (plans/bpe_queries.py module docstring: marker-wrapped
+    matches can only span whole symbols, and replace()'s leftmost-
+    nonoverlapping scan equals the greedy fold; pinned against the
+    pure-Python reference in tests/test_bpe.py)."""
+    return words.select(
+        "word",
+        "n",
+        F.concat(
+            F.lit(_M), F.array_join(F.split("word", ""), _M + _M), F.lit(_M)
+        ).alias("s"),
+    )
+
+
+def _syms_array(s: Column) -> Column:
+    """The symbol array of a wrapped state string (unwrap + split on
+    the marker pair) — codegen string ops, no interpreted fold."""
+    return F.split(F.substring(s, 2, F.length(s) - 2), _M + _M)
 
 
 def pair_counts(state: DataFrame) -> DataFrame:
@@ -92,12 +119,13 @@ def pair_counts(state: DataFrame) -> DataFrame:
     get_stats): a word 'aaa' with frequency f contributes 2f to (a,a).
     zip_with over the sequence and its shift-by-one materializes the
     pairs without a posexplode + self-join."""
+    syms = _syms_array(F.col("s"))
     pairs = state.select(
         "n",
         F.explode(
             F.zip_with(
-                F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                F.slice(syms, 1, F.size(syms) - 1),
+                F.slice(syms, 2, F.size(syms) - 1),
                 lambda x, y: F.struct(x.alias("lhs"), y.alias("rhs")),
             )
         ).alias("p"),
@@ -120,32 +148,23 @@ def top_pair(state: DataFrame) -> DataFrame:
     )
 
 
-def _merge_fold(syms: Column, left: str, right: str) -> Column:
+def _merge_replace(s: Column, left: str, right: str) -> Column:
     """Greedy left-to-right non-overlapping application of one merge
-    rule to a symbol sequence, as a single aggregate fold. The fold is
-    interpreted per element, which is exactly why the trainer runs it
-    over the vocabulary relation and not the corpus (module
-    docstring)."""
-    merged = left + right
-    return F.aggregate(
-        syms,
-        F.expr("CAST(array() AS array<string>)"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(left))
-            & (x == F.lit(right)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(merged)),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
+    rule: one literal ``replace`` on the wrapped string ('L','R' →
+    '\\x01L\\x01\\x01R\\x01' ⇒ '\\x01LR\\x01'). Leftmost-nonoverlapping
+    replace equals the greedy fold ('aaaa' under (a,a) → aa|aa: the
+    first match consumes both symbols, the scan resumes after it)."""
+    return F.replace(
+        s,
+        F.lit(_M + left + _M + _M + right + _M),
+        F.lit(_M + left + right + _M),
     )
 
 
 def apply_merge(state: DataFrame, left: str, right: str) -> DataFrame:
-    """Rewrite every symbol sequence under one learned merge rule."""
+    """Rewrite every symbol string under one learned merge rule."""
     return state.select(
-        "word", "n", _merge_fold(F.col("syms"), left, right).alias("syms")
+        "word", "n", _merge_replace(F.col("s"), left, right).alias("s")
     )
 
 
@@ -215,16 +234,24 @@ def train_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
     [{merge_idx, lhs, rhs, merged, pair_count}, ...] — O(n_merges)
     driver state, one collected row per iteration.
 
-    Each iteration's rewritten state is persisted and materialized
-    before the next (a blocking count like execution.eager_pin, kept
-    inline here because the relation is vocabulary-sized): without the
-    barrier the folds nest n_merges deep in one interpreted expression
-    tree and each iteration re-runs all previous rewrites."""
-    state = with_symbols(word_freq_table(docs)).persist()
-    state.count()
+    Only the BASE state (the one corpus-scale aggregation, wrapped as
+    symbol strings) is persisted; each iteration derives its state
+    lazily as the replace-chain of all merges so far over that base.
+    Round-12 optimization (guide §1.2/§2.4): the former loop persisted
+    + blocking-counted every iteration's rewrite — one extra job and a
+    cache write per merge — to keep the interpreted fold from nesting;
+    with the rewrite now a literal codegen ``replace`` per rule,
+    re-applying i replaces over the vocabulary-sized cached base is
+    cheaper than materializing each step (measured at sf0.1:
+    bpe_train_merges ~3.8 s → ~1.3 s), and the per-iteration job count
+    halves (one argmax job per merge, no materialization job)."""
+    base = with_symbols(word_freq_table(docs)).persist()
+    base.count()
     merges: list[dict] = []
+    s = F.col("s")
     try:
         for i in range(1, n_merges + 1):
+            state = base.select("n", s.alias("s"))
             rows = top_pair(state).collect()
             if not rows:  # degenerate corpus: all 1-char words
                 break
@@ -238,10 +265,7 @@ def train_merges(docs: DataFrame, n_merges: int = N_MERGES) -> list[dict]:
                     "pair_count": int(r["cnt"]),
                 }
             )
-            nxt = apply_merge(state, r["lhs"], r["rhs"]).persist()
-            nxt.count()
-            state.unpersist()
-            state = nxt
+            s = _merge_replace(s, r["lhs"], r["rhs"])
     finally:
-        state.unpersist()
+        base.unpersist()
     return merges

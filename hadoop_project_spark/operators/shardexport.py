@@ -53,6 +53,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 _DATA_PREFIX = "part-"
 
 
+def _export_tasks(members: DataFrame) -> int:
+    """Write parallelism for a shard export. The repartition must carry
+    an EXPLICIT partition count: a bare ``repartition(col)`` is
+    AQE-coalescible, and on a small corpus AQE collapses the tiny
+    shuffle to ONE partition whose single task then creates every
+    shard's partition directory sequentially — measured 14.1 s of a
+    16.4 s query at sf0.1 (313 dirs × ~45 ms parquet-writer fixed cost
+    on one core; guide §2.4/§6). Pinning the count keeps the dir
+    creation spread across the session's parallelism; each shard's
+    rows still hash to exactly one task, so the one-file-per-shard
+    determinism contract is unchanged. defaultParallelism scales with
+    the cluster (= total cores), not with a local-mode constant."""
+    return members.sparkSession.sparkContext.defaultParallelism
+
+
 def write_shard_files(members: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Write (shard_id, pos_in_shard, doc_id, text) as a
     shard_id-partitioned parquet export, one deterministic file per
@@ -60,7 +75,7 @@ def write_shard_files(members: DataFrame, path: str, mode: str = "overwrite") ->
     task, the within-partition sort fixes row order, so shard bytes
     are a pure function of shard content."""
     (
-        members.repartition(F.col("shard_id"))
+        members.repartition(_export_tasks(members), F.col("shard_id"))
         .sortWithinPartitions("shard_id", "pos_in_shard")
         .write.mode(mode)
         .partitionBy("shard_id")
@@ -81,7 +96,9 @@ def overwrite_dirty_shards(
     spark.conf.set(key, "dynamic")
     try:
         (
-            dirty_members.repartition(F.col("shard_id"))
+            dirty_members.repartition(
+                _export_tasks(dirty_members), F.col("shard_id")
+            )
             .sortWithinPartitions("shard_id", "pos_in_shard")
             .write.mode("overwrite")
             .partitionBy("shard_id")
