@@ -58,7 +58,15 @@ def token_kgram_anchors(docs: DataFrame, k: int = K_GRAM) -> DataFrame:
     """(doc_id, pos, g): every k-token window, built with lead() over
     the per-document token sequence — one doc-keyed shuffle, full
     codegen, no interpreted array lambdas."""
-    p = postings(docs)
+    return anchors_over(postings(docs), k)
+
+
+def anchors_over(p: DataFrame, k: int = K_GRAM) -> DataFrame:
+    """token_kgram_anchors over an EXISTING postings relation — the
+    anchor set of a document depends only on that document's tokens,
+    so a pinned corpus-wide postings relation can feed several anchor
+    domains (full corpus, survivors) without re-tokenizing (round-12,
+    guide §1.2: remove redundant passes)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("term")] + [
         F.lead("term", i).over(w) for i in range(1, k)
@@ -91,27 +99,60 @@ def exact_substring_spans(
     sharing the same span at several alignments reports each diagonal
     (they are genuinely distinct duplications). Output is sized by the
     actual duplication in the corpus."""
-    kg = token_kgram_anchors(docs, k)
-    # occurrence cap BEFORE the join: the count window shuffles on g,
-    # and the self-join below reuses that very partitioning. The capped
-    # relation is pinned because the self-join consumes it twice (AQE
-    # does not share a fanned-out exchange between a self-join's sides).
-    capped = eager_pin(
-        kg.withColumn(
-            "n_occ", F.count("*").over(Window.partitionBy("g"))
-        )
-        .filter(F.col("n_occ") <= max_gram_occ)
-        .drop("n_occ")
+    return spans_from_anchors(
+        token_kgram_anchors(docs, k), k, min_len, max_gram_occ
     )
-    a = capped.select(
-        F.col("g"), F.col("doc_id").alias("da"), F.col("pos").alias("pa")
+
+
+def spans_from_anchors(
+    kg: DataFrame,
+    k: int = K_GRAM,
+    min_len: int = MIN_SPAN,
+    max_gram_occ: int = MAX_GRAM_OCC,
+) -> DataFrame:
+    """exact_substring_spans from an EXISTING anchor relation (the
+    occurrence cap counts over exactly the anchors given, so the
+    caller controls the corpus domain — full or survivors-only).
+
+    Round-12 match generation (guide §2.4 — remove shuffles outright):
+    the former shape pinned the capped anchors and SELF-JOINED them on
+    g (cache write + two cache scans + a join); now the occurrence
+    list of each surviving gram is collected once — the groupBy
+    reuses the cap window's hash partitioning on g, so it adds NO
+    exchange and reads rows already sorted by g — and the cross-doc
+    pairs expand from the (cap-bounded, ≤ max_gram_occ elements)
+    occurrence array in one generator. Zero pins, no join, same
+    single anchor shuffle; per-group agg state is bounded because the
+    cap filter runs BEFORE the collect."""
+    capped = kg.withColumn(
+        "n_occ", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("n_occ") <= max_gram_occ)
+    occs = (
+        capped.groupBy("g")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("os"))
+        .filter(F.size("os") >= 2)
     )
-    b = capped.select(
-        F.col("g"), F.col("doc_id").alias("db"), F.col("pos").alias("pb")
-    )
-    m = a.join(b, "g").filter(F.col("da") < F.col("db")).select(
-        "da", "db", (F.col("pa") - F.col("pb")).alias("diag"), "pa"
-    )
+    m = occs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("os"),
+                    lambda x: F.transform(
+                        F.filter(
+                            F.col("os"),
+                            lambda y: y["doc_id"] > x["doc_id"],
+                        ),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("da"),
+                            y["doc_id"].alias("db"),
+                            (x["pos"] - y["pos"]).alias("diag"),
+                            x["pos"].alias("pa"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("mm")
+    ).select("mm.*")
     wd = Window.partitionBy("da", "db", "diag").orderBy("pa")
     runs = m.withColumn("isl", F.col("pa") - F.row_number().over(wd))
     spans = (
@@ -192,11 +233,30 @@ def exact_substring_dedup_rewrite(
     normalized string IS its tokens joined by ' ': both output legs
     are in the same canonical form, which the oracle replays exactly).
     A document whose every token is cut ships as clean_text = ''."""
-    spans = exact_substring_spans(docs, k, min_len, max_gram_occ)
-    from hadoop_project_spark.functions.text import normalize_text
-    from hadoop_project_spark.operators.invindex import (
-        postings as tok_postings,
+    p = eager_pin(
+        postings(docs)
+    )  # two consumers: the anchor window and the splice (round-12:
+    # formerly each re-tokenized the corpus from text)
+    return _dedup_rewrite_over(
+        docs, p, anchors_over(p, k), k, min_len, max_gram_occ
     )
+
+
+def _dedup_rewrite_over(
+    docs: DataFrame,
+    p: DataFrame,
+    kg: DataFrame,
+    k: int = K_GRAM,
+    min_len: int = MIN_SPAN,
+    max_gram_occ: int = MAX_GRAM_OCC,
+) -> DataFrame:
+    """exact_substring_dedup_rewrite over precomputed postings ``p``
+    and anchors ``kg`` of exactly ``docs`` (both are per-document
+    derivations, so a caller holding them for a superset corpus passes
+    the doc-filtered relations)."""
+    from hadoop_project_spark.functions.text import normalize_text
+
+    spans = spans_from_anchors(kg, k, min_len, max_gram_occ)
 
     cuts = spans.select(
         F.col("doc_b").alias("doc_id"),
@@ -207,7 +267,7 @@ def exact_substring_dedup_rewrite(
     cut_docs = merged.groupBy("doc_id").agg(
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("n_cut_tokens")
     )
-    toks = tok_postings(docs)
+    toks = p
     kept = (
         toks.join(cut_docs.select("doc_id"), "doc_id", "leftsemi")
         .alias("t")
@@ -284,16 +344,56 @@ def exact_substring_dedup_corpus(
        correctly survives; a span shared between two survivors is cut
        on the higher-doc_id side as usual.
 
-    Stage 2 recomputes anchors over the surviving corpus (a second
-    corpus pass — exactly what a staged pipeline does; each pass is
-    the same blocked, never-all-pairs plan). Dropped documents emit no
-    row: the output IS the training corpus."""
-    cov = doc_drop_coverage(docs, k, min_len, max_gram_occ)
-    dropped = cov.filter(
-        F.col("dup_fraction") >= F.lit(drop_coverage)
-    ).select("doc_id")
+    Stage 2 re-detects spans among the SURVIVING anchors (the cap
+    recounts over survivors only — a gram pushed over the cap by
+    dropped copies can re-anchor, exactly as a fresh pass over the
+    surviving corpus would see it). Dropped documents emit no row: the
+    output IS the training corpus.
+
+    Round-12 shape (guide §1.2 — remove redundant passes): one pinned
+    postings relation and one anchor window feed BOTH stages plus the
+    splice. Anchors and postings are per-document derivations, so the
+    survivor-side relations are doc-filters of the stage-1 ones; the
+    former shape re-tokenized the corpus three times (stage-1 anchors,
+    stage-2 anchors, splice) and ran the anchor window twice from
+    scratch. n_tokens for the drop criterion counts the pinned
+    postings rows — identical to the text-split count for every doc
+    that can appear in the coverage join (a doc with a span has >=
+    min_len nonempty tokens)."""
+    p = eager_pin(postings(docs))
+    kg = eager_pin(anchors_over(p, k))
+    spans1 = spans_from_anchors(kg, k, min_len, max_gram_occ)
+    sides = spans1.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("len_tokens")).alias("e"),
+    ).distinct()
+    cov = merge_intervals(sides).groupBy("doc_id").agg(
+        F.sum(F.col("me") - F.col("ms")).cast("long").alias("dup_tokens")
+    )
+    ntok = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    dropped = eager_pin(
+        cov.join(ntok, "doc_id")
+        .filter(
+            (
+                F.col("dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            )
+            >= F.lit(drop_coverage)
+        )
+        .select("doc_id")
+    )  # O(dropped docs); three anti-join consumers below
     survivors = docs.join(dropped, "doc_id", "left_anti")
-    return exact_substring_dedup_rewrite(survivors, k, min_len, max_gram_occ)
+    return _dedup_rewrite_over(
+        survivors,
+        p.join(dropped, "doc_id", "left_anti"),
+        kg.join(dropped, "doc_id", "left_anti"),
+        k,
+        min_len,
+        max_gram_occ,
+    )
 
 
 def doc_duplication_coverage(
@@ -315,7 +415,9 @@ def doc_duplication_coverage(
     covered by several overlapping spans counts once. dup_fraction is
     one correctly-rounded double division of exact integers —
     cross-engine bit-equal."""
-    spans = exact_substring_spans(docs, k, min_len, max_gram_occ)
+    p = eager_pin(postings(docs))  # anchors + n_tokens (round-12:
+    # formerly two independent tokenize passes)
+    spans = spans_from_anchors(anchors_over(p, k), k, min_len, max_gram_occ)
     # DISTINCT is load-bearing, not an optimization: the island scan
     # orders by (s, e), and duplicate intervals (the same span shared
     # with several partners) would make that ordering a TIE — running
@@ -333,7 +435,7 @@ def doc_duplication_coverage(
             (F.col("start_b") + F.col("len_tokens")).alias("e"),
         )
     ).distinct()
-    return _coverage_from_sides(docs, sides)
+    return _coverage_over(p, sides)
 
 
 def doc_drop_coverage(
@@ -352,31 +454,31 @@ def doc_drop_coverage(
     cluster's lowest doc_id has no lower-id partner, scores 0, and
     keeps the canonical occurrence — the same keep-lowest orientation
     every cut in this module uses."""
-    spans = exact_substring_spans(docs, k, min_len, max_gram_occ)
+    p = eager_pin(postings(docs))  # anchors + n_tokens
+    spans = spans_from_anchors(anchors_over(p, k), k, min_len, max_gram_occ)
     sides = spans.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
         (F.col("start_b") + F.col("len_tokens")).alias("e"),
     ).distinct()
-    return _coverage_from_sides(docs, sides)
+    return _coverage_over(p, sides)
 
 
-def _coverage_from_sides(docs: DataFrame, sides: DataFrame) -> DataFrame:
+def _coverage_over(p: DataFrame, sides: DataFrame) -> DataFrame:
     """Merged-interval coverage of a DISTINCT (doc_id, s, e) interval
     relation against the documents' token counts — shared by the
-    both-sides diagnostic and the removed-side drop criterion."""
-    from hadoop_project_spark.functions.text import normalize_text
-
+    both-sides diagnostic and the removed-side drop criterion.
+    n_tokens counts the postings rows (round-12: the former text-split
+    count was a second tokenize pass); identical for every doc the
+    inner join can emit — a doc with a span has >= min_len nonempty
+    tokens, and postings' dense positions count exactly those."""
     merged = merge_intervals(sides)
     cov = merged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_spans"),
         F.sum(F.col("me") - F.col("ms")).cast("long").alias("dup_tokens"),
     )
-    ntok = docs.select(
-        F.col("doc_id"),
-        F.size(F.split(normalize_text("text"), " ")).cast("long").alias(
-            "n_tokens"
-        ),
+    ntok = p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
     )
     return cov.join(ntok, "doc_id").select(
         F.col("doc_id").cast("long").alias("doc_id"),
