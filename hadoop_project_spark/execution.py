@@ -169,10 +169,22 @@ def eager_pin(df: DataFrame) -> DataFrame:
     return out
 
 
-def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+def widen_for_compute(
+    df: DataFrame,
+    min_parts: int | None = None,
+    work_factor: int = 1,
+) -> DataFrame:
     """Repartition ``df`` to the session's default parallelism IFF its
     scan statistics say input splits are scarce — a no-op exactly when
     splits are plentiful (any real cluster table).
+
+    ``work_factor`` scales the LOWER bound only: plan statistics are
+    COMPRESSED bytes, so for an operator whose per-row work is far
+    heavier than the bytes suggest (round 12: the shingle → 16-hash
+    MinHash pipeline over text that decompresses ~30×), a factor > 1
+    declares that weight and lets a small-looking input widen. The
+    upper bound and the many-files guard keep using raw bytes — they
+    model Spark's own split planning, which is compressed-byte-based.
 
     The decision is byte-based, bounded on both sides. Upper bound: a
     plan estimated under ``target_partitions x maxPartitionBytes``
@@ -195,7 +207,10 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     except Exception:  # noqa: BLE001
         max_split = 128 << 20
     est = plan_size_bytes(df)
-    if SHIM_MIN_WORK_BYTES <= est < target * max_split:
+    if (
+        SHIM_MIN_WORK_BYTES <= est * max(1, work_factor)
+        and est < target * max_split
+    ):
         # Already-wide guard (ADVICE r7): with est under target ×
         # maxPartitionBytes, BYTE-splitting alone cannot reach target
         # partitions — but MANY FILES can: Spark shrinks maxSplitBytes

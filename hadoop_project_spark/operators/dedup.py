@@ -80,9 +80,15 @@ def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     # widen on the RAW (id, text) projection: the normalize regex and
     # the split then run AFTER the exchange, so a split-starved scan
     # (single-row-group parquet) only pays serial decompression, not
-    # serial regex work
+    # serial regex work. work_factor 32: this is the package's
+    # heaviest per-byte transform (shingles + 16 hash aggregates over
+    # ~30x-decompressing text), and compressed-byte stats leave a
+    # quarter-corpus micro-batch single-tasked at bench scale —
+    # measured 2.67 -> 1.73 s warm for one gate batch at sf0.1
+    # (round 12, guide §2.5 input-skew/§1.2).
     toks = widen_for_compute(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        work_factor=32,
     ).select(
         "doc_id",
         F.split(normalize_text(text_col), " ").alias("toks"),
