@@ -169,6 +169,27 @@ def eager_pin(df: DataFrame) -> DataFrame:
     return out
 
 
+def run_overlapped(thunks, max_workers: int = 4) -> list:
+    """Run INDEPENDENT driver actions from a small thread pool so one
+    job's straggler tail back-fills cores freed by another (the guide's
+    §2.6 overlap pattern: Spark's FIFO scheduler runs several jobs at
+    once inside one application; actions are only sequential because
+    driver code calls them sequentially).
+
+    Used by the LSM roundtrip queries, whose simulated micro-batch
+    ingests are independent by construction (each writes its own
+    batch_id-named segment; the publish protocol is unchanged). Results
+    return in input order; the first exception propagates after all
+    threads finish, so no thunk is silently dropped."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) <= 1:
+        return [t() for t in thunks]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(thunks))) as p:
+        futures = [p.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def widen_for_compute(
     df: DataFrame,
     min_parts: int | None = None,

@@ -17,6 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Label-relation broadcast regime (round 12): per-iteration label joins
+# broadcast the (node, label) side when the NODES plan's size estimate
+# says it fits comfortably under the session's broadcast threshold.
+# The margin covers compressed-parquet stats understating the built
+# in-memory hash relation (two long columns, object headers).
+_LABEL_BROADCAST_MARGIN = 8
+
 
 def connected_components(
     nodes: DataFrame,
@@ -52,11 +59,46 @@ def connected_components(
     edges = edges.select(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).localCheckpoint(eager=True)
-    bidir = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # No distinct() on the mirrored union (round 12): both callers feed
+    # id-ordered unique pairs, so the mirror cannot collide, and even a
+    # caller-supplied duplicate is harmless to a min-aggregate — it
+    # inflates offers input marginally, it cannot change any label. The
+    # removed distinct was a full extra shuffle of the edge relation.
+    bidir = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    # Broadcast regime decided ONCE, driver-side, from the nodes plan's
+    # statistics (no job): when the (node, label) relation fits the
+    # session's broadcast threshold with margin, every per-iteration
+    # join hints broadcast on the LABEL side — the big bidir relation
+    # is then never exchanged (each round formerly paid a full
+    # sort-merge shuffle of bidir + labels: labels ride an RDD-backed
+    # localCheckpoint whose UnknownPartitioning defeats auto-broadcast
+    # statistics). At cluster scale the estimate exceeds the threshold
+    # and the generic shuffle-join path below is byte-identical to
+    # before.
+    from hadoop_project_spark.execution import plan_size_bytes
+
+    spark = nodes.sparkSession
+    raw = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    ).strip().lower()
+    _units = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    try:  # plain int, or int with a b/k/m/g(b) size suffix
+        suffix = raw.rstrip("0123456789-")
+        bcast_threshold = int(raw[: len(raw) - len(suffix)] or "0") * _units.get(
+            suffix.rstrip("b") or "b", 1
+        )
+    except ValueError:
+        bcast_threshold = 10 << 20
+    small_labels = (
+        bcast_threshold > 0
+        and plan_size_bytes(nodes.select(node_col)) * _LABEL_BROADCAST_MARGIN
+        <= bcast_threshold
     )
+
+    def _lab(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small_labels else df
     # Round-0 seeding: start every node at min(self, min neighbor) —
     # one aggregate folded into the initial label build, no count
     # action. This is exactly what the first loop round would compute,
@@ -67,7 +109,7 @@ def connected_components(
     seed = bidir.groupBy(F.col("b").alias("n")).agg(F.min("a").alias("offer"))
     labels = (
         nodes.select(F.col(node_col).alias("n"))
-        .join(seed, "n", "left")
+        .join(_lab(seed), "n", "left")
         .select(
             "n",
             F.least(F.col("n"), F.coalesce("offer", F.col("n"))).alias("l"),
@@ -77,14 +119,15 @@ def connected_components(
     for _ in range(max_iter):
         # each node offers its label to its neighbors; a node keeps
         # the min of its own label and all offers
+        lab = _lab(labels)
         offers = (
-            bidir.join(labels, bidir.a == labels.n)
+            bidir.join(lab, bidir.a == lab.n)
             .select(F.col("b").alias("n"), "l")
             .groupBy("n")
             .agg(F.min("l").alias("offer"))
         )
         staged = (
-            labels.join(offers, "n", "left")
+            labels.join(_lab(offers), "n", "left")
             .select(
                 "n",
                 F.least("l", F.coalesce("offer", F.col("l"))).alias("new_l"),

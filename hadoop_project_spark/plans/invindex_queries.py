@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
+from hadoop_project_spark.execution import run_overlapped
 from hadoop_project_spark.operators import invindex as ix
 from hadoop_project_spark.plans.registry import register
 from hadoop_project_spark.plans.text_pipeline import SQL_NORM
@@ -326,8 +327,17 @@ def index_segment_compaction_roundtrip(
     )
     shutil.rmtree(seg_root, ignore_errors=True)
     sink = make_postings_segment_sink(seg_root)
-    for b in range(4):
-        sink(docs.filter(F.col("doc_id") % 4 == b), b)
+    # independent micro-batch ingests (distinct batch_id segments) —
+    # overlap their tokenize+write jobs (guide §2.6); the replay stays
+    # AFTER the pool so it hits the published-segment idempotence skip
+    run_overlapped(
+        [
+            (lambda bb: lambda: sink(
+                docs.filter(F.col("doc_id") % 4 == bb), bb
+            ))(b)
+            for b in range(4)
+        ]
+    )
     sink(docs.filter(F.col("doc_id") % 4 == 1), 1)  # replayed batch: no-op
     prefix = f"rt_idx_seg_{sf}"
     compact_segments(spark, seg_root, prefix)
@@ -367,15 +377,24 @@ def index_base_plus_segments_probe(
     docs = load_table(spark, sf_dir, "documents")
     sf = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     prefix = f"rt_idx_mix_{sf}"
-    ix.build_index_tables(docs.filter(F.col("doc_id") % 2 == 0), prefix)
     seg_root = os.path.join(
         # pid-namespaced against concurrent same-host drivers (ADVICE r10 #3)
         tempfile.gettempdir(), f"rt_idx_mix_segs_{sf}_{os.getpid()}"
     )
     shutil.rmtree(seg_root, ignore_errors=True)
     sink = make_postings_segment_sink(seg_root, publish="manifest")
-    sink(docs.filter(F.col("doc_id") % 4 == 1), 0)
-    sink(docs.filter(F.col("doc_id") % 4 == 3), 1)
+    # the bucketed base build and the two fresh segments are fully
+    # independent (separate outputs; the probe below reads all three)
+    # — overlap the three write jobs (guide §2.6)
+    run_overlapped(
+        [
+            lambda: ix.build_index_tables(
+                docs.filter(F.col("doc_id") % 2 == 0), prefix
+            ),
+            lambda: sink(docs.filter(F.col("doc_id") % 4 == 1), 0),
+            lambda: sink(docs.filter(F.col("doc_id") % 4 == 3), 1),
+        ]
+    )
     base = spark.table(ix.index_table_names(prefix)[0]).select(
         "term", "doc_id", "pos"
     )

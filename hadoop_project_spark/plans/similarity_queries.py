@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
-from hadoop_project_spark.execution import eager_pin
+from hadoop_project_spark.execution import eager_pin, run_overlapped
 from hadoop_project_spark.functions.vector import dot, l2_norm
 from hadoop_project_spark.operators import similarity as sim
 from hadoop_project_spark.plans.registry import register
@@ -1192,8 +1192,18 @@ def ann_ivfpq_segment_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg_root, books=_PQ_BOOKS, n_cells=IVF_CELLS,
         cell_seed=IVF_SEED, dim=DIM,
     )
-    for b in range(4):
-        sink(emb.filter(F.col("vec_id") % 4 == b), b)
+    # the four micro-batch ingests are independent (distinct batch_id
+    # segments, no shared state until compaction) — overlap their small
+    # encode+write jobs (guide §2.6); the replay stays AFTER the pool
+    # so it exercises the already-published idempotence skip
+    run_overlapped(
+        [
+            (lambda bb: lambda: sink(
+                emb.filter(F.col("vec_id") % 4 == bb), bb
+            ))(b)
+            for b in range(4)
+        ]
+    )
     sink(emb.filter(F.col("vec_id") % 4 == 1), 1)  # replayed batch: no-op
     table = f"rt_ann_seg_codes_{sf}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -1250,8 +1260,16 @@ def ann_ivfpq_base_plus_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     sink(emb.filter(F.col("vec_id") % 2 == 0), 0)
     compact_codes_segments(spark, seg_root, table, n_cells=IVF_CELLS)
-    sink(emb.filter(F.col("vec_id") % 4 == 1), 1)
-    sink(emb.filter(F.col("vec_id") % 4 == 3), 2)
+    # the two post-compaction segments are independent appends —
+    # overlap them (guide §2.6); the compaction above must stay
+    # sequential so it folds exactly segment 0 (the query certifies
+    # the BETWEEN-compactions union, not a fully-folded base)
+    run_overlapped(
+        [
+            lambda: sink(emb.filter(F.col("vec_id") % 4 == 1), 1),
+            lambda: sink(emb.filter(F.col("vec_id") % 4 == 3), 2),
+        ]
+    )
     base = spark.table(table).select(
         F.col("vec_id").alias("neighbor_id"), "cell", "codes"
     )

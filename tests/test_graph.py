@@ -50,6 +50,48 @@ def test_no_edges_all_singletons(spark):
     assert comp == {i: i for i in range(5)}
 
 
+def test_cc_shuffle_regime_matches_broadcast_regime(spark):
+    """Round-12: the per-iteration label joins broadcast the label side
+    when the nodes plan is provably small and fall back to the generic
+    shuffle joins otherwise. Force the generic path (threshold -1) and
+    assert identical components on a topology needing several rounds."""
+    chain = [(i, i + 1) for i in range(11)] + [(20, 21), (21, 22)]
+    base = _cc(spark, 23, chain)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert _cc(spark, 23, chain) == base
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert {base[n] for n in range(12)} == {0}
+    assert base[20] == base[21] == base[22] == 20
+
+
+def test_run_overlapped_order_and_errors():
+    """run_overlapped returns results in input order and propagates the
+    first exception after every thunk finishes."""
+    import time
+
+    from hadoop_project_spark.execution import run_overlapped
+
+    def slow():
+        time.sleep(0.05)
+        return "slow"
+
+    assert run_overlapped([slow, lambda: "fast"]) == ["slow", "fast"]
+    assert run_overlapped([lambda: 1]) == [1]
+
+    def boom():
+        raise RuntimeError("boom")
+
+    try:
+        run_overlapped([slow, boom])
+    except RuntimeError as e:
+        assert "boom" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("exception swallowed")
+
+
 def test_triangle_count_matches_bruteforce(spark):
     """Degree-oriented count vs pure-Python enumeration on a graph with
     a hub, two disjoint triangles, a 4-clique, and isolated chains."""
