@@ -108,10 +108,14 @@ def _doc_shingle_sets(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     explode-then-global-distinct at sf0.1). Shingling runs on a
     MATERIALIZED token array (see functions/text.py:shingles_from_tokens
     for the 6x re-evaluation pitfall this avoids)."""
-    # widen on raw text so the normalize/split regex runs post-exchange
-    toks = widen_for_compute(docs.select("doc_id", "text")).select(
-        "doc_id", F.split(normalize_text("text"), " ").alias("t")
-    )
+    # widen on raw text so the normalize/split regex runs post-exchange.
+    # work_factor 32: shingle + sort_array + bitmap over ~30x-
+    # decompressing text — compressed-byte stats left this whole build
+    # on ONE task at bench scale (profiled as an 8.7 s single-task pin
+    # job inside lsh_band_sweep, round 12; same class as doc_shingles)
+    toks = widen_for_compute(
+        docs.select("doc_id", "text"), work_factor=32
+    ).select("doc_id", F.split(normalize_text("text"), " ").alias("t"))
     return (
         toks.select(
             "doc_id",
@@ -373,8 +377,11 @@ def duplicate_spans(
     the CPU stage, and sf1 profiling showed it running on the scan's 2
     byte-splits with 30 cores idle.
     """
+    # work_factor 32: gram explode + per-gram hash (same per-byte class
+    # as doc_shingles; compressed stats under-fire the widen locally)
     toks = widen_for_compute(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        work_factor=32,
     ).select(
         "doc_id",
         F.split(normalize_text(text_col), " ").alias("toks"),

@@ -201,7 +201,11 @@ def winnowing_fingerprints(
     # signature — this operator was the one r7 CPU-heavy builder that
     # missed the shim; VERDICT r7 item 3)
     toks = widen_for_compute(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
+        # work_factor 32: shingle transform + per-position md5 (the
+        # r7 audit's heavy builder); compressed stats under-fire the
+        # widen locally (round 12, guide §2.5)
+        work_factor=32,
     ).select(
         "doc_id",
         F.split(normalize_text(text_col), " ").alias("toks"),
