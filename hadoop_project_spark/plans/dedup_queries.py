@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
-from hadoop_project_spark.execution import eager_pin
+from hadoop_project_spark.execution import eager_pin, run_overlapped
 from hadoop_project_spark.operators import dedup as dd
 from hadoop_project_spark.operators import ssjoin as sj
 from hadoop_project_spark.plans.registry import register
@@ -357,18 +357,36 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     r×b before committing a corpus-scale dedup run."""
     docs = load_table(spark, sf_dir, "documents")
     sets = eager_pin(sj._doc_shingle_sets(docs, sj.SPAN_K))
-    truth = eager_pin(
-        sj.prefix_filtered_jaccard_pairs_from_sets(sets).select(
-            "doc_a", "doc_b", F.lit(1).alias("t")
-        )
-    )
     sh = sets.select("doc_id", F.explode("shs").alias("sh"))
-    sig = eager_pin(dd.minhash_signatures(sh))
+
+    # Once `sets` is pinned the truth pipeline and the signature →
+    # band-key pipeline are independent, and the four per-config band
+    # pins are mutually independent — their blocking pin jobs used to
+    # run strictly sequentially from the driver (6 serial jobs).
+    # Overlap them (guide §2.6) so one pipeline's straggler tail
+    # back-fills cores freed by the other.
+    def _pin_truth() -> DataFrame:
+        return eager_pin(
+            sj.prefix_filtered_jaccard_pairs_from_sets(sets).select(
+                "doc_a", "doc_b", F.lit(1).alias("t")
+            )
+        )
+
+    def _pin_bands() -> list[DataFrame]:
+        sig = eager_pin(dd.minhash_signatures(sh))
+        return run_overlapped(
+            [
+                (lambda nb=nb: eager_pin(dd.lsh_band_keys_config(sig, nb)))
+                for nb in SWEEP_BAND_COUNTS
+            ]
+        )
+
+    truth, band_pins = run_overlapped([_pin_truth, _pin_bands])
     outs = []
-    for nb in SWEEP_BAND_COUNTS:
-        cand = dd.lsh_candidate_pairs(
-            eager_pin(dd.lsh_band_keys_config(sig, nb))
-        ).select("doc_a", "doc_b", F.lit(1).alias("c"))
+    for nb, bk in zip(SWEEP_BAND_COUNTS, band_pins):
+        cand = dd.lsh_candidate_pairs(bk).select(
+            "doc_a", "doc_b", F.lit(1).alias("c")
+        )
         j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
         row = j.agg(
             F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0))
