@@ -230,12 +230,26 @@ def hybrid_rrf_topk(
 NEG_SHINGLE_DF_CAP = 64
 
 
+def doc_token_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, ts, n): each document's DISTINCT unigram token array
+    and its size — the exact-Jaccard scoring relation of
+    hard_negatives_for_anchors, exposed so a caller that already owns
+    an independent blocking eager-pin job (contrastive_pairs' ssjoin
+    positives) can build this one CONCURRENTLY with it (guide §2.6)
+    instead of paying the two pin jobs back-to-back."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(ts.tokens_nonempty("text")).alias("ts"),
+    ).select("doc_id", "ts", F.size("ts").cast("long").alias("n"))
+
+
 def hard_negatives_for_anchors(
     docs: DataFrame,
     anchors: DataFrame,
     exclude_pairs: DataFrame,
     k: int,
     df_cap: int = NEG_SHINGLE_DF_CAP,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k HARD NEGATIVES per anchor: documents that share a
     (df-capped) 3-shingle with the anchor — lexically close at the
@@ -261,13 +275,11 @@ def hard_negatives_for_anchors(
     # EAGER pin: the anchor-side and candidate-side scoring exchanges
     # are submitted concurrently at job start, so a lazy persist loses
     # the race and the corpus tokenization computes twice anyway (the
-    # documented eager_pin failure mode; review finding x2)
-    sets = eager_pin(
-        docs.select(
-            "doc_id",
-            F.array_distinct(ts.tokens_nonempty("text")).alias("ts"),
-        ).select("doc_id", "ts", F.size("ts").cast("long").alias("n"))
-    )
+    # documented eager_pin failure mode; review finding x2). A caller
+    # may pass the relation ALREADY pinned (doc_token_sets) when it
+    # overlapped the pin with its own independent build jobs.
+    if sets is None:
+        sets = eager_pin(doc_token_sets(docs))
     # pinned: the df aggregate, the corpus join side, and the anchor
     # join side all consume the exploded shingle stream
     sh = pin(dd.doc_shingles(docs))

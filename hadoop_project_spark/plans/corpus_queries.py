@@ -317,7 +317,7 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window as w
 
-    from hadoop_project_spark.execution import eager_pin
+    from hadoop_project_spark.execution import eager_pin, run_overlapped
     from hadoop_project_spark.operators import retrieval as rt
     from hadoop_project_spark.operators import ssjoin as sj
 
@@ -326,8 +326,16 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exclusion anti-join, the positive output, and — via anchors —
     # the negative candidate join's broadcast side); unpinned, each
     # re-executes the whole ssjoin pipeline (measured at sf0.1:
-    # 17.8 s -> ~4 s warm with the pin)
-    pos = eager_pin(sj.prefix_filtered_jaccard_pairs(docs))
+    # 17.8 s -> ~4 s warm with the pin). The negatives' token-set
+    # scoring relation depends only on docs, so its blocking pin job
+    # runs CONCURRENTLY with the ssjoin pin (guide §2.6) instead of
+    # serializing after it inside hard_negatives_for_anchors.
+    pos, sets = run_overlapped(
+        [
+            lambda: eager_pin(sj.prefix_filtered_jaccard_pairs(docs)),
+            lambda: eager_pin(rt.doc_token_sets(docs)),
+        ]
+    )
     anchors = (
         pos.select(F.col("doc_a").alias("anchor_id"))
         .unionByName(pos.select(F.col("doc_b").alias("anchor_id")))
@@ -340,7 +348,9 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("anchor_id"), F.col("doc_a").alias("other_id")
         )
     )
-    negs = rt.hard_negatives_for_anchors(docs, anchors, excl, NEG_PER_ANCHOR)
+    negs = rt.hard_negatives_for_anchors(
+        docs, anchors, excl, NEG_PER_ANCHOR, sets=sets
+    )
     pos_ranked = pos.select(
         F.col("doc_a").cast("long").alias("anchor_id"),
         F.col("doc_b").cast("long").alias("other_id"),

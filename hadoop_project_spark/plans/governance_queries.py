@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
-from hadoop_project_spark.execution import eager_pin, pin, widen_for_compute
+from hadoop_project_spark.execution import (
+    eager_pin,
+    pin,
+    run_overlapped,
+    widen_for_compute,
+)
 from hadoop_project_spark.functions.text import normalize_text
 from hadoop_project_spark.plans.registry import register
 from hadoop_project_spark.plans.text_pipeline import SQL_NORM
@@ -550,20 +555,27 @@ def part_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pin(_pr_copurchase_edges(li))
     deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
-    write_bucketed(
-        edges.join(deg, "src").repartition(nb, F.col("src")),
-        et,
-        ["src"],
-        nb,
-        sort_cols=["src"],
-    )
     nodes = li.select(F.col("l_partkey").alias("part_id")).distinct()
-    write_bucketed(
-        nodes.repartition(nb, F.col("part_id")),
-        nt,
-        ["part_id"],
-        nb,
-        sort_cols=["part_id"],
+    # the two bucketed writes are independent (separate tables; the
+    # iteration below reads both) — overlap the write jobs (guide §2.6,
+    # same pattern as the LSM segment sinks)
+    run_overlapped(
+        [
+            lambda: write_bucketed(
+                edges.join(deg, "src").repartition(nb, F.col("src")),
+                et,
+                ["src"],
+                nb,
+                sort_cols=["src"],
+            ),
+            lambda: write_bucketed(
+                nodes.repartition(nb, F.col("part_id")),
+                nt,
+                ["part_id"],
+                nb,
+                sort_cols=["part_id"],
+            ),
+        ]
     )
     return _pagerank_over_bucketed_graph(spark, et, nt)
 
