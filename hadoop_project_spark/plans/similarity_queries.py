@@ -684,13 +684,19 @@ def semantic_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # code literals the oracle embeds, so parity is unchanged
     asg = sim.ivf_cell_assignment("embedding", load_semdedup_centroids(spark))
     # eager_pin: assigned feeds the Gram scorer AND both precedence
-    # joins AND the final decision join (concurrent consumers)
+    # joins AND the final decision join (concurrent consumers).
+    # The assignment struct lands in ONE projection and the fields
+    # derive from the struct COLUMN: each getField of `asg` copies the
+    # whole k x dim centroid-literal distance tree into the projection,
+    # and Catalyst analysis of the duplicated trees measured 2-4x the
+    # single-copy form (driver-side, per build). Same doubles, same
+    # plan after ProjectCollapsing.
     assigned = eager_pin(
-        emb.select(
+        emb.select("vec_id", "embedding", asg.alias("_asg")).select(
             "vec_id",
             "embedding",
-            asg.getField("cell").alias("cell"),
-            asg.getField("cdist").alias("cdist"),
+            F.col("_asg.cell").alias("cell"),
+            F.col("_asg.cdist").alias("cdist"),
         )
     )
     raw = sim.blocked_pair_cosines(assigned, SEMDEDUP_TAU, block_col="cell")
@@ -820,16 +826,25 @@ def semantic_dedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     asg = sim.ivf_cell_assignment("embedding", load_semdedup_centroids(spark))
     planes = _semdedup_bucket_planes()
+    # struct-once projection (see semantic_dedup_decisions): the three
+    # getField references each copied the full centroid-literal tree,
+    # tripling driver-side analysis of every build — identical values,
+    # identical post-collapse plan.
     assigned = eager_pin(
         emb.select(
             "vec_id",
             "embedding",
-            asg.getField("cell").alias("cell"),
-            asg.getField("cdist").alias("cdist"),
+            asg.alias("_asg"),
+            sim.lsh_bucket("embedding", planes).alias("_bkt"),
+        ).select(
+            "vec_id",
+            "embedding",
+            F.col("_asg.cell").alias("cell"),
+            F.col("_asg.cdist").alias("cdist"),
             F.concat_ws(
                 ":",
-                asg.getField("cell").cast("string"),
-                sim.lsh_bucket("embedding", planes).cast("string"),
+                F.col("_asg.cell").cast("string"),
+                F.col("_bkt").cast("string"),
             ).alias("blk2"),
         )
     )
