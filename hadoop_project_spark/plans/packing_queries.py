@@ -297,12 +297,20 @@ def incremental_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full two-stage dedup pipeline, the diff, and the rollup."""
     from pyspark.sql import functions as F
 
+    from hadoop_project_spark.execution import run_overlapped
     from hadoop_project_spark.plans.dedup_queries import corpus_version_diff
 
-    assign = training_shard_assignment(spark, sf_dir).select(
-        "doc_id", "shard_id"
+    # the shard ranking's driver actions (split points + bucket counts)
+    # and the dedup pipeline's eager pins are independent until the
+    # final join — overlap the two builds (guide §2.6)
+    assign_df, diff_df = run_overlapped(
+        [
+            lambda: training_shard_assignment(spark, sf_dir),
+            lambda: corpus_version_diff(spark, sf_dir),
+        ]
     )
-    diff = corpus_version_diff(spark, sf_dir).select("doc_id", "status")
+    assign = assign_df.select("doc_id", "shard_id")
+    diff = diff_df.select("doc_id", "status")
     j = assign.join(diff, "doc_id")
     changed = (F.col("status") != "unchanged").cast("int")
     return j.groupBy("shard_id").agg(
@@ -398,7 +406,7 @@ def incremental_shard_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from hadoop_project_spark.execution import eager_pin
+    from hadoop_project_spark.execution import eager_pin, run_overlapped
     from hadoop_project_spark.functions.text import normalize_text
     from hadoop_project_spark.operators import shardexport as se
     from hadoop_project_spark.operators.corpus import hash_uniform32
@@ -410,20 +418,27 @@ def incremental_shard_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hadoop_project_spark.storage import sweep_dead_pid_dirs
 
     docs = load_table(spark, sf_dir, "documents")
-    a64 = training_shard_assignment(spark, sf_dir)
-    pos = (F.col("shard_id") * SHARD_SIZE + F.col("pos_in_shard"))
+
     # pinned: three consumers (v1 write, v2 write, dirty-mark collect)
     # would each replay the global range-repartition prefix-sum rank
-    assign = eager_pin(
-        a64.select(
-            "doc_id",
-            F.floor(pos / RW_SHARD_SIZE).cast("long").alias("shard_id"),
-            (pos % RW_SHARD_SIZE).cast("long").alias("pos_in_shard"),
+    def _pin_assign():
+        a64 = training_shard_assignment(spark, sf_dir)
+        pos = F.col("shard_id") * SHARD_SIZE + F.col("pos_in_shard")
+        return eager_pin(
+            a64.select(
+                "doc_id",
+                F.floor(pos / RW_SHARD_SIZE).cast("long").alias("shard_id"),
+                (pos % RW_SHARD_SIZE).cast("long").alias("pos_in_shard"),
+            )
         )
-    )
+
     # ONE run of the span pipeline feeds both the dirty set and the v2
-    # rows (pinned: the two consumers would otherwise replay it)
-    corpus = eager_pin(cleaned_corpus(docs))
+    # rows (pinned: the two consumers would otherwise replay it). The
+    # ranking's driver actions and the span pipeline's pins are
+    # independent — overlap the two builds (guide §2.6).
+    assign, corpus = run_overlapped(
+        [_pin_assign, lambda: eager_pin(cleaned_corpus(docs))]
+    )
 
     v1 = assign.join(
         docs.select("doc_id", normalize_text("text").alias("text")), "doc_id"
