@@ -26,12 +26,18 @@ def double_array_lit(values) -> Column:
     ``F.lit`` (verified value- and schema-equal); Catalyst constant-
     folds the CreateArray-of-literals into a single Literal node."""
 
-    def render(v) -> str:
-        if isinstance(v, (list, tuple)):
-            return "array(" + ", ".join(render(x) for x in v) + ")"
-        return f"{float(v)!r}D"
+    return F.expr(double_array_sql(values))
 
-    return F.expr(render(values))
+
+def double_array_sql(values) -> str:
+    """The SQL text of a (possibly nested) ``array<double>`` literal —
+    double_array_lit's renderer, exposed for builders that assemble
+    larger expr strings around the literal (sqdist_sql consumers)."""
+    if isinstance(values, (list, tuple)):
+        return (
+            "array(" + ", ".join(double_array_sql(x) for x in values) + ")"
+        )
+    return f"{float(values)!r}D"
 
 
 def long_array_lit(values) -> Column:
@@ -91,3 +97,18 @@ def squared_l2_distance(a: str | Column, b: str | Column) -> Column:
         _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** F.lit(2)
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def sqdist_sql(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL text twin of ``squared_l2_distance`` — same
+    widen-subtract-power-2 zip_with and left-to-right 0.0-seeded fold,
+    so the parsed expression is float-identical to the Column form
+    (collect-verified element-for-element equal). The dot_sql
+    rationale applies: builders that assemble MANY distances (IVF
+    cells × PQ codebooks) pay ~0.1-0.2 s of py4j lambda construction
+    per Column-form distance array; one text parse is ~free."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> power(cast(x as double) - cast(y as double), 2)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )

@@ -32,7 +32,6 @@ from pyspark.sql.window import Window
 from hadoop_project_spark.functions.vector import (
     dot,
     dot_sql,
-    double_array_lit,
     l2_norm,
 )
 
@@ -269,21 +268,34 @@ def make_coarse_centroids(n_cells: int, dim: int, seed: int = 7) -> list[list[fl
     ]
 
 
-def _cell_dists(vec_col: str, cents: list[list[float]]):
-    """array<double> of 9dp-rounded squared L2 distances to each coarse
-    centroid (one nested literal; rounding makes the argmin/probe-order
-    decisions identical across engines — same strategy as lsh_bucket)."""
-    from hadoop_project_spark.functions.vector import squared_l2_distance
+def _cell_dists_sql(vec_col: str, cents: list[list[float]]) -> str:
+    """SQL text of the array<double> of 9dp-rounded squared L2
+    distances to each coarse centroid (one nested literal; rounding
+    makes the argmin/probe-order decisions identical across engines —
+    same strategy as lsh_bucket). Assembled as TEXT and parsed once:
+    the Column-form transform/zip_with/aggregate lambda chain costs
+    ~0.1-0.2 s of py4j construction per reference, and the argmin
+    consumers reference the array 2-3×; the parsed tree is
+    float-identical (collect-verified, same guarantee as dot_sql)."""
+    from hadoop_project_spark.functions.vector import (
+        double_array_sql,
+        sqdist_sql,
+    )
 
-    carr = double_array_lit(cents)
-    return F.transform(carr, lambda c: F.round(squared_l2_distance(vec_col, c), 9))
+    arr = double_array_sql(cents)
+    return f"transform({arr}, c -> round({sqdist_sql(vec_col, 'c')}, 9))"
+
+
+def _cell_dists(vec_col: str, cents: list[list[float]]):
+    """Column form of _cell_dists_sql (one parse)."""
+    return F.expr(_cell_dists_sql(vec_col, cents))
 
 
 def ivf_cell(vec_col: str, cents: list[list[float]]):
     """Inverted-file cell id = argmin cell distance (first index on
     ties, matching ORDER BY d, cell in SQL)."""
-    ds = _cell_dists(vec_col, cents)
-    return (F.array_position(ds, F.array_min(ds)) - 1).cast("int")
+    ds = _cell_dists_sql(vec_col, cents)
+    return F.expr(f"cast(array_position({ds}, array_min({ds})) - 1 as int)")
 
 
 def ivf_cell_assignment(vec_col: str, cents: list[list[float]]):
@@ -292,22 +304,22 @@ def ivf_cell_assignment(vec_col: str, cents: list[list[float]]):
     uses ``cdist`` as the keep-rule precedence (closest-to-centroid
     survives), so both must come from the SAME rounded distance array
     an oracle can re-derive from the centroid literals."""
-    ds = _cell_dists(vec_col, cents)
-    mn = F.array_min(ds)
-    return F.struct(
-        (F.array_position(ds, mn) - 1).cast("int").alias("cell"),
-        mn.alias("cdist"),
+    ds = _cell_dists_sql(vec_col, cents)
+    return F.expr(
+        f"struct(cast(array_position({ds}, array_min({ds})) - 1 as int)"
+        f" as cell, array_min({ds}) as cdist)"
     )
 
 
 def ivf_probes(vec_col: str, cents: list[list[float]], n_probe: int):
     """The n_probe nearest cell ids for a query vector, nearest first
     (ties to the lower cell id)."""
-    ds = _cell_dists(vec_col, cents)
-    pairs = F.transform(
-        ds, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i"))
+    ds = _cell_dists_sql(vec_col, cents)
+    return F.expr(
+        f"transform(slice(array_sort(transform({ds}, "
+        "(d, i) -> struct(d as d, cast(i as int) as i))), "
+        f"1, {n_probe}), s -> s.i)"
     )
-    return F.transform(F.slice(F.array_sort(pairs), 1, n_probe), lambda s: s["i"])
 
 
 def ivf_topk(
@@ -621,29 +633,29 @@ def make_pq_codebooks(
     ]
 
 
-def _pq_sub(vec_col: str, m: int, subdim: int):
-    """The m-th subvector (1-based slice; pure projection, no copy
-    until codegen materializes the slice for the fold)."""
-    return F.slice(F.col(vec_col), m * subdim + 1, subdim)
-
-
 def pq_codes(vec_col: str, books: list[list[list[float]]]):
     """array<int> of PQ codes: per subspace, the argmin-codeword index
     over 9dp-rounded squared L2 distances (first index on ties —
     matching ORDER BY d, code in SQL; same cross-engine-argmin strategy
-    as ivf_cell)."""
-    from hadoop_project_spark.functions.vector import squared_l2_distance
+    as ivf_cell). One text parse for the whole M-subspace array — the
+    _cell_dists_sql rationale, ×M subspaces per encode."""
+    from hadoop_project_spark.functions.vector import (
+        double_array_sql,
+        sqdist_sql,
+    )
 
     subdim = len(books[0][0])
     cols = []
     for m, book in enumerate(books):
-        sub = _pq_sub(vec_col, m, subdim)
-        ds = F.transform(
-            double_array_lit(book),
-            lambda cw: F.round(squared_l2_distance(sub, cw), 9),
+        sub = f"slice({vec_col}, {m * subdim + 1}, {subdim})"
+        ds = (
+            f"transform({double_array_sql(book)}, "
+            f"cw -> round({sqdist_sql(sub, 'cw')}, 9))"
         )
-        cols.append((F.array_position(ds, F.array_min(ds)) - 1).cast("int"))
-    return F.array(*cols)
+        cols.append(
+            f"cast(array_position({ds}, array_min({ds})) - 1 as int)"
+        )
+    return F.expr("array(" + ", ".join(cols) + ")")
 
 
 def pq_adc_lut(vec_col: str, books: list[list[list[float]]]):
@@ -656,21 +668,21 @@ def pq_adc_lut(vec_col: str, books: list[list[list[float]]]):
     the ranking key — and the 1e-6 granularity is far coarser than the
     9dp agreement the cosine queries already rely on, so cross-engine
     rounding flips are strictly less likely, not more."""
-    from hadoop_project_spark.functions.vector import squared_l2_distance
+    from hadoop_project_spark.functions.vector import (
+        double_array_sql,
+        sqdist_sql,
+    )
 
     subdim = len(books[0][0])
     luts = []
     for m, book in enumerate(books):
-        sub = _pq_sub(vec_col, m, subdim)
+        sub = f"slice({vec_col}, {m * subdim + 1}, {subdim})"
         luts.append(
-            F.transform(
-                double_array_lit(book),
-                lambda cw: F.round(
-                    squared_l2_distance(sub, cw) * F.lit(float(ADC_UNIT)), 0
-                ).cast("long"),
-            )
+            f"transform({double_array_sql(book)}, "
+            f"cw -> cast(round({sqdist_sql(sub, 'cw')}"
+            f" * {float(ADC_UNIT)!r}D, 0) as bigint))"
         )
-    return F.array(*luts)
+    return F.expr("array(" + ", ".join(luts) + ")")
 
 
 def _adc_dist(m: int):

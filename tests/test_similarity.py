@@ -271,3 +271,96 @@ def test_ivfpq_candidates_subset_of_flat_adc(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in f:  # pruned-in pair also ranked by the flat scan
             assert f[key] == r["adc_dist"]
+
+
+def test_sql_text_builders_match_column_reference(spark, sf_dir):
+    """The expr-string IVF/PQ builders (one parse instead of py4j
+    lambda chains — the r12 build-time optimization) must stay
+    float-identical to a straight Column-API reference built from the
+    same primitives: same zip_with subtract-power-2 fold, same 9dp
+    round, same argmin convention. Collect-compared element-for-element
+    over the real fixture embeddings."""
+    from hadoop_project_spark.functions.vector import (
+        double_array_lit,
+        squared_l2_distance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.make_pq_codebooks()
+    cents = sim.make_coarse_centroids(16, 64, 7)
+    subdim = len(books[0][0])
+
+    def ref_dists(vec_col, cs):
+        return F.transform(
+            double_array_lit(cs),
+            lambda c: F.round(squared_l2_distance(vec_col, c), 9),
+        )
+
+    ref_cols = []
+    ds = ref_dists("embedding", cents)
+    mn = F.array_min(ds)
+    ref_cols.append(
+        (F.array_position(ds, mn) - 1).cast("int").alias("cell")
+    )
+    ref_cols.append(mn.alias("cdist"))
+    pairs = F.transform(
+        ds, lambda d, i: F.struct(d.alias("d"), i.cast("int").alias("i"))
+    )
+    ref_cols.append(
+        F.transform(
+            F.slice(F.array_sort(pairs), 1, 4), lambda s: s["i"]
+        ).alias("probes")
+    )
+    code_cols, lut_cols = [], []
+    for m, book in enumerate(books):
+        sub = F.slice(F.col("embedding"), m * subdim + 1, subdim)
+        dsb = F.transform(
+            double_array_lit(book),
+            lambda cw: F.round(squared_l2_distance(sub, cw), 9),
+        )
+        code_cols.append(
+            (F.array_position(dsb, F.array_min(dsb)) - 1).cast("int")
+        )
+        lut_cols.append(
+            F.transform(
+                double_array_lit(book),
+                lambda cw: F.round(
+                    squared_l2_distance(sub, cw) * F.lit(float(sim.ADC_UNIT)),
+                    0,
+                ).cast("long"),
+            )
+        )
+    ref_cols.append(F.array(*code_cols).alias("codes"))
+    ref_cols.append(F.array(*lut_cols).alias("lut"))
+
+    asg = sim.ivf_cell_assignment("embedding", cents)
+    got = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            asg.alias("_asg"),
+            sim.ivf_cell("embedding", cents).alias("cell2"),
+            sim.ivf_probes("embedding", cents, 4).alias("probes"),
+            sim.pq_codes("embedding", books).alias("codes"),
+            sim.pq_adc_lut("embedding", books).alias("lut"),
+        )
+        .select(
+            "vec_id",
+            F.col("_asg.cell").alias("cell"),
+            F.col("_asg.cdist").alias("cdist"),
+            "cell2",
+            "probes",
+            "codes",
+            "lut",
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    want = emb.select("vec_id", *ref_cols).orderBy("vec_id").collect()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g["cell"] == w["cell"] == g["cell2"]
+        assert g["cdist"] == w["cdist"]
+        assert g["probes"] == w["probes"]
+        assert g["codes"] == w["codes"]
+        assert g["lut"] == w["lut"]
