@@ -131,7 +131,12 @@ def make_neardup_gate_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # eager: the flags and state writes below run CONCURRENTLY
+        # (guide §2.6), and a lazy persist would let both jobs race-
+        # recompute the shingle→MinHash key build; the blocking count
+        # fills the cache in one job first.
         keys = batch_band_keys(batch_df).persist()
+        keys.count()
         if roster_dir is not None:
             _write_batch_partition(
                 batch_df.select("doc_id").distinct(), roster_dir, batch_id
@@ -179,10 +184,21 @@ def make_neardup_gate_sink(
         flagged = (
             hits_batch if hits_state is None else hits_batch.union(hits_state)
         ).distinct()
-        _write_batch_partition(flagged, flags_dir, batch_id)
-        # O(batch) append of this batch's keys into its own partition
-        _write_batch_partition(
-            keys.select("doc_id", "band", "key"), state_dir, batch_id
+        # the flags publish and the O(batch) state append write DIFFERENT
+        # batch_id=N partitions under DIFFERENT roots from the same
+        # cached keys — independent within the batch (the cross-batch
+        # ordering the gate's semantics need is between BATCHES, and the
+        # flags leg reads only state partitions < batch_id), so the two
+        # write jobs overlap (guide §2.6)
+        from hadoop_project_spark.execution import run_overlapped
+
+        run_overlapped(
+            [
+                lambda: _write_batch_partition(flagged, flags_dir, batch_id),
+                lambda: _write_batch_partition(
+                    keys.select("doc_id", "band", "key"), state_dir, batch_id
+                ),
+            ]
         )
         keys.unpersist()
 
