@@ -286,11 +286,6 @@ def _cell_dists_sql(vec_col: str, cents: list[list[float]]) -> str:
     return f"transform({arr}, c -> round({sqdist_sql(vec_col, 'c')}, 9))"
 
 
-def _cell_dists(vec_col: str, cents: list[list[float]]):
-    """Column form of _cell_dists_sql (one parse)."""
-    return F.expr(_cell_dists_sql(vec_col, cents))
-
-
 def ivf_cell(vec_col: str, cents: list[list[float]]):
     """Inverted-file cell id = argmin cell distance (first index on
     ties, matching ORDER BY d, cell in SQL)."""
