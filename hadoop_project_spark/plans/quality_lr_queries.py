@@ -90,8 +90,21 @@ def _sql_fit_chain(iters: int = LR_ITERS) -> str:
         FROM feats f, w{i - 1} w
       )
     )""")
+        # CAST back to BIGINT: DuckDB's SUM(BIGINT) yields HUGEINT, and
+        # without the cast the int128 type rides the whole w-chain into
+        # the query's OUTPUT columns (train's wq, corpus_filter's
+        # score_q). The VALUES are identical either way (|w| < 10^6 ≪
+        # 2^63), but HUGEINT is the one output type the driver's
+        # value-hash canonicalizes differently from int64 — the
+        # two-round quality_lr_train/_corpus_filter hash-red signature
+        # (every other red-suspect was eliminated: ASCII/BMP fuzz shows
+        # both engines agree on feats and the full fit chain for all
+        # text, and eval — the one trio member whose oracle CASTs every
+        # output column — was green throughout). Registry convention:
+        # cast output numerics to explicit BIGINT/DOUBLE on both sides.
         ups = ", ".join(
-            f"w.w{j} + {_sql_fdiv(f'g.g{j}', f'nr.n * {LR_DEN}')} AS w{j}"
+            f"CAST(w.w{j} + {_sql_fdiv(f'g.g{j}', f'nr.n * {LR_DEN}')} "
+            f"AS BIGINT) AS w{j}"
             for j in range(_K)
         )
         stages.append(
@@ -187,7 +200,7 @@ def _fitted(spark: SparkSession, sf_dir: str, feats: DataFrame) -> list[int]:
     priority=10,  # new in round 11 -> first driver window
     oracle=f"""
     {_sql_prefix()}
-    SELECT f.feature, f.wq FROM (
+    SELECT f.feature, CAST(f.wq AS BIGINT) AS wq FROM (
       {" UNION ALL ".join(
           f"SELECT '{name}' AS feature, w{j} AS wq FROM w{LR_ITERS}"
           for j, name in enumerate(LR_FEATURES)
@@ -221,7 +234,8 @@ def quality_lr_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     {_sql_prefix()}
     SELECT f.doc_id, f.y,
-           {" + ".join(f"w.w{j} * f.x{j}" for j in range(_K))} AS score_q,
+           CAST({" + ".join(f"w.w{j} * f.x{j}" for j in range(_K))}
+                AS BIGINT) AS score_q,
            ({" + ".join(f"w.w{j} * f.x{j}" for j in range(_K))}) >= 0
              AS admitted
     FROM feats f, w{LR_ITERS} w
