@@ -15,6 +15,15 @@ That no-false-negative property is what the DuckDB oracle certifies:
 the oracle computes plain exact heavy hitters — if the sketch path
 dropped a true hitter or admitted a light key, the hash would diverge.
 
+Round 13: cm_heavy_hitters folds the input stream ONCE into the
+per-key count relation and derives every pass (sketch grid, totals,
+candidate estimates, exact verify) from that pinned relation — the
+earlier literal two-pass form re-ran the upstream key pipeline once
+per consumer (4-5 corpus scans). The grid/estimate/threshold
+arithmetic is integer-identical (weighted sums of counts); the
+cache is O(distinct keys), the cardinality the old distinct pass
+already paid, not O(corpus).
+
 Hashing is md5-based (functions/text.py module doc: engine-portable,
 unlike F.hash/xxhash64), row-salted as ``md5(r || ':' || key)``.
 
@@ -77,18 +86,53 @@ def cm_heavy_hitters(
     Output: (key, cnt, est) — ``est`` is the sketch estimate, always
     >= cnt; both certified by the oracle's from-scratch recomputation.
     """
+    from hadoop_project_spark.execution import eager_pin
+
     # internal alias sidesteps ambiguity when the caller's column is
     # itself named "key" (the verify join below compares input vs
-    # candidate columns by name). Deliberately NOT persisted: the
-    # occurrence stream is O(input) — pinning it would contradict the
-    # bounded-state story above; the verify pass re-scans the source,
-    # exactly as a second pass over a 100 TB corpus would.
-    stream = keys.select(F.col(key_col).alias("__cm_key"))
-    sketch = cm_sketch(stream, "__cm_key")
-    distinct_keys = stream.select(F.col("__cm_key").alias("key")).distinct()
-    # totals for the relative threshold: one tiny global agg each
-    totals = stream.agg(F.count("*").alias("total")).crossJoin(
-        distinct_keys.agg(F.count("*").alias("n_distinct"))
+    # candidate columns by name). The occurrence stream is scanned
+    # EXACTLY ONCE, into the per-key count relation; the sketch grid,
+    # the threshold totals, the candidate estimates AND the exact
+    # verify all derive from it (integer-identical: the grid is the
+    # count-weighted sum of each key's cells, totals are sum/count of
+    # the counts, the verify is the counts filtered to candidates).
+    # The earlier form re-ran the upstream key pipeline once per pass
+    # (4-5 corpus scans — measured 5 x ~1.2 s single-task jobs for the
+    # bigram stream at sf0.1, guide §2.4). Pinning trades O(distinct
+    # keys) cache rows — the same cardinality the old distinct pass
+    # already shuffled, spilling to disk if needed — for those
+    # re-scans; the threshold's mean-count definition needs the exact
+    # per-key relation anyway (the verify pass is exact by design), so
+    # this is the bounded form of the two-pass shape, not a cache of
+    # the corpus.
+    counts = eager_pin(
+        keys.select(F.col(key_col).alias("__cm_key"))
+        .groupBy("__cm_key")
+        .agg(F.count("*").alias("__cm_cnt"))
+    )
+    sketch = (
+        counts.select(
+            F.col("__cm_cnt").alias("cnt"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cm_col(F.col("__cm_key"), r).alias("col"),
+                        )
+                        for r in range(CM_DEPTH)
+                    ]
+                )
+            ).alias("cell"),
+        )
+        .groupBy("cell.r", "cell.col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    distinct_keys = counts.select(F.col("__cm_key").alias("key"))
+    # totals for the relative threshold: one tiny global agg
+    totals = counts.agg(
+        F.sum("__cm_cnt").alias("total"),
+        F.count("*").alias("n_distinct"),
     )
     key_cells = distinct_keys.select(
         "key",
@@ -115,15 +159,11 @@ def cm_heavy_hitters(
         )
         .select("key", "est")
     )
-    exact = (
-        stream.join(
-            F.broadcast(candidates),
-            F.col("__cm_key") == F.col("key"),
-            "inner",
-        )
-        .groupBy("key", "est")
-        .agg(F.count("*").alias("cnt"))
-    )
+    exact = counts.join(
+        F.broadcast(candidates),
+        F.col("__cm_key") == F.col("key"),
+        "inner",
+    ).select("key", "est", F.col("__cm_cnt").alias("cnt"))
     return (
         exact.crossJoin(F.broadcast(totals))
         .where(

@@ -72,9 +72,13 @@ def heavy_hitter_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (superset by construction), then an exact broadcast-semi-join verify
     pass. Output (key, cnt, est) with est >= cnt always."""
     docs = load_table(spark, sf_dir, "documents")
-    # widen BEFORE tokenization: cm_heavy_hitters deliberately re-scans
-    # this stream once per pass (bounded-state two-pass design), so a
-    # split-starved scan would serialize all four passes
+    # widen BEFORE tokenization: since round 13 cm_heavy_hitters scans
+    # this stream exactly ONCE (into its pinned per-key counts). A
+    # work_factor=32 widen was A/B-measured against the one-scan form
+    # (2 cycles) and is a wash-to-slightly-worse at sf0.1 — the counts
+    # groupBy already spreads the heavy fold across cores — so the
+    # default byte-stat decision stands (widens from ~sf1 up on its
+    # own).
     toks = widen_for_compute(docs.select("text")).select(
         F.split(normalize_text("text"), " ").alias("t")
     ).filter(F.size("t") >= 2)
