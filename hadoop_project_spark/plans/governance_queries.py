@@ -313,7 +313,8 @@ def part_copurchase_rank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a = li.alias("a")
+    # probe-side widen: same rationale as _pr_copurchase_edges
+    a = widen_for_compute(li).alias("a")
     b = li.alias("b")
     edges = (
         a.join(
@@ -393,8 +394,15 @@ _PRI_UPDATE_EXPR = (
 
 def _pr_copurchase_edges(li: DataFrame) -> DataFrame:
     """Distinct (src, dst) part co-purchase edges — parts sharing an
-    order; per-order fanout bounded by order size, linear in lineitem."""
-    a, b = li.alias("a"), li.alias("b")
+    order; per-order fanout bounded by order size, linear in lineitem.
+
+    The self-join broadcasts one side, so the whole O(fanout) pair
+    expansion + partial distinct runs on the PROBE side's scan tasks —
+    widen that side (round 13: the single-file local lineitem packs
+    into 3 splits, and the 1.9 s probe stage sat on 3 of 32 cores;
+    no-op on any real multi-file cluster table, execution.py)."""
+    a = widen_for_compute(li).alias("a")
+    b = li.alias("b")
     return (
         a.join(
             b,
@@ -957,7 +965,8 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    a, b = li.alias("a"), li.alias("b")
+    # probe-side widen: same rationale as _pr_copurchase_edges
+    a, b = widen_for_compute(li).alias("a"), li.alias("b")
     edges = (
         a.join(
             b,
