@@ -145,9 +145,11 @@ def export_file_stats(root: str) -> dict[int, tuple[tuple[str, int, int], ...]]:
 def incremental_shard_rewrite(
     spark: SparkSession,
     root: str,
-    v1_members: DataFrame,
+    v1_members: DataFrame | None,
     v2_members: DataFrame,
     dirty_ids: list[int],
+    surviving_ids: set[int] | None = None,
+    v1_written: bool = False,
 ) -> dict[int, bool]:
     """The full incremental export: write v1 (all shards), snapshot,
     dynamically overwrite only the dirty shards with their v2 rows
@@ -156,19 +158,33 @@ def incremental_shard_rewrite(
 
     ``dirty_ids`` must be the CDC-derived dirty set; ``v2_members``
     rows outside it are ignored (filtered here) so callers can pass
-    the whole v2 relation."""
+    the whole v2 relation.
+
+    Round-13 overlap hooks (guide §2.6): a caller that already knows
+    which dirty shards still have v2 rows passes ``surviving_ids``
+    (skipping this function's distinct-collect job — the driver query
+    derives both sets in ONE rollup it overlaps with the v1 write),
+    and a caller that wrote v1 itself — e.g. concurrently with that
+    rollup — passes ``v1_written=True`` (``v1_members`` is then
+    unused and may be None). Defaults reproduce the original
+    sequential protocol exactly."""
     import shutil
 
-    shutil.rmtree(root, ignore_errors=True)
-    write_shard_files(v1_members, root)
+    if not v1_written:
+        shutil.rmtree(root, ignore_errors=True)
+        write_shard_files(v1_members, root)
     before = export_file_stats(root)
 
     dirty = [int(s) for s in dirty_ids]
     dirty_rows = v2_members.filter(F.col("shard_id").isin(dirty))
-    surviving = {
-        int(r["shard_id"])
-        for r in dirty_rows.select("shard_id").distinct().collect()
-    }
+    surviving = (
+        {int(s) for s in surviving_ids}
+        if surviving_ids is not None
+        else {
+            int(r["shard_id"])
+            for r in dirty_rows.select("shard_id").distinct().collect()
+        }
+    )
     if surviving:
         # dirty_rows only holds rows for shards in `surviving` by
         # construction — no further filter needed

@@ -447,19 +447,6 @@ def incremental_shard_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
     ).select("shard_id", "pos_in_shard", "doc_id", "text")
 
-    marks = assign.join(
-        corpus.select("doc_id", "n_cut_tokens"), "doc_id", "left"
-    )
-    dirty_ids = [
-        int(r["shard_id"])
-        for r in marks.filter(
-            F.col("n_cut_tokens").isNull() | (F.col("n_cut_tokens") > 0)
-        )
-        .select("shard_id")
-        .distinct()
-        .collect()
-    ]  # O(#shards) driver rows
-
     # pid-namespaced export root + dead-pid sibling sweep (round-12
     # review finding: a shared fixed root is rmtree'd at query start,
     # so concurrent same-host drivers sharing a warehouse would clobber
@@ -468,7 +455,48 @@ def incremental_shard_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(warehouse_path(spark), "shard_export")
     sweep_dead_pid_dirs(base, "shards")
     root = os.path.join(base, f"shards_{_sf_tag(sf_dir)}_{os.getpid()}")
-    reused = se.incremental_shard_rewrite(spark, root, v1, v2, dirty_ids)
+
+    # Per-shard dirty/surviving rollup in ONE aggregate over the two
+    # pinned relations (dirty: any member dropped or cut; surviving:
+    # any member still present in v2 — v2 = assign ⋈ corpus inner, so
+    # "present" ≡ non-null mark), overlapped with the v1 full-export
+    # write, which depends on neither (guide §2.6). O(#shards) driver
+    # rows, exactly as before; the operator's own distinct-collect and
+    # v1-write phases are skipped via its round-13 overlap hooks.
+    marks = assign.join(
+        corpus.select("doc_id", "n_cut_tokens"), "doc_id", "left"
+    )
+    is_dirty = (
+        F.col("n_cut_tokens").isNull() | (F.col("n_cut_tokens") > 0)
+    ).cast("int")
+
+    def _write_v1():
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        se.write_shard_files(v1, root)
+
+    roll, _ = run_overlapped(
+        [
+            lambda: marks.groupBy("shard_id")
+            .agg(
+                F.max(is_dirty).alias("dirty"),
+                F.max(F.col("n_cut_tokens").isNotNull().cast("int")).alias(
+                    "surv"
+                ),
+            )
+            .collect(),
+            _write_v1,
+        ]
+    )
+    dirty_ids = [int(r["shard_id"]) for r in roll if r["dirty"] == 1]
+    surviving = {
+        int(r["shard_id"]) for r in roll if r["dirty"] == 1 and r["surv"] == 1
+    }
+    reused = se.incremental_shard_rewrite(
+        spark, root, None, v2, dirty_ids,
+        surviving_ids=surviving, v1_written=True,
+    )
 
     back = spark.read.parquet(root).select(
         F.col("shard_id").cast("long").alias("shard_id"),
