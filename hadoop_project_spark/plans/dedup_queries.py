@@ -1197,23 +1197,45 @@ def neardup_gate_lsm_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(seg_root, ignore_errors=True)
     table = f"rt_lsh_state_{sf}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    flags = []
-    for b in range(4):
-        batch = docs.filter(
+    from hadoop_project_spark.execution import run_overlapped
+
+    batches = [
+        docs.filter(
             (F.col("doc_id") >= cuts[b]) & (F.col("doc_id") < cuts[b + 1])
         )
-        # one pinned key relation per batch feeds BOTH the probe and
-        # the publish; the probe targets the state as of BEFORE this
-        # batch (the segment listing happens here, driver time, so the
-        # lazy plan reads exactly the already-published segments + the
-        # folded base)
-        keys = eager_pin(_prepare_bandkeys(batch))
+        for b in range(4)
+    ]
+    flags = []
+    # one pinned key relation per batch feeds BOTH the probe and the
+    # publish; the probe targets the state as of BEFORE this batch
+    # (the segment listing happens at admission_flags time, driver
+    # side, so the lazy plan reads exactly the already-published
+    # segments + the folded base). Round 13 PIPELINES the batches
+    # (guide §2.6): batch b+1's shingle→MinHash key build depends only
+    # on docs, never on state, so it runs concurrently with batch b's
+    # segment publish. The admission semantics' cross-batch ordering
+    # is untouched — flags for b are planned BEFORE b's publish, and
+    # run_overlapped blocks before b+1's listing, so publish(b)
+    # still strictly precedes gate_state(b+1).
+    keys = eager_pin(_prepare_bandkeys(batches[0]))
+    for b in range(4):
         flags.append(
             admission_flags(
-                batch, gate_state(spark, seg_root, table), keys=keys
+                batches[b], gate_state(spark, seg_root, table), keys=keys
             )
         )
-        publish_bandkeys_segment(keys, seg_root, b, publish="manifest")
+        thunks = [
+            lambda k=keys, bid=b: publish_bandkeys_segment(
+                k, seg_root, bid, publish="manifest"
+            )
+        ]
+        if b < 3:
+            thunks.append(
+                lambda nb=batches[b + 1]: eager_pin(_prepare_bandkeys(nb))
+            )
+        res = run_overlapped(thunks)
+        if b < 3:
+            keys = res[1]
         if b == 1:
             compact_bandkeys_segments(spark, seg_root, table)
     # replayed batch: manifest already committed -> publish is a no-op
@@ -1282,14 +1304,25 @@ def neardup_gate_served_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = f"rt_lsh_srv_state_{sf}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     sink = make_bandkeys_segment_sink(seg_root)
-    for b in range(3):
-        sink(
-            docs.filter(
-                (F.col("doc_id") >= cut * b // 3)
-                & (F.col("doc_id") < cut * (b + 1) // 3)
-            ),
-            b,
-        )
+    # the three segment ingests are fully independent (each computes
+    # its own batch's keys and publishes its own immutable batch_id
+    # directory; nothing probes between them, and the compaction's
+    # DISTINCT fold is publish-order invariant) — overlap the three
+    # build+write jobs (guide §2.6)
+    from hadoop_project_spark.execution import run_overlapped
+
+    run_overlapped(
+        [
+            lambda b=b: sink(
+                docs.filter(
+                    (F.col("doc_id") >= cut * b // 3)
+                    & (F.col("doc_id") < cut * (b + 1) // 3)
+                ),
+                b,
+            )
+            for b in range(3)
+        ]
+    )
     compact_bandkeys_segments(spark, seg_root, table)
     # fresh-session view: drop the catalog entry; gate_state below
     # re-attaches the live version (no data read, no fold)

@@ -130,13 +130,17 @@ def make_neardup_gate_sink(
     equivalence can be recomputed post-hoc."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from hadoop_project_spark.execution import eager_pin
+
         spark = batch_df.sparkSession
-        # eager: the flags and state writes below run CONCURRENTLY
+        # eager_pin: the flags and state writes below run CONCURRENTLY
         # (guide §2.6), and a lazy persist would let both jobs race-
         # recompute the shingle→MinHash key build; the blocking count
-        # fills the cache in one job first.
-        keys = batch_band_keys(batch_df).persist()
-        keys.count()
+        # fills the cache in one job first. Routed through eager_pin
+        # (ADVICE r12) so tiny batches below PIN_MIN_WORK_BYTES keep
+        # the lazy persist — there the extra count job costs more than
+        # the duplicate recompute it prevents.
+        keys = eager_pin(batch_band_keys(batch_df))
         if roster_dir is not None:
             _write_batch_partition(
                 batch_df.select("doc_id").distinct(), roster_dir, batch_id
