@@ -81,6 +81,34 @@ def dot_sql(vec_sql: str, values: list[float]) -> str:
     )
 
 
+def dot_cols_sql(a_sql: str, b_sql: str) -> str:
+    """Spark-SQL text twin of ``dot`` between two COLUMN expressions —
+    same widen-then-multiply zip_with and left-to-right 0.0-seeded
+    fold, so the parsed expression is float-identical to the Column
+    form (pinned by test_sql_text_builders_match_column_reference).
+    The dot_sql rationale applies: each Column-form fold costs ~2 py4j
+    lambda constructions (~0.1-0.2 s) per expression at plan-build
+    time; one text parse is ~free. Used by the brute-force cosine
+    rankings, which build several dot/norm expressions per query."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def l2_norm_sql(a_sql: str) -> str:
+    """Spark-SQL text twin of ``l2_norm`` — same square-transform and
+    left-to-right fold under sqrt, float-identical to the Column form
+    (same test pin and same plan-build-cost rationale as
+    dot_cols_sql)."""
+    return (
+        f"sqrt(aggregate(transform({a_sql}, "
+        "x -> cast(x as double) * cast(x as double)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+
+
 def l2_norm(a: str | Column) -> Column:
     sq = F.transform(_c(a), lambda x: x.cast("double") * x.cast("double"))
     return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))

@@ -11,7 +11,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from hadoop_project_spark.catalog import load_table
 from hadoop_project_spark.execution import eager_pin, run_overlapped
-from hadoop_project_spark.functions.vector import dot, l2_norm
+from hadoop_project_spark.functions.vector import dot_cols_sql, l2_norm_sql
+
 from hadoop_project_spark.operators import similarity as sim
 from hadoop_project_spark.plans.registry import register
 
@@ -19,6 +20,23 @@ DIM = 64
 K = 10
 N_QUERIES = 8
 NEARDUP_MIN_COSINE = 0.3
+
+
+# one-parse cosine text (float-identical to the Column form — the
+# builders' test pin): each Column-form dot/l2_norm costs ~2 py4j
+# lambda constructions at plan-build time, and the brute-force rankings
+# build several per query (ann_truncated_dim_recall: 9). Built lazily —
+# F.expr needs an active SparkContext, which import time has none of.
+
+
+def _norm_emb() -> F.Column:
+    return F.expr(l2_norm_sql("embedding"))
+
+
+def _cos_qc() -> F.Column:
+    return F.expr(dot_cols_sql("q_vec", "c_vec")) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
 
 
 def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
@@ -77,11 +95,11 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same rationale and bit-identical values as embedding_neardup_pairs)
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"),
-        l2_norm("embedding").alias("q_norm"),
+        _norm_emb().alias("q_norm"),
     )
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"),
-        l2_norm("embedding").alias("c_norm"),
+        _norm_emb().alias("c_norm"),
     )
     scored = (
         corpus.crossJoin(F.broadcast(queries))
@@ -89,9 +107,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
-            ).alias("cosine"),
+            F.round(_cos_qc(), 9).alias("cosine"),
         )
     )
     # two-stage ranking (partition-local top-k, then the global window
@@ -532,23 +548,23 @@ def ann_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("query_id"),
                 F.slice("embedding", 1, d).alias("q_vec"),
             )
-            .select("query_id", "q_vec", l2_norm("q_vec").alias("q_norm"))
+            .select(
+                "query_id", "q_vec", F.expr(l2_norm_sql("q_vec")).alias("q_norm")
+            )
         )
         corpus = emb.select(
             F.col("vec_id").alias("neighbor_id"),
             F.slice("embedding", 1, d).alias("c_vec"),
-        ).select("neighbor_id", "c_vec", l2_norm("c_vec").alias("c_norm"))
+        ).select(
+            "neighbor_id", "c_vec", F.expr(l2_norm_sql("c_vec")).alias("c_norm")
+        )
         scored = (
             corpus.crossJoin(F.broadcast(queries))
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(
-                    dot("q_vec", "c_vec")
-                    / (F.col("q_norm") * F.col("c_norm")),
-                    9,
-                ).alias("cosine"),
+                F.round(_cos_qc(), 9).alias("cosine"),
             )
         )
         parts.append(
@@ -1343,13 +1359,13 @@ def ann_topk_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label"),
         F.col("embedding").alias("q_vec"),
-        l2_norm("embedding").alias("q_norm"),
+        _norm_emb().alias("q_norm"),
     )
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label"),
         F.col("embedding").alias("c_vec"),
-        l2_norm("embedding").alias("c_norm"),
+        _norm_emb().alias("c_norm"),
     )
     scored = (
         corpus.join(F.broadcast(queries), "label")
@@ -1358,9 +1374,7 @@ def ann_topk_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("label").cast("long").alias("label"),
-            F.round(
-                dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")), 9
-            ).alias("cosine"),
+            F.round(_cos_qc(), 9).alias("cosine"),
         )
     )
     ranked = sim.global_topk(scored.drop("label"), K)

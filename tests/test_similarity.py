@@ -364,3 +364,40 @@ def test_sql_text_builders_match_column_reference(spark, sf_dir):
         assert g["probes"] == w["probes"]
         assert g["codes"] == w["codes"]
         assert g["lut"] == w["lut"]
+
+
+def test_dot_norm_sql_text_match_column_reference(spark, sf_dir):
+    """dot_cols_sql / l2_norm_sql (round-13: the brute-force cosine
+    rankings' one-parse forms) must stay float-identical to the dot /
+    l2_norm Column references over the real fixture embeddings — the
+    same pin the IVF/PQ expr-text builders carry above."""
+    from hadoop_project_spark.functions.vector import (
+        dot,
+        dot_cols_sql,
+        l2_norm,
+        l2_norm_sql,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.slice("embedding", 1, 16).alias("w"),
+    )
+    got = a.select(
+        "vec_id",
+        F.expr(l2_norm_sql("v")).alias("nv"),
+        F.expr(l2_norm_sql("w")).alias("nw"),
+        F.expr(dot_cols_sql("w", "w")).alias("dww"),
+    ).orderBy("vec_id").collect()
+    want = a.select(
+        "vec_id",
+        l2_norm("v").alias("nv"),
+        l2_norm("w").alias("nw"),
+        dot("w", "w").alias("dww"),
+    ).orderBy("vec_id").collect()
+    assert len(got) == len(want) > 0
+    for g, w in zip(got, want):
+        assert g["nv"] == w["nv"]
+        assert g["nw"] == w["nw"]
+        assert g["dww"] == w["dww"]
