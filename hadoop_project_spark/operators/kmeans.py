@@ -245,8 +245,22 @@ def assign_clusters_pinned(
 def quantize_points(
     points: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
-    """(id, qv) projection — the relation every pinned stage consumes."""
-    return points.select(id_col, quantized_vec(vec_col).alias("qv"))
+    """(id, qv) projection — the relation every pinned stage consumes.
+
+    Widened before the projection (round 13): every downstream stage
+    (per-iteration argmin assignment, posexplode centroid sums,
+    silhouette scoring) evaluates INTERPRETED higher-order array folds
+    of k × dim per row over the cached result, so a split-starved scan
+    — the single-file local embeddings table packs into ONE split —
+    serializes the whole Lloyd loop on one core (profiled: the shared
+    k∈{4,8} fit cost ~7-9 s of a first kmeans query at sf0.1).
+    work_factor declares that per-row weight; the shim stays a no-op
+    on real multi-file tables (execution.py guards)."""
+    from hadoop_project_spark.execution import widen_for_compute
+
+    return widen_for_compute(points, work_factor=32).select(
+        id_col, quantized_vec(vec_col).alias("qv")
+    )
 
 
 def kmeans_fit_pinned(
