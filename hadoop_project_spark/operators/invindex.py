@@ -414,19 +414,38 @@ def bm25_relevance_eval(
     spark = docs.sparkSession
     tf, dfr, dl, scal = _bm25_inputs(docs)
     qt = _bm25_qt(spark, queries)
-    topk = _bm25_score_topk(spark, tf, dfr, dl, scal, qt, k)
     nqdf = spark.createDataFrame(
         [(q, len(set(q.split()))) for q in queries], "query string, nq long"
     )
-    rel = eager_pin(
-        F.broadcast(qt)
-        .join(tf, "term")
-        .groupBy("query", "doc_id")
-        .agg(F.countDistinct("term").alias("nm"))
-        .join(F.broadcast(nqdf), "query")
-        .filter(F.col("nm") == F.col("nq"))
-        .select("query", "doc_id")
-    )
+    if all(len(q.split()) == len(set(q.split())) for q in queries):
+        # dup-free queries (every current workload): the scoring
+        # aggregate's matched-row count IS the distinct-matched-term
+        # count, so the relevance set derives from the SAME pinned
+        # aggregate the top-k ranks — the qt ⋈ tf match runs ONCE
+        # instead of once for scoring and once for relevance
+        # (round 13; guide §2.4). The pin replaces the old rel pin:
+        # same job count, strictly more reuse.
+        agg = eager_pin(_bm25_scored_agg(tf, dfr, dl, scal, qt))
+        topk = _bm25_topk_from_agg(agg, k)
+        rel = (
+            agg.join(F.broadcast(nqdf), "query")
+            .filter(F.col("n_terms") == F.col("nq"))
+            .select("query", "doc_id")
+        )
+    else:
+        # a repeated query term makes n_terms over-count vs DISTINCT —
+        # keep the explicit two-pass form for that (currently unused)
+        # shape
+        topk = _bm25_score_topk(spark, tf, dfr, dl, scal, qt, k)
+        rel = eager_pin(
+            F.broadcast(qt)
+            .join(tf, "term")
+            .groupBy("query", "doc_id")
+            .agg(F.countDistinct("term").alias("nm"))
+            .join(F.broadcast(nqdf), "query")
+            .filter(F.col("nm") == F.col("nq"))
+            .select("query", "doc_id")
+        )
     hit = topk.join(rel, ["query", "doc_id"]).groupBy("query").agg(
         F.min("rnk").alias("frr"),
         F.count("*").cast("long").alias("n_hits"),
@@ -468,8 +487,25 @@ def _bm25_score_topk(
     qt: DataFrame,
     k: int,
 ) -> DataFrame:
-    from pyspark.sql import Window
+    return _bm25_topk_from_agg(
+        _bm25_scored_agg(tf, dfr, dl, scal, qt), k
+    )
 
+
+def _bm25_scored_agg(
+    tf: DataFrame,
+    dfr: DataFrame,
+    dl: DataFrame,
+    scal: DataFrame,
+    qt: DataFrame,
+) -> DataFrame:
+    """(query, doc_id, sdec, n_terms) — the per-pair BM25 score sum and
+    matched-term count the two-stage top-k ranks. Split out (round 13)
+    so bm25_relevance_eval can derive its conjunctive relevance set
+    from the SAME aggregate (n_terms counts one row per matched
+    (query, term) — the dfr/dl/scal joins cannot drop or duplicate
+    rows: dfr and dl are aggregates OF tf, scal is one cross-joined
+    row), instead of re-running the qt ⋈ tf match as a second pass."""
     n, t = F.col("n"), F.col("t")
     idf = (2 * n - 2 * F.col("df") + 1).cast("double") / (
         2 * F.col("df") + 1
@@ -491,10 +527,15 @@ def _bm25_score_topk(
             (idf * tfpart).cast("decimal(28,9)").alias("s"),
         )
     )
-    agg = scored.groupBy("query", "doc_id").agg(
+    return scored.groupBy("query", "doc_id").agg(
         F.sum("s").alias("sdec"),
         F.count("*").cast("long").alias("n_terms"),
     )
+
+
+def _bm25_topk_from_agg(agg: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window
+
     # Two-stage exact top-k (the ANN rankings' local_topk pattern): every
     # globally top-k row is necessarily in its own partition's top-k, so
     # the pre-filter is lossless and the final window sees at most
