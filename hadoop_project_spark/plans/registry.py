@@ -55,16 +55,20 @@ _ORDER: dict[str, int] = {}
 # anchors are demoted to 500, still oracle-tested every CI run by
 # tests/test_oracle_parity.py.
 PRIORITY_OVERRIDES: dict[str, int] = {
-    # --- round-12 regression anchors: keep in-window (prio 20) ---
-    # (prio-10 registrations already inside and NOT demoted below: the
-    # LR trio + every serving twin [serving.py changed: trained-weights
-    # coherence + ivfpq quantizer fingerprint], the gate pair
-    # [dedup_queries.py gate cleanup], the retrieval trio + dense
-    # negatives [retrieval.py mmr guard, similarity.py zero-norm
-    # guard], audio_fingerprint_neardup [multimodal.py short-clip
-    # contract], the shard-export pair feeding the new rewrite query,
-    # and the three round-12-new queries incremental_shard_rewrite /
-    # pii_planted_redaction / pii_redaction_counts [re-promoted].)
+    # --- round-13 regression anchors: keep in-window (prio 20) ---
+    # Round 13 is optimization round 2: the window is the headline set,
+    # the LR trio (kept at its prio-10 registration until green twice —
+    # VERDICT r12 #10; the HUGEINT oracle-output-type fix lands this
+    # round), and a hash anchor for EVERY query whose code round 13
+    # touched: the CM-sketch one-scan rework (sketch.py), the
+    # co-purchase self-join widen (governance_queries.py — all five
+    # pagerank/copurchase queries), the gate pipelining
+    # (dedup_queries.py loops + dedup_gate.py sink), the BM25
+    # scored-agg split (invindex.py — every bm25 ranking/eval rider),
+    # the brute-force cosine expr-text rework (similarity_queries.py),
+    # the quantize_points widen (kmeans.py — whole kmeans family), and
+    # the shard-rewrite overlap (packing_queries.py/shardexport.py —
+    # the prio-10 shard trio stays in-window from r12).
     **{
         name: 20
         for name in (
@@ -74,18 +78,35 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "regional_revenue",
             "two_leg_conversion",
             "priority_month_matrix",
-            # serving.py changed (r12 trained-artifact coherence):
-            # re-certify the inverted-index LSM pair publishing
-            # through attach_or_build
-            "index_segment_compaction_roundtrip",
-            "index_base_plus_segments_probe",
-            # fitted artifacts: the semdedup pair rides the served
-            # artifact path whose module changed this round
-            "semantic_dedup_decisions",
-            "semantic_dedup_bucketed",
-            # multimodal.py touched (audio short-clip contract):
-            # re-certify the wav decode leg beside the fingerprint row
-            "multimodal_wav_features",
+            # sketch.py: cm_heavy_hitters one-scan rework
+            "heavy_hitter_bigrams",
+            # governance_queries.py: probe-side widen on all three
+            # lineitem self-join edge builders (served twin is already
+            # in-window at its prio-10 registration)
+            "part_pagerank_iterated",
+            "part_pagerank_bucketed",
+            "part_copurchase_rank_step",
+            "part_copurchase_triangles",
+            # dedup_gate.py sink eager_pin threshold + dedup_queries.py
+            # batch pipelining (the LSM pair is in-window at prio 10)
+            "neardup_gate_admissions",
+            # invindex.py: _bm25_scored_agg split + one-pass relevance
+            "bm25_mrr_eval",
+            "bm25_topk",
+            "bm25_topk_stored",
+            # similarity_queries.py: one-parse dot/norm text in the
+            # brute-force cosine rankings (prefiltered is in-window at
+            # its prio-10 registration)
+            "ann_topk_bruteforce",
+            "ann_truncated_dim_recall",
+            "ann_recall_at_k",
+            # kmeans.py: quantize_points widen — the whole pinned-fit
+            # family re-certifies
+            "kmeans_centroids",
+            "kmeans_cluster_sizes",
+            "kmeans_silhouette",
+            "kmeans_assign_step",
+            "nearest_two_centroids",
         )
     },
     # --- green in r1-r8, still CI-oracle-tested: demote (prio 500) ---
@@ -97,7 +118,22 @@ PRIORITY_OVERRIDES: dict[str, int] = {
     **{
         name: 500
         for name in (
-            # r11 prio-10 anchors released this round (code untouched
+            # r12 prio-10/20 anchors released this round (code
+            # untouched in r13; all green in CORRECTNESS_r12)
+            "ann_topk_ivfpq",
+            "ann_topk_ivfpq_served",
+            "ann_ivfpq_segment_compaction",
+            "ann_ivfpq_base_plus_segments",
+            "contrastive_dense_negatives",
+            "multimodal_bmp_features",
+            "multimodal_wav_features",
+            "audio_fingerprint_neardup",
+            "pii_redaction_counts",
+            "pii_planted_redaction",
+            "phrase_search_served",
+            "index_segment_compaction_roundtrip",
+            "index_base_plus_segments_probe",
+            # r11 prio-10 anchors released in r12 (code untouched
             # in r12; all green in CORRECTNESS_r11)
             "tokenizer_fertility_by_source",
             "dedup_canonical_by_quality",
@@ -118,29 +154,20 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "ann_pq_recall",
             "bucketed_join_roundtrip",
             "inverted_index_build_roundtrip",
-            "bm25_topk_stored",
-            "part_pagerank_bucketed",
             # r9 anchors released in r10 (code untouched in r10;
             # the two writer-roundtrip movers were adjudicated as host
             # drift by the round-10 within-session A/B — SCALING.md)
             "dpp_partitioned_join_roundtrip",
             "proximity_search_pairs",
             "lsh_band_sweep",
-            "bm25_mrr_eval",
             "inverted_index_directory",
             "phrase_search_hits",
-            "bm25_topk",
-            "kmeans_centroids",
-            "kmeans_cluster_sizes",
-            "kmeans_silhouette",
-            "part_pagerank_iterated",
             # r8 anchors (released in r9; ssjoin-pin family deltas were
             # re-adjudicated by the round-9 within-session A/B)
             "ssjoin_prefix_pairs",
             "doc_duplicate_spans",
             "doc_duplicate_span_ratio",
             "dedup_lsh_recall_eval",
-            "neardup_gate_admissions",
             "dedup_minhash_lsh",
             "dedup_clusters",
             "doc_winnowing_fingerprints",
@@ -161,13 +188,11 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "quality_filter_funnel",
             "doc_fingerprints",
             # r7-new, green in CORRECTNESS_r07
-            "ann_truncated_dim_recall",
             # r7 anchors released in r8
             "part_name_fuzzy_pairs",
             "part_entity_clusters",
             "source_overlap_matrix",
             "decontaminate_ngram",
-            "heavy_hitter_bigrams",
             "bloom_decontaminate_fpr",
             "hll_source_distinct_shingles",
             "hll_source_overlap",
@@ -182,23 +207,18 @@ PRIORITY_OVERRIDES: dict[str, int] = {
             "events_hourly_rollup",
             "latest_event_per_user",
             "priority_month_matrix_formatted",
-            "kmeans_assign_step",
-            "nearest_two_centroids",
             "orc_roundtrip_order_priorities",
             "json_roundtrip_source_stats",
             "events_retention_cohorts",
             "events_dau_wau_stickiness",
             "events_session_concurrency",
-            "ann_recall_at_k",
             "merge_upsert_roundtrip",
             "json_corrupt_records_audit",
             "events_value_outliers",
             "docs_split_assignment",
             "lineitem_winsorized_stats",
-            "part_copurchase_rank_step",
             "training_mix_temperature",
             "ab_test_value_zscore",
-            "part_copurchase_triangles",
             "weighted_price_quantiles",
             "national_market_share",
             "promo_revenue_share",

@@ -24,11 +24,11 @@ from hadoop_project_spark.plans import all_queries
 WINDOW = 50
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Regression anchors for round 12 (VERDICT r11 items 1, 3-4, 6-8 +
-# ADVICE r11): the headline set, the re-certified LR trio, the new
-# incremental-rewrite and planted-PII queries, and a hash anchor for
-# every query whose code round 12 touched — must be proven green THIS
-# round.
+# Regression anchors for round 13 (VERDICT r12 items 1-2, 4-6, 8-10):
+# the headline set, the LR trio (red two rounds — the HUGEINT oracle
+# output-type fix lands this round and must be proven green), and a
+# hash anchor for every query whose code round 13 touched — must be
+# proven green THIS round.
 MUST_VERIFY = {
     # headline (every round)
     "word_count",
@@ -36,54 +36,51 @@ MUST_VERIFY = {
     "regional_revenue",
     "two_leg_conversion",
     "priority_month_matrix",
-    # round-12 #1: the trained quality classifier trio — the round-11
-    # red rows, re-certified after the coherence fix (fit returns its
-    # own weights, feature-semantics fingerprint token, values-verified
-    # attach; serving.py + plans/quality_lr_queries.py)
+    # round-13 #1: the LR trio after the oracle BIGINT casts (the
+    # two-round-old hash-red pair's root cause — DuckDB HUGEINT output
+    # columns canonicalizing differently from int64)
     "quality_lr_train",
     "quality_lr_corpus_filter",
     "quality_lr_eval",
-    # round-12 new: the incremental export CLOSED — dirty shards
-    # re-cut via dynamic partition overwrite, clean shards reused
-    # byte-for-byte, manifest read back from the files
-    # (operators/shardexport.py); its two feeder queries re-certify
+    # sketch.py: cm_heavy_hitters one-scan rework
+    "heavy_hitter_bigrams",
+    # governance_queries.py: probe-side widen of the lineitem
+    # co-purchase self-joins (all five riders incl. the served twin)
+    "part_pagerank_iterated",
+    "part_pagerank_bucketed",
+    "part_pagerank_served",
+    "part_copurchase_rank_step",
+    "part_copurchase_triangles",
+    # dedup_queries.py batch pipelining + dedup_gate.py sink eager_pin
+    "neardup_gate_lsm_admissions",
+    "neardup_gate_served_probe",
+    "neardup_gate_admissions",
+    # invindex.py: _bm25_scored_agg split + one-pass relevance set
+    "bm25_mrr_eval",
+    "bm25_topk",
+    "bm25_topk_stored",
+    "bm25_topk_served",
+    "bm25_prf_dense_rerank",
+    "hybrid_topk_rrf",
+    "mmr_diversified_topk",
+    # similarity_queries.py: one-parse dot/norm text in the
+    # brute-force cosine rankings (+ the module's semdedup pair)
+    "ann_topk_bruteforce",
+    "ann_truncated_dim_recall",
+    "ann_recall_at_k",
+    "ann_topk_prefiltered",
+    "semantic_dedup_decisions",
+    "semantic_dedup_bucketed",
+    # kmeans.py: quantize_points widen — the whole pinned-fit family
+    "kmeans_centroids",
+    "kmeans_cluster_sizes",
+    "kmeans_silhouette",
+    "kmeans_assign_step",
+    "nearest_two_centroids",
+    # packing_queries.py/shardexport.py: rollup ∥ v1-write overlap
     "incremental_shard_rewrite",
     "training_shard_assignment",
     "incremental_shard_export",
-    # round-12 new: PII fires at driver scale on planted corpus text
-    # (40% of docs carry spans appended to their REAL text; clean docs
-    # certified byte-identical), plus the re-promoted bucket audit
-    "pii_planted_redaction",
-    "pii_redaction_counts",
-    # serving.py changed (trained-artifact coherence + the ivfpq
-    # quantizer values fingerprint): every serving twin re-certifies
-    "part_pagerank_served",
-    "phrase_search_served",
-    "bm25_topk_served",
-    "ann_topk_ivfpq_served",
-    "ann_topk_ivfpq",
-    "ann_ivfpq_segment_compaction",
-    "ann_ivfpq_base_plus_segments",
-    "ann_topk_prefiltered",
-    "index_segment_compaction_roundtrip",
-    "index_base_plus_segments_probe",
-    "semantic_dedup_decisions",
-    "semantic_dedup_bucketed",
-    "neardup_gate_served_probe",
-    # dedup_queries.py touched (gate temp-root/table cleanup, ADVICE
-    # r11 #3): the LSM gate pair re-certifies
-    "neardup_gate_lsm_admissions",
-    # retrieval.py touched (mmr_select missing-pair guard, ADVICE r11
-    # #1): the retrieval trio re-certifies
-    "mmr_diversified_topk",
-    "hybrid_topk_rrf",
-    "bm25_prf_dense_rerank",
-    # similarity.py touched (blocked_anchor_cosines zero-norm guard,
-    # ADVICE r11 #2)
-    "contrastive_dense_negatives",
-    # multimodal.py touched (audio short-clip contract, ADVICE r11 #4)
-    "audio_fingerprint_neardup",
-    "multimodal_wav_features",
 }
 
 
