@@ -37,6 +37,7 @@ curation and eval-set mining.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -280,6 +281,26 @@ def hard_negatives_for_anchors(
     # overlapped the pin with its own independent build jobs.
     if sets is None:
         sets = eager_pin(doc_token_sets(docs))
+    else:
+        # Contract (ADVICE r12 #1): a caller-supplied relation must BE
+        # doc_token_sets(docs) for the same corpus, already pinned — a
+        # mismatched or unpinned frame silently yields wrong/slow
+        # negatives. The schema is checkable here; provenance remains
+        # the caller's docstring-level promise.
+        expected = {"doc_id", "ts", "n"}
+        if set(sets.columns) != expected:
+            raise ValueError(
+                "hard_negatives_for_anchors: `sets` must be the pinned "
+                f"doc_token_sets relation (columns {sorted(expected)}), "
+                f"got columns {sets.columns}"
+            )
+        if sets.storageLevel == StorageLevel.NONE:
+            raise ValueError(
+                "hard_negatives_for_anchors: caller-supplied `sets` must "
+                "already be persisted (eager_pin(doc_token_sets(docs))) — "
+                "an unpinned relation recomputes the corpus tokenization "
+                "once per consuming exchange"
+            )
     # pinned: the df aggregate, the corpus join side, and the anchor
     # join side all consume the exploded shingle stream
     sh = pin(dd.doc_shingles(docs))
